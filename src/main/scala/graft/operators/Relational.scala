@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+
+/** Relational core over the driver star schema (SURVEY.md §2.3 J4–J5,
+  * §2.4 A6–A8, §2.5 W1–W3, §2.6 O3, §2.7 U3) — all [EXT], built from the
+  * public DataFrame API and planned by Catalyst.
+  *
+  * Oracle-parity note: double summation is order-dependent, so every money
+  * aggregate casts per-row to an exact decimal first (products of two/three
+  * 2-decimal inputs are exact at scale 4/6), sums in decimal (exact,
+  * order-independent), and casts the result back to double — bit-identical
+  * between Spark and DuckDB regardless of partitioning.
+  *
+  * Scale notes (100 TB):
+  *  - Dimension joins (region/nation/supplier/customer/part) are broadcast;
+  *    only fact⋈fact (lineitem⋈orders) shuffles, on the join key.
+  *  - Aggregations are partial+final hash aggregates (map-side combine).
+  *  - Top-k is TakeOrderedAndProject (no global sort); per-group top-k is
+  *    a single window shuffle on the group key.
+  */
+object Relational {
+
+  /** Exact decimal sum surfaced as double (see class doc). */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact average: exact-decimal sum / count, divided in double. */
+  def davg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)
+
+  // --- A6: pricing summary (TPC-H Q1 shape) --------------------------------
+
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // --- J4: star joins ------------------------------------------------------
+
+  /** 5-way star join: revenue by nation (TPC-H Q5 shape). Dimension sides
+    * (customer, nation, region) are explicitly broadcast. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Top-10 unshipped-revenue orders (TPC-H Q3 shape): fact⋈fact shuffle
+    * join + TakeOrderedAndProject top-k. */
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") < lit("2000-01-01"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Part/brand aggregate with a broadcast dimension join. */
+  def revenueByBrand(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        dsum(col("l_extendedprice"), 2).as("sum_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("p_brand"))
+  }
+
+  // --- J2/J3 shapes over the star schema: semi / anti ----------------------
+
+  /** Customers with at least one high-value order (left_semi). */
+  def customersWithBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 100000.0)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Customers with no orders at all (left_anti). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // --- A7: rollup / cube ---------------------------------------------------
+
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  // --- W1–W3: windows ------------------------------------------------------
+
+  /** W1/O3: top-3 orders per market segment by totalprice (row_number). */
+  def topOrdersPerSegment(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    joined
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** W3: running revenue per customer over order date (framed aggregate). */
+  def runningRevenuePerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") <= 50)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.withColumn("running_total",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** W2: lag/lead — gap in days between a customer's consecutive orders. */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") <= 50)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    o.withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        datediff(col("o_orderdate"), col("prev_date")).cast("long").as("gap_days"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  // --- A2 shape on the star schema: min_by / argmin -------------------------
+
+  /** Oldest order per customer (min_by) — the A2 argmin as a grouped agg. */
+  def oldestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(col("o_custkey"))
+      .agg(
+        min_by(col("o_orderkey"), struct(col("o_orderdate"), col("o_orderkey"))).as("first_orderkey"),
+        to_date(min(col("o_orderdate"))).as("first_orderdate"))
+      .orderBy(col("o_custkey"))
+  }
+
+  // --- U3: set ops ---------------------------------------------------------
+
+  /** Customers in the BUILDING segment EXCEPT those with big orders, plus
+    * INTERSECT of two predicates — exercised as one union of both results. */
+  def segmentSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bigOrderCust = o.filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    val exceptRes = building.except(bigOrderCust)
+      .select(col("c_custkey"), lit("except").as("op"))
+    val intersectRes = building.intersect(
+        c.filter(col("c_acctbal") > 0).select(col("c_custkey")))
+      .select(col("c_custkey"), lit("intersect").as("op"))
+    exceptRes.unionByName(intersectRes).orderBy(col("op"), col("c_custkey"))
+  }
+
+  // --- A8: sketches (no SQL oracle — rows-only check) ----------------------
+
+  /** HLL++ distinct counts + approx percentiles. Registered without an
+    * oracle (sketch internals differ across engines by design). */
+  def sketchSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact percentiles (median) — oracle-checkable counterpart of A8. */
+  def exactPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)"), 4).as("median_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+}

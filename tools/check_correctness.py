@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views
+over <sfDir>/*.parquet, and compares: row count, column names, and values
+(columns sorted by name, rows sorted by all columns). Exact equality for
+all types including floats — the driver hashes, so we must be bit-identical.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple((v is None, str(type(v)), str(v)) for v in t))
+    return [sorted(colnames), out]
+
+
+def norm(v):
+    # normalize numeric types so int32 vs int64 etc. compare equal;
+    # floats stay exact (repr keeps full precision)
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("num", float(v)) if abs(v) < 2**52 else ("int", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return ("num", v) if v == int(v) and abs(v) < 2**52 and v.is_integer() else ("float", repr(v))
+    if hasattr(v, "isoformat"):
+        s = v.isoformat()
+        # normalize datetime vs date midnight? keep as-is but strip tz
+        return ("ts", s.replace("+00:00", ""))
+    if isinstance(v, list):
+        return ("list", tuple(norm(x) for x in v))
+    return ("o", str(v))
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    import glob
+    names = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/*")
+                   if not d.endswith(".json"))
+    for name in names:
+        spark_rel = con.execute(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        spark_cols = [d[0] for d in spark_rel.description]
+        spark_rows = spark_rel.fetchall()
+        if name not in oracle:
+            print(f"  [rows-only] {name}: {len(spark_rows)} rows")
+            continue
+        try:
+            duck_rel = con.execute(oracle[name])
+            duck_cols = [d[0] for d in duck_rel.description]
+            duck_rows = duck_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        sc, sr = canon(spark_rows, spark_cols)
+        dc, dr = canon(duck_rows, duck_cols)
+        if sc != dc:
+            print(f"FAIL {name}: columns spark={sc} duck={dc}")
+            failures += 1
+            continue
+        if len(sr) != len(dr):
+            print(f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}")
+            failures += 1
+            continue
+        bad = [(a, b) for a, b in zip(sr, dr) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(sr)} mismatched rows; first 3:")
+            for a, b in bad[:3]:
+                print(f"    spark={a}")
+                print(f"    duck ={b}")
+            failures += 1
+        else:
+            print(f"  OK {name}: {len(sr)} rows")
+    print(f"\n{'ALL GREEN' if failures == 0 else str(failures) + ' FAILURES'}"
+          f" ({len(names)} queries)")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
