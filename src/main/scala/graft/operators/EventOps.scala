@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+import graft.operators.Relational.{davg, dsum}
+
+/** Event-time operators over the `events` table (SURVEY.md §2.9 T9 [EXT]
+  * + §2.3 J5): tumbling/sliding/session windows, as-of join, bucketed
+  * range join, JSON props extraction. These are the batch-checkable
+  * faces of the streaming surface in `graft.streaming`.
+  *
+  * Scale: every operator shuffles at most once, on (user_id) or on the
+  * window bucket — both high-cardinality, skew-free keys here. The
+  * range join is bucketed (equi-join on a time bucket + residual range
+  * filter), never an unbounded theta join.
+  */
+object EventOps {
+
+  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's reader
+    * rejects by default; read ns-as-long and truncate to microseconds
+    * (exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP cast does). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(spark, dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** T9: 10-minute tumbling window counts/sums per event type. Window
+    * start surfaced as epoch seconds (engine-neutral). */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("bucket_start"), col("event_type"))
+
+  /** T9: 10-minute windows sliding every 5 minutes. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start"),
+        col("n"), col("avg_value"))
+      .orderBy(col("bucket_start"))
+
+  /** T9: session windows per user with a 5-minute inactivity gap —
+    * batch equivalent of `session_window` (the streaming face lives in
+    * graft.streaming.EventStream). Expressed with lag + cumulative sum
+    * so the semantics are portable to any engine: a session starts when
+    * the gap from the previous event exceeds the timeout. */
+  def sessionize(spark: SparkSession, dir: String,
+                 gapMinutes: Int = 5): DataFrame = {
+    val ev = events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withGap = ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60L * 1000000L,
+          1L).otherwise(0L))
+    val withId = withGap.withColumn("session_seq",
+      sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withId.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        unix_timestamp(min(col("ts"))).as("session_start"),
+        unix_timestamp(max(col("ts"))).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** J5 as-of join: for each purchase, the most recent prior view by
+    * the same user. Implemented as a single per-user window pass (union
+    * already holds both sides): carry the last view timestamp forward,
+    * then keep purchases — one shuffle on user_id, no range explosion.
+    * This is the scalable as-of shape (sort-merge within partitions). */
+  def lastViewBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).filter(col("event_type").isin("view", "purchase"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_view_ts",
+        last(when(col("event_type") === "view", col("ts")), ignoreNulls = true)
+          .over(byUser))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("purchase_epoch"),
+        unix_timestamp(col("last_view_ts")).as("last_view_epoch"))
+      .orderBy(col("event_id"))
+  }
+
+  /** J5 bucketed range join: for each error event, how many clicks the
+    * same user made in the preceding 5 minutes. The click side is
+    * exploded to its bucket and the next (5-minute buckets), the join
+    * is an equi-join on (user_id, bucket), and the range predicate is a
+    * residual filter — bounded fan-out (2×) instead of a theta join. */
+  def clicksBeforeErrors(spark: SparkSession, dir: String,
+                         windowMinutes: Int = 5): DataFrame = {
+    val bucketUs = windowMinutes * 60L * 1000000L
+    val ev = events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts").as("err_ts"),
+        expr(s"unix_micros(ts) DIV $bucketUs").as("bucket"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        explode(array(
+          expr(s"unix_micros(ts) DIV $bucketUs"),
+          expr(s"unix_micros(ts) DIV $bucketUs") + 1)).as("bucket"))
+    errors.join(clicks, Seq("user_id", "bucket"), "left")
+      .withColumn("in_range",
+        col("click_ts").isNotNull &&
+          col("click_ts") >= col("err_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+          col("click_ts") < col("err_ts"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(sum(when(col("in_range"), 1L).otherwise(0L)).as("n_clicks_before"))
+      .orderBy(col("event_id"))
+  }
+
+  /** F9 over the `props` JSON column: extract k, aggregate per type.
+    * k is an integer so the sums are exact. */
+  def propsStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+}

@@ -110,10 +110,11 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
-  /** Customers with no orders at all (left_anti). */
+  /** Customers with no high-value order (left_anti against a filtered
+    * build side — non-empty at every scale factor). */
   def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 150000.0)
     c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
