@@ -60,12 +60,16 @@ object SimilarityOps {
 
   /** Hyperplane-LSH signature: `nPlanes` sign bits packed into a long;
     * `firstPlane` offsets the plane family so independent tables can be
-    * built (OR-amplification). */
+    * built (OR-amplification). Each plane dot is one `aggregate` over a
+    * 64-element literal array — compact enough for whole-stage codegen
+    * (a fully unrolled 64×nPlanes sum blows the JIT method limit). */
   def lshBucket(vec: Column, nPlanes: Int = 12, firstPlane: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val planeDot = (0 until 64).map { j =>
-        get(vec, lit(j)).cast("double") * lit(planeComponent(firstPlane + p, j))
-      }.reduce(_ + _)
+      val plane = array((0 until 64).map(j =>
+        lit(planeComponent(firstPlane + p, j))): _*)
+      val planeDot = aggregate(
+        zip_with(vec, plane, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
       when(planeDot > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

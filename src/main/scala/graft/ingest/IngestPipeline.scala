@@ -1,0 +1,239 @@
+package graft.ingest
+
+import java.util.concurrent.Executors
+
+import scala.collection.mutable
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ListingOps, TimeOps}
+
+/** The reference's ingest control loop re-expressed as a batch pipeline
+  * (SURVEY.md §2.9 T1–T8, §3.1): poll a bucket prefix for timestamped
+  * folders, gate on the manifest commit marker, consume the OLDEST folder,
+  * load its CSV.gz entity files into two sinks with the reference's
+  * ordering semantics (bulk ⇒ parallel, delta ⇒ neo4j strictly before
+  * elastic — ingestor.js:272–287), delete the folder's objects, and append
+  * a metrics row with the reference's duration format.
+  *
+  * The "bucket" is any Hadoop-FS-visible directory (file:// in tests,
+  * s3a:// in production — the FileSystem API is identical). Sinks are
+  * parquet tables under a warehouse dir, written with overwrite per
+  * (sink, ingest) — the idempotency analogue of the reference deleting old
+  * k8s jobs before relaunch (S10, ingestor.js:136–146).
+  *
+  * Scale notes: the data plane is `spark.read.csv` → `write.parquet`,
+  * fully distributed; only the tiny control decisions (which folder,
+  * manifest present) are driver-side, mirroring the reference where the
+  * control loop is a single node but the load runs on the cluster.
+  */
+object IngestPipeline {
+
+  final case class IngestParams(ingestName: String, ingestType: String)
+
+  final case class IngestMetrics(
+      ingest: String,
+      `type`: String,
+      load_date: java.sql.Timestamp,
+      readable_date: String,
+      neo_job_duration: String,
+      elastic_job_duration: String,
+      total_job_duration: String)
+
+  /** T8 `Times` session state (helpers.js:89–120): start/end per sink +
+    * the working file set; `isComplete` is the barrier predicate. */
+  final class Times {
+    var neoStart: Option[Long] = None
+    var neoEnd: Option[Long] = None
+    var elasticStart: Option[Long] = None
+    var elasticEnd: Option[Long] = None
+    var ingestFiles: Seq[String] = Nil
+    def isComplete: Boolean = neoEnd.isDefined && elasticEnd.isDefined
+    def reset(): Unit = {
+      neoStart = None; neoEnd = None; elasticStart = None; elasticEnd = None
+      ingestFiles = Nil
+    }
+  }
+
+  /** Reference duration format (helpers.js:65–73): Hh:MMmins, days
+    * truncated, 'timestamp error' when the end is missing. */
+  def formatDuration(startSec: Option[Long], endSec: Option[Long]): String =
+    (startSec, endSec) match {
+      case (Some(s), Some(e)) =>
+        val seconds = e - s
+        f"${(seconds / 3600) % 24}%dh:${(seconds / 60) % 60}%02dmins"
+      case _ => "timestamp error"
+    }
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** S1: list every object key under `bucket` (recursive), relative to
+    * the bucket root — the Spark face of `s3.listObjectsV2`. */
+  def listKeys(spark: SparkSession, bucket: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(bucket)
+    val filesystem = fs(spark, bucket)
+    val keys = mutable.ArrayBuffer.empty[String]
+    if (filesystem.exists(root)) {
+      val it = filesystem.listFiles(root, true)
+      val rootUri = filesystem.makeQualified(root).toUri
+      while (it.hasNext) {
+        val f = it.next()
+        keys += rootUri.relativize(f.getPath.toUri).getPath
+      }
+    }
+    keys.toSeq.toDF("key")
+  }
+
+  /** §3.2: the oldest pending ingest, or None while the bucket has no
+    * valid timestamped marker folder (the wait states of ingestor.js:82–96). */
+  def oldestPending(listing: DataFrame): Option[IngestParams] = {
+    val rows = ListingOps.oldestPendingIngest(listing).collect()
+    rows.headOption.map(r => IngestParams(r.getString(0), r.getString(1)))
+  }
+
+  /** T3: the manifest commit-marker gate (ingestor.js:109–118). */
+  def manifestPresent(listing: DataFrame, ingestName: String): Boolean =
+    !listing.filter(col("key") === s"pending/$ingestName/manifest.json").isEmpty
+
+  /** J3: files present vs declared; returns (undeclared, missing) names. */
+  def reconcile(spark: SparkSession, listing: DataFrame, bucket: String,
+                ingestName: String): (Seq[String], Seq[String]) = {
+    val folderFiles = listing
+      .filter(col("key").startsWith(s"pending/$ingestName/"))
+    val manifest = spark.read
+      .schema("FileName STRING, SHA256 STRING")
+      .json(s"$bucket/pending/$ingestName/manifest.json")
+    val rec = ListingOps.reconcileManifest(folderFiles, manifest).collect()
+    (rec.filter(_.getString(1) == "undeclared").map(_.getString(0)).toSeq,
+      rec.filter(_.getString(1) == "missing").map(_.getString(0)).toSeq)
+  }
+
+  /** Entity names present in the ingest folder (subdirectories with a
+    * `<entity>_headers.csv.gz` / `<entity>_sample.csv.gz` pair —
+    * s3-client.js:20–29). */
+  def entities(listing: DataFrame, ingestName: String): Seq[String] =
+    listing
+      .filter(col("key").startsWith(s"pending/$ingestName/"))
+      .select(get(split(col("key"), "/"), lit(2)).as("entity"),
+        get(split(col("key"), "/"), lit(3)).as("file"))
+      .filter(col("file").isNotNull)
+      .select("entity").distinct().collect().map(_.getString(0)).toSeq.sorted
+
+  /** S5: load one entity's CSV.gz pair — header row shipped in the
+    * sidecar `_headers` file, data in `_sample` (schema-on-file). */
+  def loadEntity(spark: SparkSession, bucket: String, ingestName: String,
+                 entity: String): DataFrame = {
+    val base = s"$bucket/pending/$ingestName/$entity"
+    val header = spark.read.option("header", "true")
+      .csv(s"$base/${entity}_headers.csv.gz")
+    spark.read
+      .schema(header.schema)
+      .csv(s"$base/${entity}_sample.csv.gz")
+  }
+
+  /** One sink load = write every entity to `warehouse/<sink>/<entity>`
+    * with overwrite (S9+S10 idempotency). */
+  private def runSink(spark: SparkSession, bucket: String, warehouse: String,
+                      params: IngestParams, sink: String,
+                      entityNames: Seq[String]): Unit =
+    entityNames.foreach { e =>
+      loadEntity(spark, bucket, params.ingestName, e)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$warehouse/$sink/$e")
+    }
+
+  /** T5: THE core scheduling semantic — bulk runs both sinks in parallel
+    * (async.parallel, ingestor.js:272–281); delta runs neo4j strictly
+    * before elastic (async.eachSeries, ingestor.js:283–287). */
+  def runSinks(spark: SparkSession, bucket: String, warehouse: String,
+               params: IngestParams, entityNames: Seq[String],
+               times: Times, clock: () => Long = () => System.currentTimeMillis / 1000,
+               onSinkEvent: (String, String) => Unit = (_, _) => ()): Unit = {
+    def neo(): Unit = {
+      times.neoStart = Some(clock()); onSinkEvent("neo4j", "start")
+      runSink(spark, bucket, warehouse, params, "neo4j", entityNames)
+      times.neoEnd = Some(clock()); onSinkEvent("neo4j", "end")
+    }
+    def elastic(): Unit = {
+      times.elasticStart = Some(clock()); onSinkEvent("elastic", "start")
+      runSink(spark, bucket, warehouse, params, "elastic", entityNames)
+      times.elasticEnd = Some(clock()); onSinkEvent("elastic", "end")
+    }
+    if (params.ingestType == "bulk") {
+      val pool = Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(Seq(Future(neo()), Future(elastic()))), Duration.Inf)
+      finally pool.shutdown()
+    } else {                        // incremental/delta: strictly serial
+      neo()
+      elastic()
+    }
+  }
+
+  /** T4: exactly-once consumption — delete the ingest folder's objects
+    * after a successful load + metrics write (ingestor.js:312–320). */
+  def cleanup(spark: SparkSession, bucket: String, ingestName: String): Unit = {
+    val filesystem = fs(spark, bucket)
+    filesystem.delete(new Path(s"$bucket/pending/$ingestName"), true)
+  }
+
+  /** The full batch cycle: returns the metrics row if an ingest ran, None
+    * if the pipeline is in a wait state (empty bucket / no marker folder /
+    * manifest not yet arrived). Any stage error propagates — the Spark
+    * analogue of enterErrorState is a failed job, not a silent spin (T7). */
+  def processPendingOnce(spark: SparkSession, bucket: String, warehouse: String,
+                         clock: () => Long = () => System.currentTimeMillis / 1000,
+                         onSinkEvent: (String, String) => Unit = (_, _) => ())
+      : Option[IngestMetrics] = {
+    import spark.implicits._
+    val listing = listKeys(spark, bucket)
+    if (listing.isEmpty) return None
+    val hasTs = ListingOps.hasTimestampFolders(listing)
+      .collect().headOption.exists(_.getBoolean(0))
+    if (!hasTs) return None
+    val params = oldestPending(listing) match {
+      case None => return None
+      case Some(p) => p
+    }
+    if (!manifestPresent(listing, params.ingestName)) return None
+
+    val times = new Times
+    times.ingestFiles = ListingOps.ingestFiles(listing, params.ingestName)
+      .collect().map(_.getString(0)).toSeq
+    val startSec = clock()
+    val entityNames = entities(listing, params.ingestName)
+    runSinks(spark, bucket, warehouse, params, entityNames, times, clock, onSinkEvent)
+
+    val endSec = clock()
+    val loadDate = new java.sql.Timestamp(endSec * 1000L)
+    val metrics = IngestMetrics(
+      ingest = params.ingestName,
+      `type` = params.ingestType,
+      load_date = loadDate,
+      readable_date = {
+        val df = spark.createDataset(Seq(loadDate)).toDF("ts")
+          .select(TimeOps.readableDate(col("ts"))).collect()
+        df.head.getString(0)
+      },
+      neo_job_duration = formatDuration(times.neoStart, times.neoEnd),
+      elastic_job_duration = formatDuration(times.elasticStart, times.elasticEnd),
+      total_job_duration = formatDuration(Some(startSec), Some(endSec)))
+
+    // S8: metrics sink (mongo in the reference; parquet append here)
+    spark.createDataset(Seq(metrics)).write
+      .mode(SaveMode.Append).parquet(s"$warehouse/es_load_dates")
+
+    // commit: delete consumed folder (T4), reset session state (T8)
+    if (times.isComplete) {
+      cleanup(spark, bucket, params.ingestName)
+      times.reset()
+    }
+    Some(metrics)
+  }
+}

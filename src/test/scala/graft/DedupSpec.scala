@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.ext.DedupOps
+
+/** Dedup operators: exact-dup detection on crafted duplicates, and
+  * MinHash-LSH recall against the exact n-gram Jaccard join. */
+class DedupSpec extends SparkSuite {
+
+  /** A corpus with planted exact and near duplicates, written as a
+    * documents.parquet so the dir-based API runs unchanged. */
+  private lazy val plantedDir: String = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val exactDups = base.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 100000L)  // same text, new id
+    val nearDups = base.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 200000L)
+      .withColumn("text", concat(col("text"), lit(" tail tail tail")))
+    val dir = tmpDir("graft-dedup")
+    base.unionByName(exactDups).unionByName(nearDups)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup finds exactly the planted duplicate texts") {
+    val groups = DedupOps.exactDupGroups(spark, plantedDir)
+      .filter(col("n_docs") > 1).collect()
+    assert(groups.length == 5)
+    groups.foreach(r => assert(r.getLong(1) == 2L))
+    // keeper is always the original (smaller) id
+    groups.foreach(r => assert(r.getLong(2) < 100000L))
+  }
+
+  test("ngram Jaccard finds planted near-dups (appended-tail docs)") {
+    val pairs = DedupOps.ngramJaccardPairs(spark, plantedDir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (5L until 10L).foreach { id =>
+      assert(pairs.contains((id, id + 200000L)) ||
+        pairs.exists(p => p._1 == id && p._2 == id + 200000L),
+        s"missing planted near-dup pair for doc $id")
+    }
+  }
+
+  test("MinHash-LSH recall ≥ 0.8 vs exact Jaccard at t=0.8, zero false positives after verify") {
+    val exact = DedupOps.ngramJaccardPairs(spark, sf, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLshPairs(spark, sf, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verify step keeps only true-Jaccard≥t pairs ⇒ lsh ⊆ exact
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    if (exact.nonEmpty) {
+      val recall = lsh.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall over ${exact.size} true pairs")
+    }
+  }
+
+  test("simhash of identical texts is identical; hamming to a perturbed copy is small") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text")
+    val hs = df.select(col("doc_id"), DedupOps.simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) <= 16)
+  }
+}

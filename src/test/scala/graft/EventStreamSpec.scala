@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Structured Streaming faces (T9): watermark windows, watermarked
+  * dedup, and the mapGroupsWithState session machine, driven through a
+  * MemoryStream source. */
+class EventStreamSpec extends SparkSuite {
+
+  private def ts(minute: Int, second: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$second%02d")
+
+  test("windowed counts aggregate a replayed stream correctly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 1, "click", 1.0),
+      Event(3, ts(11), 1, "view", 1.0),
+      Event(4, ts(12), 2, "click", 1.0))
+    val q = EventStream.startMemory(spark, input.toDF(), "win_counts")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT window.start, event_type, n FROM win_counts ORDER BY 1, 2").collect()
+    // 10:00–10:10: 2 clicks; 10:10–10:20: 1 click + 1 view
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(2)).toSeq == Seq(2L, 1L, 1L))
+  }
+
+  test("watermarked dedup drops the duplicate event_id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(1, ts(1, 30), 1, "click", 1.0),  // duplicate id within watermark
+      Event(2, ts(2), 1, "view", 1.0))
+    val q = EventStream.dedup(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.sql("SELECT count(*) FROM dedup_out").collect().head.getLong(0)
+    assert(n == 2)
+  }
+
+  test("stateful sessionization closes a session after the gap and keeps state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    // batch 1: two events 1 minute apart (same session)
+    input.addData(Event(1, ts(1), 7, "click", 1.0), Event(2, ts(2), 7, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: event 20 minutes later closes the first session
+    input.addData(Event(3, ts(22), 7, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT user_id, n_events FROM sessions_out").collect()
+    assert(rows.length == 1)          // first session emitted, second still open
+    assert(rows.head.getLong(0) == 7L)
+    assert(rows.head.getLong(1) == 2L)
+  }
+}

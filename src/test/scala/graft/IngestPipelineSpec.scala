@@ -1,0 +1,142 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import scala.collection.mutable
+
+import graft.ingest.IngestPipeline
+
+/** Scripted-sequence tests for the ingest dataflow T2–T5, mirroring the
+  * reference's mock-sequenced loop tests (ingestor.spec.js): manifest
+  * gating, oldest-first consumption, bulk-parallel / delta-serial sink
+  * ordering, exactly-once cleanup, metrics golden shape. */
+class IngestPipelineSpec extends SparkSuite {
+
+  private def writeGz(path: String, content: String): Unit = {
+    val f = new File(path)
+    f.getParentFile.mkdirs()
+    val out = new GZIPOutputStream(new FileOutputStream(f))
+    out.write(content.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def writeManifest(bucket: String, name: String): Unit = {
+    val p = Paths.get(s"$bucket/pending/$name/manifest.json")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p,
+      """{"FileName": "person_headers.csv.gz", "SHA256": "aa"}
+        |{"FileName": "person_sample.csv.gz", "SHA256": "bb"}""".stripMargin)
+  }
+
+  /** Build `pending/<name>/person/...` with marker + optional manifest. */
+  private def makeIngest(bucket: String, name: String, ingestType: String,
+                         withManifest: Boolean = true): Unit = {
+    writeGz(s"$bucket/pending/$name/person/person_headers.csv.gz",
+      "person_id,name,age\n")
+    writeGz(s"$bucket/pending/$name/person/person_sample.csv.gz",
+      "1,alice,30\n2,bob,40\n3,carol,50\n")
+    Files.createDirectories(Paths.get(s"$bucket/pending/$name"))
+    Files.writeString(Paths.get(s"$bucket/pending/$name/$ingestType.txt"), "")
+    if (withManifest) writeManifest(bucket, name)
+  }
+
+  test("wait states: empty bucket, no marker, missing manifest all return None") {
+    val bucket = tmpDir("graft-bucket")
+    val wh = tmpDir("graft-wh")
+    // empty
+    assert(IngestPipeline.processPendingOnce(spark, bucket, wh).isEmpty)
+    // folder without marker file
+    writeGz(s"$bucket/pending/1538055240/person/person_headers.csv.gz", "a,b\n")
+    assert(IngestPipeline.processPendingOnce(spark, bucket, wh).isEmpty)
+    // marker but no manifest yet (T3 gate)
+    makeIngest(bucket, "1538055241", "bulk", withManifest = false)
+    assert(IngestPipeline.processPendingOnce(spark, bucket, wh).isEmpty)
+    // manifest arrives ⇒ processes
+    writeManifest(bucket, "1538055241")
+    val m = IngestPipeline.processPendingOnce(spark, bucket, wh)
+    assert(m.isDefined)
+    assert(m.get.ingest == "1538055241")
+  }
+
+  test("T2: always consumes the OLDEST pending folder first") {
+    val bucket = tmpDir("graft-bucket")
+    val wh = tmpDir("graft-wh")
+    makeIngest(bucket, "2222", "bulk")
+    makeIngest(bucket, "1111", "incremental")
+    makeIngest(bucket, "3333", "incremental")
+    val first = IngestPipeline.processPendingOnce(spark, bucket, wh)
+    assert(first.get.ingest == "1111")
+    assert(first.get.`type` == "incremental")
+    val second = IngestPipeline.processPendingOnce(spark, bucket, wh)
+    assert(second.get.ingest == "2222")
+    assert(second.get.`type` == "bulk")
+  }
+
+  test("T4: consumed folder is deleted; reprocessing moves on (exactly-once)") {
+    val bucket = tmpDir("graft-bucket")
+    val wh = tmpDir("graft-wh")
+    makeIngest(bucket, "1538055240", "bulk")
+    IngestPipeline.processPendingOnce(spark, bucket, wh)
+    assert(!Files.exists(Paths.get(s"$bucket/pending/1538055240")))
+    assert(IngestPipeline.processPendingOnce(spark, bucket, wh).isEmpty)
+  }
+
+  test("T5: delta runs neo4j strictly before elastic; bulk overlaps") {
+    val bucket = tmpDir("graft-bucket")
+    val wh = tmpDir("graft-wh")
+    makeIngest(bucket, "1538055240", "incremental")
+    val events = mutable.ArrayBuffer.empty[(String, String)]
+    IngestPipeline.processPendingOnce(spark, bucket, wh,
+      onSinkEvent = (sink, ev) => events.synchronized { events += (sink -> ev) })
+    assert(events.toSeq == Seq(
+      "neo4j" -> "start", "neo4j" -> "end",
+      "elastic" -> "start", "elastic" -> "end"),
+      s"delta must serialize neo4j before elastic, got $events")
+
+    makeIngest(bucket, "1538055250", "bulk")
+    val bulkEvents = mutable.ArrayBuffer.empty[(String, String)]
+    IngestPipeline.processPendingOnce(spark, bucket, wh,
+      onSinkEvent = (sink, ev) => bulkEvents.synchronized { bulkEvents += (sink -> ev) })
+    // both sinks started before either finished is not guaranteed on a
+    // busy machine, but both must appear and both must complete
+    assert(bulkEvents.count(_._2 == "start") == 2)
+    assert(bulkEvents.count(_._2 == "end") == 2)
+  }
+
+  test("sinks receive the CSV.gz data; metrics row has the golden shape") {
+    val bucket = tmpDir("graft-bucket")
+    val wh = tmpDir("graft-wh")
+    makeIngest(bucket, "1538055240", "bulk")
+    var t = 1538050000L
+    val clock = () => { t += 4050; t }   // each stage advances 4050s
+    val m = IngestPipeline.processPendingOnce(spark, bucket, wh, clock).get
+    // both sinks materialized the person entity with schema from sidecar
+    Seq("neo4j", "elastic").foreach { sink =>
+      val df = spark.read.parquet(s"$wh/$sink/person")
+      assert(df.columns.toSeq == Seq("person_id", "name", "age"))
+      assert(df.count() == 3)
+    }
+    assert(m.`type` == "bulk")
+    assert(m.neo_job_duration.matches("\\d+h:\\d{2}mins"))
+    assert(m.total_job_duration.matches("\\d+h:\\d{2}mins"))
+    // metrics row persisted to the warehouse metrics table (S8)
+    val metrics = spark.read.parquet(s"$wh/es_load_dates")
+    assert(metrics.count() == 1)
+    assert(metrics.columns.toSet == Set("ingest", "type", "load_date",
+      "readable_date", "neo_job_duration", "elastic_job_duration",
+      "total_job_duration"))
+  }
+
+  test("manifest reconciliation reports undeclared and missing files") {
+    val bucket = tmpDir("graft-bucket")
+    makeIngest(bucket, "1538055240", "bulk")
+    writeGz(s"$bucket/pending/1538055240/person/person_extra.csv.gz", "x\n")
+    val listing = IngestPipeline.listKeys(spark, bucket)
+    val (undeclared, missing) =
+      IngestPipeline.reconcile(spark, listing, bucket, "1538055240")
+    assert(undeclared.contains("person_extra.csv.gz"))
+    assert(missing.isEmpty)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Invariant checks for the relational [EXT] core on sf0.001 (the DuckDB
+  * oracle pins exact values; these pin structural properties). */
+class RelationalSpec extends SparkSuite {
+
+  test("pricing summary covers all (returnflag, linestatus) groups with positive sums") {
+    val rows = Relational.pricingSummary(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("sum_qty")) > 0)
+      assert(r.getLong(r.fieldIndex("count_order")) > 0)
+    }
+  }
+
+  test("star join revenue by nation covers every nation exactly once") {
+    val rows = Relational.revenueByNation(spark, sf).collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getString(1)).distinct.length == 25)
+  }
+
+  test("semi and anti joins partition high-value-order customers") {
+    val semi = Relational.customersWithBigOrders(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val antiBuild = Relational.customersWithoutOrders(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    // anti is w.r.t. >150k orders, semi w.r.t. >100k: semi ⊇ (all − anti)
+    assert(semi.intersect(antiBuild).size <= semi.size)
+    val total = spark.read.parquet(s"$sf/customer.parquet").count()
+    // every customer is in exactly one side of the >150k split
+    val semi150 = total - antiBuild.size
+    assert(semi150 >= 0 && antiBuild.size <= total)
+  }
+
+  test("top-k per group returns at most 3 rows per segment, ranked 1..3") {
+    val rows = Relational.topOrdersPerSegment(spark, sf).collect()
+    val bySeg = rows.groupBy(_.getString(0))
+    bySeg.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq)
+      // prices are non-increasing with rank
+      val prices = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("rollup grand-total row equals the sum of leaf rows") {
+    val rows = Relational.rollupSummary(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val leaves = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(math.abs(
+      grand.head.getDouble(2) - leaves.map(_.getDouble(2)).sum) < 1e-6)
+  }
+
+  test("running revenue is non-decreasing within a customer") {
+    val rows = Relational.runningRevenuePerCustomer(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val totals = rs.map(_.getDouble(3))
+      assert(totals.zip(totals.tail).forall { case (a, b) => b >= a - 1e-9 })
+    }
+  }
+
+  test("min_by agrees with window-based argmin") {
+    val viaMinBy = Relational.oldestOrderPerCustomer(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val viaWindow = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(r.fieldIndex("o_custkey")) ->
+        r.getLong(r.fieldIndex("o_orderkey"))).toMap
+    assert(viaMinBy == viaWindow)
+  }
+
+  test("sketch distinct counts are within 10% of exact") {
+    val approx = Relational.sketchSummary(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k).toDouble - n) / n < 0.1,
+        s"flag $k: approx=${approx(k)} exact=$n")
+    }
+  }
+}

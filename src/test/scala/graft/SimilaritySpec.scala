@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.ext.SimilarityOps
+
+class SimilaritySpec extends SparkSuite {
+
+  test("cosine of a vector with itself is 1") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(10)
+    val r = emb.select(
+      SimilarityOps.cosine(col("embedding"), col("embedding")).as("c")).collect()
+    r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("LSH top-k results are a valid ranking drawn from true cosines") {
+    // On uniform random vectors (top neighbors at cos ≈ 0.3–0.5) LSH
+    // recall is intrinsically low — the operator's contract is high
+    // recall for HIGH-similarity neighbors (next test). Here: sanity.
+    val bfAll = SimilarityOps.bruteForceTopK(spark, sf, k = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val lsh = SimilarityOps.lshTopK(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      // every LSH cosine must equal the exact cosine for that pair
+      bfAll.get(key).foreach(exact => assert(r.getDouble(3) == exact))
+    }
+  }
+
+  test("LSH top-k recall ≥ 0.9 for planted high-similarity neighbors") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    // queries = perturbed copies of vecs 0..9, ids 0..9 after shift; their
+    // true top-1 is the original vector (cos ≈ 0.9999)
+    val perturbed = base.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") - 10L)  // ids -10..-1 < numQueries
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + (i.cast("double") % 7.0 - 3.0) * 0.0005).cast("float")))
+    val dir = tmpDir("graft-sim-q")
+    base.unionByName(perturbed)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    // numQueries=0 keeps all original vecs as candidates; queries are ids<0
+    val top1 = SimilarityOps.lshTopK(spark, dir, numQueries = 0, k = 1)
+      .filter(col("qid") < 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = (-10L until 0L).count(q => top1.get(q).contains(q + 10L))
+    assert(hits >= 9, s"only $hits/10 planted neighbors found: $top1")
+  }
+
+  test("near-dup LSH finds planted perturbed copies (cos ≈ 1)") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    // planted copies: tiny deterministic perturbation ⇒ cosine ≈ 0.9999
+    val perturbed = base.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + (i.cast("double") % 7.0 - 3.0) * 0.0005).cast("float")))
+    val dir = tmpDir("graft-sim")
+    base.unionByName(perturbed)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    val pairs = SimilarityOps.embeddingNearDups(spark, dir, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0L until 10L).count(id => pairs.contains((id, id + 100000L)))
+    assert(found >= 8, s"found only $found/10 planted near-identical pairs")
+  }
+
+  test("embedding stats: 64-dim, norms positive") {
+    val rows = SimilarityOps.embeddingStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("dim")) == 64L)
+      assert(r.getDouble(r.fieldIndex("norm")) > 0)
+    }
+  }
+}
