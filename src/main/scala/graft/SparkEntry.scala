@@ -393,6 +393,8 @@ object SparkEntry {
     """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keeper
       |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
 
+  /** True Jaccard over all shared-shingle candidate pairs — result-
+    * equivalent to the Spark side's lossless prefix-filtered join. */
   private val dedupNgramJaccardSql: String =
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
       |              FROM documents),
@@ -400,18 +402,19 @@ object SparkEntry {
       |         range(0, greatest(len(t) - 3, 0) + 1),
       |         i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
       |       FROM toks),
-      |ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
-      |rare AS (SELECT doc_id, n_sh, shingle FROM (
-      |           SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM ex)
-      |         WHERE df <= 50),
-      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |                 a.n_sh AS na, b.n_sh AS nb, count(*) AS common
-      |          FROM rare a JOIN rare b
-      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2, 3, 4)
+      |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM ex a JOIN ex b
+      |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      |v AS (SELECT doc_a, doc_b,
+      |        len(list_intersect(sa.s, sb.s)) AS common,
+      |        len(sa.s) AS na, len(sb.s) AS nb
+      |      FROM cand
+      |      JOIN sh sa ON sa.doc_id = doc_a
+      |      JOIN sh sb ON sb.doc_id = doc_b)
       |SELECT doc_a, doc_b,
       |       round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
-      |FROM pairs
+      |FROM v
       |WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 

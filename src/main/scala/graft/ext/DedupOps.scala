@@ -12,9 +12,9 @@ import graft.model.Tables
   * Scale design (100 TB): every near-dup variant is a *banded equi-join*
   * — explode candidate keys (shingle / band signature / simhash block),
   * shuffle on the key, verify within the bucket. Never an all-pairs
-  * cross join. High-frequency keys are capped (`maxDf`) so a degenerate
-  * shingle cannot produce a quadratic bucket — the standard guard
-  * against skew in similarity self-joins.
+  * cross join. The Jaccard join uses prefix filtering, which by
+  * construction excludes hot stop-phrase shingles from candidate
+  * generation — the standard guard against skew in similarity self-joins.
   */
 object DedupOps {
 
@@ -37,41 +37,52 @@ object DedupOps {
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))) 
   }
 
-  /** N-gram Jaccard similarity self-join (exact, oracle-checkable):
-    * explode distinct shingles → drop shingles with document frequency
-    * above `maxDf` → equi-join on shingle → per-pair common count →
-    * Jaccard = common / (|A| + |B| - common) ≥ threshold.
+  /** N-gram Jaccard similarity self-join with PREFIX FILTERING (the
+    * PPJoin family): under a global shingle order (document frequency
+    * asc, shingle asc), any pair with Jaccard ≥ t must share a shingle
+    * inside both docs' prefixes of length ⌊(1−t)·n⌋+1 — because J ≥ t
+    * implies overlap ≥ t·|A|, and a pair sharing nothing in a prefix has
+    * overlap ≤ |A| − prefixLen(A) < t·|A|. So only prefix shingles (the
+    * globally rarest ≈20% at t=0.8) generate candidates; candidates are
+    * verified with TRUE Jaccard over the full shingle arrays.
     *
-    * This IS the banded-equi-join shape the near-dup operators share;
-    * the only difference vs MinHash-LSH is that the band key here is the
-    * shingle itself (exact, more candidates) instead of a signature
-    * band (approximate, fewer candidates).
-    */
+    * Scale: candidate generation is an equi-join on rare keys only —
+    * at 100 TB this is the difference between a bounded shuffle and a
+    * quadratic hot-key join (a naive shingle join on a skewed corpus
+    * degenerates on stop-phrases; prefixes exclude them by construction). */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-                        n: Int = 3, threshold: Double = 0.8,
-                        maxDf: Int = 50): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // single-file inputs arrive as one partition; spread the per-row
+    // shingle compute across cores, and persist: the shingle table is
+    // read three times (prefix index + both verify sides) — at scale
+    // this is the materialized signature table of a similarity join
     val docs = Tables.documents(spark, dir)
-    val docShingles = docs.select(
-        col("doc_id"),
-        explode(shingles(col("text"), n)).as("shingle"),
-        size(shingles(col("text"), n)).as("n_shingles"))
-    // document-frequency cap: guard against degenerate hot shingles
-    val rare = docShingles
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxDf)
-      .drop("df")
-    val pairs = rare.as("a").join(rare.as("b"),
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val df = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(df, "shingle")
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("shingle"))))
+    val prefix = ranked
+      .filter(col("r") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
+      .select("doc_id", "shingle")
+    val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_shingles").as("na"), col("b.n_shingles").as("nb"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .withColumn("jaccard",
-        round(col("common").cast("double") /
-          (col("na") + col("nb") - col("common")), 6))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val verified = candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+    verified
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -79,19 +90,28 @@ object DedupOps {
 
   /** MinHash signature: k permutations h_i(x) = (a_i * x + b_i) mod p
     * over a 64-bit base hash of each shingle (xxhash64 — codegen'd
-    * native expression, no UDF). */
+    * native expression, no UDF).
+    *
+    * Single-pass: ONE aggregate over the shingle array carries all k
+    * running minima as an array state (zip_with + least per element), so
+    * each shingle is hashed exactly once — the k-separate-aggregates
+    * formulation rehashes every shingle k times. */
   private val mersennePrime = (1L << 61) - 1
 
-  private def minhashSig(shingleArr: Column, k: Int): Column = {
-    val sigs = (0 until k).map { i =>
-      val a = 2 * i + 1     // odd multipliers; deterministic seeds
-      val b = 982451653L * (i + 1) % mersennePrime
-      // base hash folded to 32 bits so a*h+b stays inside a long under
-      // ANSI overflow checking (a ≤ 2k, h < 2^32, b < 2^61 ⇒ < 2^62)
-      array_min(transform(shingleArr,
-        s => pmod(pmod(xxhash64(s), lit(1L << 32)) * lit(a) + lit(b), lit(mersennePrime))))
-    }
-    array(sigs: _*)
+  private def minhashSig(shingleArrExpr: String, k: Int): Column = {
+    // base hash folded to 32 bits so a*h+b stays inside a long under
+    // ANSI overflow checking (a ≤ 2k, h < 2^32, b < 2^61 ⇒ < 2^62)
+    val p = s"${mersennePrime}L"
+    val as = (0 until k).map(i => s"${2 * i + 1}L").mkString("array(", ", ", ")")
+    val bs = (0 until k).map(i => s"${982451653L * (i + 1) % mersennePrime}L")
+      .mkString("array(", ", ", ")")
+    expr(
+      s"""aggregate(
+         |  transform($shingleArrExpr, s -> pmod(xxhash64(s), 4294967296L)),
+         |  array_repeat($p, $k),
+         |  (acc, h) -> zip_with(acc, sequence(0, ${k - 1}),
+         |    (m, i) -> least(m, pmod(h * element_at($as, CAST(i + 1 AS INT))
+         |                              + element_at($bs, CAST(i + 1 AS INT)), $p))))""".stripMargin)
   }
 
   /** MinHash-LSH near-dup pairs: signature of `numHashes` minhashes
@@ -105,13 +125,17 @@ object DedupOps {
                       threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
     val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sigs = docs.select(col("doc_id"), col("sh"),
-      minhashSig(col("sh"), numHashes).as("sig"))
-    // band key = hash of the band's slice of the signature
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = docs.select(col("doc_id"),
+      minhashSig("sh", numHashes).as("sig"))
+    // band key = hash of the band's slice of the signature; candidates
+    // carry ids only (the shingle arrays re-join after pair dedup, so
+    // wide payloads never travel through the shuffle)
     val banded = sigs.select(
-        col("doc_id"), col("sh"),
+        col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
@@ -121,12 +145,12 @@ object DedupOps {
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // verify candidates with exact Jaccard (array intersection per pair)
     candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(
         col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
@@ -138,23 +162,30 @@ object DedupOps {
   /** SimHash-64: per-token xxhash64, bitwise majority vote → 64-bit
     * fingerprint. Near-dup candidates share at least one of 4 16-bit
     * blocks (equi-join on block); verified by Hamming distance ≤ maxHamming.
-    * No SQL oracle (xxhash64) — ScalaTest-pinned. */
-  def simhash(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    val hashes = transform(array_distinct(toks), t => xxhash64(t))
-    // for each bit: sum of (+1/-1) votes; bit set if positive
-    val bits = (0 until 64).map { i =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)) > 0,
-        lit(1L).cast("long") * lit(1L << i)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+    * No SQL oracle (xxhash64) — ScalaTest-pinned.
+    *
+    * Single-pass: one aggregate carries all 64 bit-vote counters as an
+    * array state, so each token is hashed once (the per-bit-aggregate
+    * formulation rehashes every token 64 times). `textExpr` is a SQL
+    * expression naming the text column. */
+  def simhash(textExpr: String): Column =
+    expr(
+      s"""aggregate(
+         |  zip_with(
+         |    aggregate(
+         |      transform(array_distinct(split(trim($textExpr), '\\\\s+')), t -> xxhash64(t)),
+         |      array_repeat(0L, 64),
+         |      (acc, h) -> zip_with(acc, sequence(0, 63),
+         |        (a, i) -> a + IF((shiftright(h, CAST(i AS INT)) & 1L) = 1L, 1L, -1L))),
+         |    sequence(0, 63),
+         |    (v, i) -> IF(v > 0, shiftleft(1L, CAST(i AS INT)), 0L)),
+         |  0L, (acc, x) -> acc + x)""".stripMargin)
 
   def simhashPairs(spark: SparkSession, dir: String,
                    maxHamming: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash(col("text")).as("sh"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), simhash("text").as("sh"))
     // block b = 16-bit chunk b of the fingerprint; candidates share a block
     val blocked = docs.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(b =>

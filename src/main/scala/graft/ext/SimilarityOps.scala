@@ -36,6 +36,7 @@ object SimilarityOps {
   def bruteForceTopK(spark: SparkSession, dir: String,
                      numQueries: Int = 5, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
     val queries = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val sims = emb.filter(col("vec_id") >= numQueries)
@@ -85,6 +86,7 @@ object SimilarityOps {
   def lshTopK(spark: SparkSession, dir: String,
               numQueries: Int = 5, k: Int = 5, nPlanes: Int = 12): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), nPlanes).as("bucket"))
     val queries = bucketed.filter(col("vec_id") < numQueries)
@@ -120,6 +122,7 @@ object SimilarityOps {
                         threshold: Double = 0.3, planesPerTable: Int = 6,
                         nTables: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
     val tabled = emb.select(col("vec_id"), col("embedding"),
         posexplode(array((0 until nTables).map(t =>
           lshBucket(col("embedding"), planesPerTable, t * planesPerTable)): _*)))

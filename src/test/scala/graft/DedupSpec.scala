@@ -64,7 +64,7 @@ class DedupSpec extends SparkSuite {
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, "alpha beta gamma delta epsilon zeta eta theta"),
       (3L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text")
-    val hs = df.select(col("doc_id"), DedupOps.simhash(col("text")).as("h"))
+    val hs = df.select(col("doc_id"), DedupOps.simhash("text").as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hs(1L) == hs(2L))
     assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) <= 16)
