@@ -17,14 +17,32 @@ import graft.model.Tables
   */
 object SimilarityOps {
 
-  /** In-order double dot product of two float arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** In-order double dot product of two float arrays — composable form
+    * (kept as the executable spec for the native expression's numeric
+    * contract; SimilaritySpec pins bit-equality between the two). */
+  def dotComposable(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def l2norm(a: Column): Column = sqrt(dot(a, a))
+  def l2norm(a: Column): Column = sqrt(dotComposable(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  def cosineComposable(a: Column, b: Column): Column =
+    dotComposable(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Native fused-loop cosine (graft.functions.CosineSimilarity): same
+    * bit-exact accumulation order, no per-row intermediate arrays, full
+    * whole-stage codegen. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   /** Brute-force cosine top-k: the exact baseline. Query set is
     * broadcast; candidates stream by — one pass over the big side, then

@@ -7,6 +7,33 @@ import graft.ext.SimilarityOps
 
 class SimilaritySpec extends SparkSuite {
 
+  test("native cosine expression is bit-identical to the composable zip_with form") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+    val both = pairs.select(
+      SimilarityOps.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+      SimilarityOps.cosineComposable(col("a.embedding"), col("b.embedding")).as("composable"))
+    val diff = both.filter(col("native") =!= col("composable")).count()
+    assert(diff == 0L, s"$diff pairs differ between native and composable cosine")
+  }
+
+  test("cosine_sim is callable from SQL via GraftExtensions") {
+    spark.read.parquet(s"$sf/embeddings.parquet").limit(5)
+      .createOrReplaceTempView("emb_ext_test")
+    try {
+      val r = spark.sql(
+        """SELECT cosine_sim(a.embedding, b.embedding) AS c,
+          |       dot_product(a.embedding, a.embedding) AS d
+          |FROM emb_ext_test a JOIN emb_ext_test b ON a.vec_id <= b.vec_id""".stripMargin)
+        .collect()
+      assert(r.nonEmpty)
+      r.foreach(row => assert(!row.isNullAt(0) && !row.isNullAt(1)))
+    } finally {
+      spark.catalog.dropTempView("emb_ext_test")
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(10)
     val r = emb.select(
