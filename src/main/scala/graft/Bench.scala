@@ -11,6 +11,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up JVM/codegen/parquet-footer paths so the first measured
+    // query doesn't absorb session startup
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .limit(1000).groupBy("l_returnflag").count().collect()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
