@@ -333,6 +333,44 @@ object SparkEntry {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** A8/skew: salted two-phase aggregate — result must equal a direct
+    * GROUP BY (that equality is what the oracle checks). */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.operators.SkewOps.saltedAgg(
+        Tables.lineitem(s, dir),
+        col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(18, 2)))
+      .select(col("k").as("l_returnflag"), col("n").cast("long").as("n"),
+        col("total").cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val qSaltedAggSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** F10: hashing surface — sha2/md5 over the manifest fixture names
+    * (the integrity-check primitive for J3 verification). */
+  private def cpHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fixtures.manifestEntries.toDF("FileName", "sha_declared")
+      .select(col("FileName"),
+        sha2(col("FileName").cast("binary"), 256).as("sha256_hex"),
+        md5(col("FileName").cast("binary")).as("md5_hex"))
+      .orderBy(col("FileName"))
+  }
+
+  private val cpHashesSql: String = {
+    val values = Fixtures.manifestEntries
+      .map { case (f, _) => s"(${sqlStr(f)})" }.mkString(", ")
+    s"""WITH m("FileName") AS (VALUES $values)
+       |SELECT "FileName", sha256("FileName") AS sha256_hex,
+       |       md5("FileName") AS md5_hex
+       |FROM m ORDER BY "FileName"""".stripMargin
+  }
+
   // ==========================================================================
   // LLM-data ops [EXT] oracle SQL (text / dedup / similarity / multimodal)
   // ==========================================================================
@@ -566,6 +604,8 @@ object SparkEntry {
     "q_set_ops" -> ((s, d) => Relational.segmentSetOps(s, d)),
     "q_percentiles" -> ((s, d) => Relational.exactPercentiles(s, d)),
     "q_sketches" -> ((s, d) => Relational.sketchSummary(s, d)),
+    "q_salted_agg" -> (qSaltedAgg _),
+    "cp_hashes" -> (cpHashes _),
     // LLM-data ops [EXT]
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -614,6 +654,8 @@ object SparkEntry {
     "q_min_by" -> qMinBySql,
     "q_set_ops" -> qSetOpsSql,
     "q_percentiles" -> qPercentilesSql,
+    "q_salted_agg" -> qSaltedAggSql,
+    "cp_hashes" -> cpHashesSql,
     // q_sketches: intentionally no oracle — sketch internals are
     // engine-specific; driver records a rows-only check.
     "text_stats" -> textStatsSql,
