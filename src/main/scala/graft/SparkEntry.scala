@@ -597,6 +597,7 @@ object SparkEntry {
     "q_anti_join" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
     "q_rollup" -> ((s, d) => Relational.rollupSummary(s, d)),
     "q_cube" -> ((s, d) => Relational.cubeSummary(s, d)),
+    "q_grouping_sets" -> ((s, d) => Relational.groupingSetsSummary(s, d)),
     "q_topk_per_group" -> ((s, d) => Relational.topOrdersPerSegment(s, d)),
     "q_window_running" -> ((s, d) => Relational.runningRevenuePerCustomer(s, d)),
     "q_window_lag" -> ((s, d) => Relational.orderGaps(s, d)),
@@ -648,6 +649,13 @@ object SparkEntry {
     "q_anti_join" -> qAntiSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_topk_per_group" -> qTopPerSegmentSql,
     "q_window_running" -> qRunningSql,
     "q_window_lag" -> qGapsSql,

@@ -136,6 +136,18 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
+  /** A7: explicit grouping sets — per-status totals, per-priority
+    * totals, and the grand total in one pass. */
+  def groupingSetsSummary(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
   // --- W1–W3: windows ------------------------------------------------------
 
   /** W1/O3: top-3 orders per market segment by totalprice (row_number). */

@@ -52,6 +52,29 @@ class EventStreamSpec extends SparkSuite {
     assert(n == 2)
   }
 
+  test("watermark drops late data beyond the 5-minute threshold (T9)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: events at 10:01 and 10:30 → watermark advances to 10:25
+      input.addData(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(30), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a late event at 10:05 — its window [10:00,10:10) is
+      // older than the watermark ⇒ dropped, count stays 1
+      input.addData(Event(3, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      val n = spark.sql(
+        """SELECT n FROM late_out
+          |WHERE window.start = TIMESTAMP '2024-01-01 10:00:00'
+          |ORDER BY n DESC LIMIT 1""".stripMargin).collect().head.getLong(0)
+      assert(n == 1L, "late event should have been dropped by the watermark")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session after the gap and keeps state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ingest.IngestPipeline
+import graft.model.Fixtures
+import graft.operators.ListingOps
+
+/** Property-based tests (SURVEY.md §5.2.3) using ScalaCheck generators
+  * with deterministic seeds: oldest-folder selection is the argmin for
+  * arbitrary listings; duration formatting is total and shaped;
+  * ingest-file collection always includes its prepended keys. */
+class PropertySpec extends SparkSuite {
+
+  private val tsGen = Gen.choose(1L, 4102444800L) // 1970..2100 epoch secs
+  private val markerGen = Gen.oneOf("bulk.txt", "incremental.txt")
+  private val folderGen = for {
+    ts <- tsGen
+    marker <- markerGen
+  } yield (ts, marker)
+
+  private def sample[T](g: Gen[T], i: Long): T =
+    g.pureApply(Gen.Parameters.default, Seed(i))
+
+  test("oldestPendingIngest selects the numeric argmin for arbitrary folder sets") {
+    (1L to 20L).foreach { i =>
+      val folders = sample(Gen.nonEmptyListOf(folderGen), i)
+      val keys = folders.flatMap { case (ts, marker) =>
+        Seq(s"pending/$ts/$marker", s"pending/$ts/person/person_headers.csv.gz")
+      }
+      val got = ListingOps.oldestPendingIngest(Fixtures.listing(spark, keys))
+        .collect()
+      val expectTs = folders.map(_._1).min
+      assert(got.head.getString(0) == expectTs.toString, s"seed $i: $folders")
+      // the reported type is the marker of SOME folder with the min ts
+      val typesAtMin = folders.filter(_._1 == expectTs)
+        .map(_._2.stripSuffix(".txt")).toSet
+      assert(typesAtMin.contains(got.head.getString(1)), s"seed $i")
+    }
+  }
+
+  test("formatDuration is total and always matches the duration grammar") {
+    (1L to 100L).foreach { i =>
+      val seconds = sample(Gen.choose(0L, 10000000L), i)
+      val s = IngestPipeline.formatDuration(Some(0L), Some(seconds))
+      assert(s.matches("\\d+h:\\d{2}mins"), s"seed $i: $s")
+      val h = s.takeWhile(_ != 'h').toLong
+      val m = s.dropWhile(_ != ':').drop(1).takeWhile(_.isDigit).toLong
+      assert(h == (seconds / 3600) % 24, s"seed $i")
+      assert(m == (seconds / 60) % 60, s"seed $i")
+    }
+  }
+
+  test("ingestFiles always prepends exactly the manifest and folder keys") {
+    (1L to 10L).foreach { i =>
+      val ts = sample(tsGen, i)
+      val rows = ListingOps.ingestFiles(
+          Fixtures.listing(spark, Fixtures.tsFolderKeys), ts.toString)
+        .collect().map(_.getString(0)).toSeq
+      assert(rows.take(2) == Seq(s"pending/$ts/manifest.json", s"pending/$ts"))
+    }
+  }
+}

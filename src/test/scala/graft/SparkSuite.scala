@@ -20,6 +20,8 @@ object SparkSuite {
       .master("local[4]")
       .appName("graft-test")
       .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
