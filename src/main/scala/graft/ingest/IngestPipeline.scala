@@ -114,6 +114,30 @@ object IngestPipeline {
       rec.filter(_.getString(1) == "missing").map(_.getString(0)).toSeq)
   }
 
+  /** F10/J3: verify manifest SHA256 declarations against the actual
+    * file bytes (the reference only checks manifest *presence*,
+    * ingestor.js:109–118; we implement the full integrity check the
+    * manifest design implies, README.md:17–33). Distributed: the
+    * binaryFile source hashes on executors. */
+  def verifyChecksums(spark: SparkSession, bucket: String,
+                      ingestName: String): DataFrame = {
+    val manifest = spark.read
+      .schema("FileName STRING, SHA256 STRING")
+      .json(s"$bucket/pending/$ingestName/manifest.json")
+    val actual = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.csv.gz")
+      .option("recursiveFileLookup", "true")
+      .load(s"$bucket/pending/$ingestName/")
+      .select(
+        element_at(split(col("path"), "/"), -1).as("FileName"),
+        lower(sha2(col("content"), 256)).as("actual_sha256"))
+    manifest.join(actual, Seq("FileName"), "left")
+      .select(col("FileName"), col("SHA256").as("declared_sha256"),
+        col("actual_sha256"),
+        (col("actual_sha256").isNotNull &&
+          lower(col("SHA256")) === col("actual_sha256")).as("ok"))
+  }
+
   /** Entity names present in the ingest folder (subdirectories with a
     * `<entity>_headers.csv.gz` / `<entity>_sample.csv.gz` pair —
     * s3-client.js:20–29). */

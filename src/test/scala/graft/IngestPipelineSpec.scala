@@ -129,6 +129,41 @@ class IngestPipelineSpec extends SparkSuite {
       "total_job_duration"))
   }
 
+  test("checksum verification flags the tampered file (F10/J3)") {
+    val bucket = tmpDir("graft-bucket")
+    makeIngest(bucket, "1538055240", "bulk", withManifest = false)
+    // compute the real sha256 of the headers file; declare a wrong one
+    // for the sample file
+    val headerBytes = Files.readAllBytes(
+      Paths.get(s"$bucket/pending/1538055240/person/person_headers.csv.gz"))
+    val realSha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(headerBytes).map("%02x".format(_)).mkString
+    Files.writeString(Paths.get(s"$bucket/pending/1538055240/manifest.json"),
+      s"""{"FileName": "person_headers.csv.gz", "SHA256": "$realSha"}
+         |{"FileName": "person_sample.csv.gz", "SHA256": "deadbeef"}
+         |{"FileName": "ghost.csv.gz", "SHA256": "00"}""".stripMargin)
+    val rows = IngestPipeline.verifyChecksums(spark, bucket, "1538055240")
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(rows("person_headers.csv.gz"))     // matches
+    assert(!rows("person_sample.csv.gz"))     // tampered
+    assert(!rows("ghost.csv.gz"))             // declared but absent
+  }
+
+  test("T7: a corrupt data file fails the cycle loudly (no silent spin)") {
+    val bucket = tmpDir("graft-bucket")
+    val wh = tmpDir("graft-wh")
+    makeIngest(bucket, "1538055240", "bulk")
+    // overwrite the gzip with non-gzip bytes under the .gz name
+    Files.write(
+      Paths.get(s"$bucket/pending/1538055240/person/person_headers.csv.gz"),
+      "this is not gzip".getBytes("UTF-8"))
+    intercept[Exception] {
+      IngestPipeline.processPendingOnce(spark, bucket, wh)
+    }
+    // folder NOT deleted — at-least-once: the ingest replays after a fix
+    assert(Files.exists(Paths.get(s"$bucket/pending/1538055240")))
+  }
+
   test("manifest reconciliation reports undeclared and missing files") {
     val bucket = tmpDir("graft-bucket")
     makeIngest(bucket, "1538055240", "bulk")
