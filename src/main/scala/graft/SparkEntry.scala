@@ -151,9 +151,9 @@ object SparkEntry {
   private val cpPodStatusSql: String =
     """SELECT pod, ready, started_epoch, fresh FROM (VALUES
       |  ('pod_no_build', false, CAST(NULL AS BIGINT), false),
-      |  ('pod_not_ready', false, 1539166200, true),
-      |  ('pod_ready', true, 1539166200, true),
-      |  ('pod_stale', true, 1539079800, false),
+      |  ('pod_not_ready', false, CAST(1539166200 AS BIGINT), true),
+      |  ('pod_ready', true, CAST(1539166200 AS BIGINT), true),
+      |  ('pod_stale', true, CAST(1539079800 AS BIGINT), false),
       |  ('pod_terminated', false, CAST(NULL AS BIGINT), false)
       |) t(pod, ready, started_epoch, fresh) ORDER BY pod""".stripMargin
 
@@ -239,11 +239,11 @@ object SparkEntry {
       |ORDER BY r_name, n_name""".stripMargin
 
   private val q3TopRevenueOrdersSql: String =
-    """SELECT o_orderkey, o_orderdate,
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
       |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
-      |GROUP BY o_orderkey, o_orderdate
+      |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
       |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
 
   private val qBrandSql: String =
@@ -287,7 +287,7 @@ object SparkEntry {
       |) WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
 
   private val qRunningSql: String =
-    """SELECT o_custkey, o_orderkey, o_orderdate,
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
       |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -296,7 +296,7 @@ object SparkEntry {
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
   private val qGapsSql: String =
-    """SELECT o_custkey, o_orderkey, o_orderdate,
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
       |  datediff('day',
       |    CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
       |                                ORDER BY o_orderdate, o_orderkey) AS DATE),

@@ -80,7 +80,7 @@ object Relational {
     val o = Tables.orders(spark, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .filter(col("o_orderdate") < lit("2000-01-01"))
-      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
@@ -172,7 +172,8 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     o.withColumn("running_total",
         sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running_total"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"), col("running_total"))
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
@@ -183,7 +184,8 @@ object Relational {
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
     o.withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
       .select(
-        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"),
         datediff(col("o_orderdate"), col("prev_date")).cast("long").as("gap_days"))
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
