@@ -618,6 +618,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "sim_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     "sim_lsh_topk" -> ((s, d) => SimilarityOps.lshTopK(s, d)),
+    "sim_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     "sim_near_dups" -> ((s, d) => SimilarityOps.embeddingNearDups(s, d)),
     "sim_embedding_stats" -> ((s, d) => SimilarityOps.embeddingStats(s, d)),
     "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),

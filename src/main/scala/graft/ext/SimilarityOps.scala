@@ -129,6 +129,49 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF-style ANN (inverted-file index): vectors are assigned to their
+    * nearest centroid (one linear pass against a broadcast centroid
+    * table); a query probes only the posting lists of its `nProbe`
+    * nearest centroids — an equi-join on centroid id. Centroid
+    * "training" is stubbed deterministically (the first `nCentroids`
+    * vectors); a production build would plug k-means centroids into the
+    * same structure. At 100 TB: assignment is a map-side broadcast pass,
+    * the probe join shuffles each vector once on its centroid id. */
+  def ivfTopK(spark: SparkSession, dir: String,
+              numQueries: Int = 5, k: Int = 5,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val centroids = emb.filter(col("vec_id") >= 0 && col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def nearestCentroids(df: DataFrame, idCol: String, vecCol: String,
+                         keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("csim").desc, col("cid").asc)
+      df.crossJoin(broadcast(centroids))
+        .withColumn("csim", cosine(col(vecCol), col("cvec")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("cvec", "csim", "crank")
+    }
+    val assigned = nearestCentroids(
+      emb.filter(col("vec_id") >= numQueries), "vec_id", "embedding", keep = 1)
+    val probes = nearestCentroids(
+      emb.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", keep = nProbe)
+    val sims = probes.join(assigned, Seq("cid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+      .dropDuplicates("qid", "vec_id")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table hyperplane
     * LSH (OR-amplification across `nTables` independent plane families):
     * candidates agree on any full table signature, then verify cosine ≥

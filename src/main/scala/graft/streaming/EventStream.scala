@@ -68,6 +68,28 @@ object EventStream {
       }
   }
 
+  /** Watermarked stream-stream interval join: each error event joined to
+    * the same user's clicks from the preceding `windowMinutes` — the
+    * streaming face of EventOps.clicksBeforeErrors. Both sides carry
+    * watermarks so Spark can bound the join state (clicks older than the
+    * interval + watermark are evicted). */
+  def clicksBeforeErrorsStream(events: DataFrame,
+                               windowMinutes: Int = 5): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "1 minute")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", s"${windowMinutes + 1} minutes")
+    errors.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("click_ts") < col("err_ts"),
+      "leftOuter")
+      .select(col("err_id"), col("user_id"), col("err_ts"), col("click_ts"))
+  }
+
   /** Run windowedCounts over a stream to a memory sink (test/demo entry). */
   def startMemory(spark: SparkSession, events: DataFrame,
                   queryName: String): StreamingQuery =

@@ -75,6 +75,36 @@ class EventStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs errors with preceding clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.clicksBeforeErrorsStream(input.toDF())
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    input.addData(
+      Event(1, ts(1), 1, "click", 1.0),   // within 5 min of the error
+      Event(2, ts(3), 1, "error", 1.0),
+      Event(3, ts(10), 2, "error", 1.0),  // user 2 has no clicks
+      Event(4, ts(20), 1, "click", 1.0))  // after the error — excluded
+    q.processAllAvailable()
+    // a later batch must advance BOTH sides' watermarks (each is computed
+    // after its event-type filter) so error 3's outer row can be emitted
+    input.addData(Event(5, ts(59), 3, "click", 1.0), Event(6, ts(59), 4, "error", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT err_id, click_ts FROM ssj_out ORDER BY err_id").collect()
+    val byErr = rows.groupBy(_.getLong(0))
+    assert(byErr(2L).exists(r => !r.isNullAt(1)), "error 2 should match the 10:01 click")
+    assert(byErr(2L).forall(r => r.isNullAt(1) ||
+      r.getTimestamp(1) == ts(1)), "only the preceding click matches")
+    // left outer: unmatched error appears with null click once the
+    // watermark closes its window (AvailableNow drains fully)
+    assert(byErr.contains(3L))
+    assert(byErr(3L).forall(_.isNullAt(1)))
+  }
+
   test("stateful sessionization closes a session after the gap and keeps state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

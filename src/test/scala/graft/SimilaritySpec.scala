@@ -77,6 +77,25 @@ class SimilaritySpec extends SparkSuite {
     assert(hits >= 9, s"only $hits/10 planted neighbors found: $top1")
   }
 
+  test("IVF top-k recall ≥ 0.9 for planted high-similarity neighbors") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val perturbed = base.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") - 10L)
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + (i.cast("double") % 7.0 - 3.0) * 0.0005).cast("float")))
+    val dir = tmpDir("graft-ivf-q")
+    base.unionByName(perturbed)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    // queries are ids < 0; candidates are all originals (numQueries = 0)
+    val top1 = SimilarityOps.ivfTopK(spark, dir, numQueries = 0, k = 1)
+      .filter(col("qid") < 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = (-10L until 0L).count(q => top1.get(q).contains(q + 10L))
+    assert(hits >= 9, s"only $hits/10 planted neighbors found: $top1")
+  }
+
   test("near-dup LSH finds planted perturbed copies (cos ≈ 1)") {
     import spark.implicits._
     val base = spark.read.parquet(s"$sf/embeddings.parquet")
