@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSelfSimilarityRule, CosineSimilarity, DotProduct}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions. Enable with
@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectOptimizerRule(_ => CosineSelfSimilarityRule)
   }
 }

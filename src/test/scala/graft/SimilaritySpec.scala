@@ -34,6 +34,35 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("optimizer rule strength-reduces cosine_sim(x, x)") {
+    import spark.implicits._
+    // non-nullable column via a Dataset of case-class-free tuples with
+    // a definitely-non-null array
+    // exclude local-relation evaluation so the optimized plan shows the
+    // projection (otherwise the whole query collapses to local data and
+    // the fold is invisible either way)
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    try {
+      val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+        .toDF("id", "v")
+      val q = df.select(SimilarityOps.cosine(col("v"), col("v")).as("c"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("cosine_sim"),
+        s"cosine_sim(x,x) should have been strength-reduced:\n$optimized")
+      assert(optimized.contains("dot_product"),
+        s"expected the dot_product zero-test in:\n$optimized")
+      q.collect().foreach(r => assert(r.getDouble(0) == 1.0))
+      // zero vector keeps its NaN semantics through the rewrite
+      val zero = Seq((1L, Array(0.0f, 0.0f))).toDF("id", "v")
+        .select(SimilarityOps.cosine(col("v"), col("v")).as("c"))
+        .collect().head.getDouble(0)
+      assert(zero.isNaN)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(10)
     val r = emb.select(
