@@ -598,6 +598,8 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.rollupSummary(s, d)),
     "q_cube" -> ((s, d) => Relational.cubeSummary(s, d)),
     "q_grouping_sets" -> ((s, d) => Relational.groupingSetsSummary(s, d)),
+    "q_monthly_revenue" -> ((s, d) => Relational.monthlyRevenue(s, d)),
+    "q_sql_exists" -> ((s, d) => Relational.sqlExistsQuery(s, d)),
     "q_topk_per_group" -> ((s, d) => Relational.topOrdersPerSegment(s, d)),
     "q_window_running" -> ((s, d) => Relational.runningRevenuePerCustomer(s, d)),
     "q_window_lag" -> ((s, d) => Relational.orderGaps(s, d)),
@@ -664,6 +666,18 @@ object SparkEntry {
     "q_set_ops" -> qSetOpsSql,
     "q_percentiles" -> qPercentilesSql,
     "q_salted_agg" -> qSaltedAggSql,
+    "q_monthly_revenue" ->
+      """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(extract(month FROM o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sql_exists" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
     "cp_hashes" -> cpHashesSql,
     // q_sketches: intentionally no oracle — sketch internals are
     // engine-specific; driver records a rows-only check.

@@ -59,7 +59,7 @@ object DedupOps {
     // read three times (prefix index + both verify sides) — at scale
     // this is the materialized signature table of a similarity join
     val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -127,7 +127,7 @@ object DedupOps {
                       threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
     val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -186,7 +186,7 @@ object DedupOps {
   def simhashPairs(spark: SparkSession, dir: String,
                    maxHamming: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
       .select(col("doc_id"), simhash("text").as("sh"))
     // block b = 16-bit chunk b of the fingerprint; candidates share a block
     val blocked = docs.select(col("doc_id"), col("sh"),

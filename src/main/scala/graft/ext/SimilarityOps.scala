@@ -54,7 +54,7 @@ object SimilarityOps {
   def bruteForceTopK(spark: SparkSession, dir: String,
                      numQueries: Int = 5, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
     val queries = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val sims = emb.filter(col("vec_id") >= numQueries)
@@ -104,7 +104,7 @@ object SimilarityOps {
   def lshTopK(spark: SparkSession, dir: String,
               numQueries: Int = 5, k: Int = 5, nPlanes: Int = 12): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), nPlanes).as("bucket"))
     val queries = bucketed.filter(col("vec_id") < numQueries)
@@ -141,7 +141,7 @@ object SimilarityOps {
               numQueries: Int = 5, k: Int = 5,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
     val centroids = emb.filter(col("vec_id") >= 0 && col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     def nearestCentroids(df: DataFrame, idCol: String, vecCol: String,
@@ -183,7 +183,7 @@ object SimilarityOps {
                         threshold: Double = 0.3, planesPerTable: Int = 6,
                         nTables: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
     val tabled = emb.select(col("vec_id"), col("embedding"),
         posexplode(array((0 until nTables).map(t =>
           lshBucket(col("embedding"), planesPerTable, t * planesPerTable)): _*)))

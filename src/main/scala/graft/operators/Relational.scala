@@ -148,6 +148,32 @@ object Relational {
         col("o_orderpriority").asc_nulls_first)
   }
 
+  /** F5/F6 date surface: monthly revenue rollup (extract year/month,
+    * group, exact sums). */
+  def monthlyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("o_year"), col("o_month"))
+  }
+
+  /** SQL-surface face: the same correlated-EXISTS shape as the semi join,
+    * expressed through spark.sql over registered temp views — pins that
+    * the engine's SQL entry point plans subqueries correctly. */
+  def sqlExistsQuery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM graft_customer c
+        |WHERE EXISTS (SELECT 1 FROM graft_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   // --- W1–W3: windows ------------------------------------------------------
 
   /** W1/O3: top-3 orders per market segment by totalprice (row_number). */
