@@ -70,8 +70,14 @@ object DedupOps {
       .withColumn("r", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
           .orderBy(col("df"), col("shingle"))))
+    // prefix length n − ⌈t·n⌉ + 1, computed in EXACT integer arithmetic:
+    // the float form floor((1−t)·n) loses an element when (1−t)·n is an
+    // integer (1−0.8 = 0.19999… in binary), silently dropping true pairs
+    // whose only shared prefix shingle sits at the boundary position
+    val tN = math.round(threshold * 1000000L) // thresholds with ≤6 decimals
+    val alpha = expr(s"(CAST($tN AS BIGINT) * n_sh + 999999) DIV 1000000")
     val prefix = ranked
-      .filter(col("r") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
+      .filter(col("r") <= col("n_sh") - alpha + 1)
       .select("doc_id", "shingle")
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
