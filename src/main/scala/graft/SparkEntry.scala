@@ -371,6 +371,41 @@ object SparkEntry {
        |FROM m ORDER BY "FileName"""".stripMargin
   }
 
+  /** F5: the metrics doc's readable-date format (ingestor.js:332,
+    * 'ddd MMM YYYY HH:mm' → 'EEE MMM yyyy HH:mm'; English day/month
+    * abbreviations in both engines). */
+  private def cpReadableDate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fixtures.durations.toDF("label", "start_epoch", "end_epoch")
+      .select(col("label"),
+        TimeOps.readableDate(timestamp_seconds(col("start_epoch"))).as("readable"))
+      .orderBy(col("label"))
+  }
+
+  private val cpReadableDateSql: String = {
+    val values = Fixtures.durations
+      .map { case (l, st, _) => s"(${sqlStr(l)}, $st)" }.mkString(", ")
+    s"""WITH d(label, start_epoch) AS (VALUES $values)
+       |SELECT label,
+       |       strftime(to_timestamp(start_epoch), '%a %b %Y %H:%M') AS readable
+       |FROM d ORDER BY label""".stripMargin
+  }
+
+  /** A6/F-surface: exact distinct users + value totals per event type. */
+  private def evUserStats(s: SparkSession, dir: String): DataFrame =
+    EventOps.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        Relational.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  private val evUserStatsSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ==========================================================================
   // LLM-data ops [EXT] oracle SQL (text / dedup / similarity / multimodal)
   // ==========================================================================
@@ -609,6 +644,8 @@ object SparkEntry {
     "q_sketches" -> ((s, d) => Relational.sketchSummary(s, d)),
     "q_salted_agg" -> (qSaltedAgg _),
     "cp_hashes" -> (cpHashes _),
+    "cp_readable_date" -> (cpReadableDate _),
+    "ev_user_stats" -> (evUserStats _),
     // LLM-data ops [EXT]
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -679,6 +716,8 @@ object SparkEntry {
         |                AND o.o_totalprice > 200000)
         |ORDER BY c_custkey""".stripMargin,
     "cp_hashes" -> cpHashesSql,
+    "cp_readable_date" -> cpReadableDateSql,
+    "ev_user_stats" -> evUserStatsSql,
     // q_sketches: intentionally no oracle — sketch internals are
     // engine-specific; driver records a rows-only check.
     "text_stats" -> textStatsSql,
