@@ -43,9 +43,10 @@ object SparkEntry {
     s"""WITH listing(key) AS (VALUES ${listingValues(Fixtures.outOfOrderKeys)}),
        |parts AS (SELECT string_split(key, '/') AS p FROM listing),
        |marked AS (SELECT p[2] AS "ingestName", p[3] AS f FROM parts
-       |           WHERE p[3] IN ('bulk.txt', 'incremental.txt'))
+       |           WHERE p[3] IN ('bulk.txt', 'incremental.txt')
+       |             AND try_cast(p[2] AS BIGINT) >= 0)
        |SELECT "ingestName", replace(f, '.txt', '') AS "ingestType"
-       |FROM marked ORDER BY CAST("ingestName" AS BIGINT) LIMIT 1""".stripMargin
+       |FROM marked ORDER BY try_cast("ingestName" AS BIGINT) LIMIT 1""".stripMargin
 
   private val labeledFixtures: Seq[(String, String)] =
     Fixtures.tsFolderKeys.map(("ts_folders", _)) ++
@@ -385,9 +386,13 @@ object SparkEntry {
   private val cpReadableDateSql: String = {
     val values = Fixtures.durations
       .map { case (l, st, _) => s"(${sqlStr(l)}, $st)" }.mkString(", ")
+    // make_timestamp(us) yields a NAIVE UTC timestamp, so strftime is
+    // independent of the DuckDB connection's TimeZone (to_timestamp
+    // returns TIMESTAMPTZ and would render in local time on a
+    // non-UTC host); %a/%b are C-locale English always.
     s"""WITH d(label, start_epoch) AS (VALUES $values)
        |SELECT label,
-       |       strftime(to_timestamp(start_epoch), '%a %b %Y %H:%M') AS readable
+       |       strftime(make_timestamp(CAST(start_epoch AS BIGINT) * 1000000), '%a %b %Y %H:%M') AS readable
        |FROM d ORDER BY label""".stripMargin
   }
 

@@ -168,9 +168,10 @@ object DedupOps {
   }
 
   /** SimHash-64: per-token xxhash64, bitwise majority vote → 64-bit
-    * fingerprint. Near-dup candidates share at least one of 4 16-bit
-    * blocks (equi-join on block); verified by Hamming distance ≤ maxHamming.
-    * No SQL oracle (xxhash64) — ScalaTest-pinned.
+    * fingerprint. Near-dup candidates share at least one of
+    * `maxHamming + 1` bit blocks (equi-join on block); verified by
+    * Hamming distance ≤ maxHamming. No SQL oracle (xxhash64) —
+    * ScalaTest-pinned.
     *
     * Single-pass: one aggregate carries all 64 bit-vote counters as an
     * array state, so each token is hashed once (the per-bit-aggregate
@@ -189,15 +190,32 @@ object DedupOps {
          |    (v, i) -> IF(v > 0, shiftleft(1L, CAST(i AS INT)), 0L)),
          |  0L, (acc, x) -> acc + x)""".stripMargin)
 
+  /** Candidate generation is EXHAUSTIVE for the given radius: the 64-bit
+    * fingerprint is split into `maxHamming + 1` blocks (Manku et al.,
+    * WWW'07), so by pigeonhole any pair within Hamming ≤ maxHamming
+    * agrees on at least one whole block — a 4-fixed-blocks scheme only
+    * guarantees radius 3 and silently drops pairs with 4+ differing bits
+    * spread across blocks. DedupSpec pins equality against an exact
+    * Hamming self-join. Block width shrinks as the radius grows
+    * (9 blocks of ~7 bits at the default radius 8): wider radii trade
+    * more candidate collisions for guaranteed recall, which is the
+    * standard cost — at 100 TB pick the smallest radius the corpus
+    * needs, or add Manku's block-permutation tables for selectivity. */
   def simhashPairs(spark: SparkSession, dir: String,
                    maxHamming: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
+    val nBlocks = maxHamming + 1
+    // distribute 64 bits as evenly as possible: (64 mod n) blocks get an
+    // extra bit, e.g. radius 8 -> one 8-bit block + eight 7-bit blocks
+    val widths = Array.tabulate(nBlocks)(b => 64 / nBlocks + (if (b < 64 % nBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val docs = Tables.documents(spark, dir)
       .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
       .select(col("doc_id"), simhash("text").as("sh"))
-    // block b = 16-bit chunk b of the fingerprint; candidates share a block
     val blocked = docs.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array((0 until nBlocks).map(b =>
+        shiftrightunsigned(col("sh"), offsets(b))
+          .bitwiseAND((1L << widths(b)) - 1L)): _*)))
       .withColumnRenamed("pos", "block")
       .withColumnRenamed("col", "block_val")
     val candidates = blocked.as("a").join(blocked.as("b"),

@@ -75,15 +75,24 @@ object MultimodalOps {
     * the explode/posexplode shape of video frame extraction. Frame
     * payload extraction is stubbed as a byte-range annotation. */
   def sampleFrames(spark: SparkSession, dir: String,
-                   everyMs: Long = 1000L): DataFrame = {
-    val meta = decodeStub(toMedia(spark, dir)).toDF()
+                   everyMs: Long = 1000L): DataFrame =
+    frames(decodeStub(toMedia(spark, dir)).toDF(), everyMs)
+
+  /** Frame explode over a decoded-metadata frame: zero-duration media
+    * (e.g. an empty payload) yields NO rows — without the filter,
+    * sequence(0, -1, step) throws under ANSI (positive step with
+    * start > stop); `greatest(..., 0)` keeps the bound non-negative as
+    * belt-and-braces. Mirrors the oracle, where range(0, 0, 1000) is
+    * already empty. */
+  def frames(meta: DataFrame, everyMs: Long = 1000L): DataFrame =
     meta
+      .filter(col("fake_duration_ms") > 0)
       .withColumn("frame_ms",
-        explode(sequence(lit(0L), col("fake_duration_ms") - 1, lit(everyMs))))
+        explode(sequence(lit(0L),
+          greatest(col("fake_duration_ms") - 1, lit(0L)), lit(everyMs))))
       .select(col("media_id"), col("frame_ms"),
         expr("frame_ms DIV 40").as("frame_index"))
       .orderBy(col("media_id"), col("frame_ms"))
-  }
 
   /** Resize stub: pure metadata transform (a real resize maps payload
     * bytes; the metadata arithmetic is what's checkable here). */

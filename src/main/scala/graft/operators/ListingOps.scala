@@ -49,7 +49,12 @@ object ListingOps {
         get(segments(col("key")), lit(1)).as("ingestName"),
         get(segments(col("key")), lit(2)).as("file"))
       .filter(col("file").isin("bulk.txt", "incremental.txt"))
-      .orderBy(col("ingestName").try_cast("long").asc)
+      // a junk (non-numeric) folder carrying a marker file must not win
+      // the argmin: its cast is null, and Spark sorts nulls FIRST under
+      // plain asc — filter to timestamp folders and keep nulls last as
+      // belt-and-braces
+      .filter(isTimestamp(col("ingestName")))
+      .orderBy(col("ingestName").try_cast("long").asc_nulls_last)
       .limit(1)
       .select(
         col("ingestName"),

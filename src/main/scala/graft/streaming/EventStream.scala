@@ -38,8 +38,12 @@ object EventStream {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Custom keyed state (the `Times`-style session machine, T8): one
-    * state per user, session closes after `gapMinutes` of inactivity or
-    * on processing-time timeout. */
+    * state per user; a session CLOSES (emits) only when a later event
+    * from the same user arrives more than `gapMinutes` after it. The
+    * last open session per user intentionally stays in state until
+    * such an event arrives (GroupStateTimeout.NoTimeout — no
+    * processing-time flush); the batch face `EventOps.sessionize`
+    * emits trailing sessions and is the oracle-checked surface. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 5): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L

@@ -58,6 +58,27 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("simhashPairs equals an exact Hamming self-join (block scheme is exhaustive at radius 8)") {
+    import spark.implicits._
+    val maxHamming = 8
+    val fps = spark.read.parquet(s"$plantedDir/documents.parquet")
+      .select(col("doc_id"), DedupOps.simhash("text").as("h"))
+    // exact ground truth: all-pairs Hamming join (test-only; tiny corpus)
+    val exact = fps.as("a").crossJoin(fps.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.h").bitwiseXOR(col("b.h"))) <= maxHamming)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val banded = DedupOps.simhashPairs(spark, plantedDir, maxHamming)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // pigeonhole over maxHamming+1 blocks guarantees candidate recall,
+    // and verification filters to true pairs ⇒ exact set equality
+    assert(banded == exact,
+      s"missed: ${exact.diff(banded).take(5)}; spurious: ${banded.diff(exact).take(5)}")
+    // the planted exact dups guarantee the ground truth is non-trivial
+    assert(exact.nonEmpty)
+  }
+
   test("simhash of identical texts is identical; hamming to a perturbed copy is small") {
     import spark.implicits._
     val df = Seq(

@@ -64,6 +64,18 @@ class ListingOpsSpec extends SparkSuite {
     assert(rows.count(_ == "pending/1538055250/manifest.json") == 1)
   }
 
+  test("argmin ignores a junk (non-numeric) folder carrying a marker file") {
+    // try_cast(junk) = null sorts FIRST under plain asc — a junk folder
+    // must not beat the real oldest timestamp folder
+    val keys = Seq(
+      "pending/notatimestamp/bulk.txt",
+      "pending/2222/incremental.txt",
+      "pending/1111/bulk.txt")
+    val r = ListingOps.oldestPendingIngest(Fixtures.listing(spark, keys))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(r.toSeq == Seq(("1111", "bulk")))
+  }
+
   test("manifest probe: only folders with a manifest survive (ingestor.js:109–118)") {
     import spark.implicits._
     val folders = Seq("1538055240", "1538055250").toDF("folder")

@@ -33,6 +33,14 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("frame sampling: zero-duration media yields no rows (no ANSI sequence error)") {
+    import spark.implicits._
+    val meta = Seq((1L, 0L), (2L, 1500L)).toDF("media_id", "fake_duration_ms")
+    val rows = MultimodalOps.frames(meta)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((2L, 0L), (2L, 1000L)))
+  }
+
   test("resize: output dims bounded by 256, aspect preserved within rounding") {
     val rows = MultimodalOps.resizeStub(spark, sf).collect()
     rows.foreach { r =>

@@ -51,6 +51,9 @@ def norm(v):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # pin the session timezone: oracles avoid TIMESTAMPTZ, but any stray
+    # tz-aware render must not depend on the host's local zone
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
