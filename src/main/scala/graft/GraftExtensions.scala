@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSelfSimilarityRule, CosineSimilarity, DotProduct}
+import graft.functions.{CosineSelfSimilarityRule, CosineSimilarity, DotProduct, MinhashSignature, Simhash64, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions. Enable with
@@ -27,5 +27,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
     ext.injectOptimizerRule(_ => CosineSelfSimilarityRule)
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) =>
+        WordShingles(children(0), literalInt(children, 1, default = 3))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
+      (children: Seq[Expression]) => Simhash64(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_sig"),
+      (children: Seq[Expression]) =>
+        MinhashSignature(children(0), literalInt(children, 1, default = 32))))
   }
+
+  /** SQL-surface size arguments must be literals (they shape the
+    * generated kernel, like approx_percentile's accuracy). */
+  private def literalInt(children: Seq[Expression], i: Int, default: Int): Int =
+    if (children.length <= i) default
+    else children(i) match {
+      case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+      case e => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an integer literal, got $e")
+    }
 }

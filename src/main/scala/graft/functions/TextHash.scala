@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels for the text-hashing expressions below. Each is a
+  * single fused JVM loop invoked from generated code (codegen emits one
+  * static call, so the expression stays inside whole-stage codegen) —
+  * replacing interpreted `aggregate`/`zip_with`/`transform` chains,
+  * which never participate in codegen and allocate per element.
+  *
+  * Numeric/semantic contract: BIT-IDENTICAL to the composable SQL forms
+  * they replace (DedupSpec pins parity):
+  * - tokens: `split(trim(text), '\s+')` — UTF8String.trim (spaces only,
+  *   NOT Java String#trim) then Java regex split with limit -1;
+  * - hashes: Spark's xxhash64 (XxHash64Function, seed 42);
+  * - minhash: h folded to 32 bits, min over (a_i*h + b_i) mod p with the
+  *   same coefficients as the SQL formulation.
+  */
+object TextHashUtil {
+
+  val MersennePrime: Long = (1L << 61) - 1
+
+  private def tokenize(text: UTF8String): Array[String] =
+    text.trim().toString.split("\\s+", -1)
+
+  /** Distinct word n-gram shingles, first-occurrence order (matches
+    * `array_distinct(transform(sequence(...), i -> concat_ws(' ',
+    * slice(toks, i+1, n))))`, including the short-document case where
+    * the single shingle is the whole token list). */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text)
+    val last = math.max(toks.length - n, 0)
+    val seen = new java.util.LinkedHashSet[String](math.max(16, last + 1))
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= last) {
+      sb.setLength(0)
+      val end = math.min(i + n, toks.length)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** SimHash-64 over distinct tokens: per-token xxhash64 (seed 42),
+    * bitwise majority vote -> 64-bit fingerprint. */
+  def simhash64(text: UTF8String): Long = {
+    val toks = tokenize(text)
+    val seen = new java.util.HashSet[String](math.max(16, toks.length))
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        val h = XxHash64Function.hash(UTF8String.fromString(toks(i)), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
+  /** MinHash signature: k running minima of h_i(x) = (a_i*x + b_i) mod p
+    * over the 32-bit-folded xxhash64 of each shingle — each shingle is
+    * hashed exactly once. */
+  def minhashSig(shingleArr: ArrayData, k: Int): ArrayData = {
+    val p = MersennePrime
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, p)
+    val n = shingleArr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingleArr.getUTF8String(i)
+      val raw = XxHash64Function.hash(s, StringType, 42L)
+      val h = java.lang.Math.floorMod(raw, 4294967296L) // fold to [0, 2^32)
+      var j = 0
+      while (j < k) {
+        // a_j = 2j+1, b_j = 982451653*(j+1) mod p — mirrors the SQL form;
+        // h*a+b < 2^32 * (2k+1) + 2^61 stays inside a positive long
+        val v = (h * (2L * j + 1L) + (982451653L * (j + 1) % p)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `word_shingles(text, n)`: distinct word n-gram shingles. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** `simhash64(text)`: 64-bit SimHash fingerprint of the token set. */
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(shingles, k)`: k-element MinHash signature of a string
+  * array. */
+case class MinhashSignature(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "signature length must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.minhashSig($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}

@@ -79,6 +79,34 @@ class DedupSpec extends SparkSuite {
     assert(exact.nonEmpty)
   }
 
+  test("native kernels are bit-identical to the composable formulations they replace") {
+    val raw = spark.read.parquet(s"$plantedDir/documents.parquet")
+    assert(raw.select(
+        DedupOps.shingles(col("text"), 3).as("a"),
+        DedupOps.shinglesComposable(col("text"), 3).as("b"))
+      .filter(not(col("a") === col("b"))).count() == 0, "shingles diverge")
+    assert(raw.select(
+        DedupOps.simhash("text").as("a"),
+        DedupOps.simhashComposable("text").as("b"))
+      .filter(col("a") =!= col("b")).count() == 0, "simhash diverges")
+    assert(raw.select(DedupOps.shingles(col("text"), 3).as("sh"))
+      .select(
+        DedupOps.minhashSig("sh", 32).as("a"),
+        DedupOps.minhashSigComposable("sh", 32).as("b"))
+      .filter(not(col("a") === col("b"))).count() == 0, "minhash sig diverges")
+  }
+
+  test("word_shingles/simhash64/minhash_sig are callable from SQL (GraftExtensions)") {
+    spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("docs_sql")
+    val r = spark.sql(
+      """SELECT doc_id, size(word_shingles(text, 3)) AS n_sh,
+        |       simhash64(text) AS fp,
+        |       size(minhash_sig(word_shingles(text, 3), 16)) AS n_sig
+        |FROM docs_sql ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+    assert(r.length == 5)
+    assert(r.forall(_.getInt(r.head.fieldIndex("n_sig")) == 16))
+  }
+
   test("simhash of identical texts is identical; hamming to a perturbed copy is small") {
     import spark.implicits._
     val df = Seq(
