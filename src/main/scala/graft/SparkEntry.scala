@@ -334,6 +334,74 @@ object SparkEntry {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  private val qOuterLeftSql: String =
+    """SELECT c_custkey,
+      |  coalesce(cnt, 0) AS n_orders,
+      |  coalesce(tot, 0.0) AS total_spent
+      |FROM customer
+      |LEFT JOIN (SELECT o_custkey, count(*) AS cnt,
+      |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+      |           FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  private val qOuterFullSql: String =
+    """SELECT coalesce(c.k, s.k) AS nationkey,
+      |       c.cust_bal, c.n_cust, s.supp_bal, s.n_supp
+      |FROM (SELECT c_nationkey AS k,
+      |        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_bal,
+      |        count(*) AS n_cust
+      |      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS k,
+      |        CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supp_bal,
+      |        count(*) AS n_supp
+      |      FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey) s
+      |  ON c.k = s.k
+      |ORDER BY nationkey""".stripMargin
+
+  private val qPivotSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o_total,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private val qNtileSql: String =
+    """SELECT c_custkey, c_acctbal,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+      |ORDER BY c_custkey""".stripMargin
+
+  private val qCorrScalarSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       l_extendedprice
+      |FROM lineitem a
+      |WHERE l_extendedprice = (SELECT max(b.l_extendedprice) FROM lineitem b
+      |                         WHERE b.l_orderkey = a.l_orderkey)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  private val qQuarterlySql: String =
+    """SELECT CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val qStringFuncsSql: String =
+    """SELECT upper(split_part(p_type, ' ', 1)) AS type_head,
+      |  count(*) AS n_parts,
+      |  CAST(sum(CAST(length(p_name) AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avg_name_len,
+      |  min(p_name) AS first_name,
+      |  max(p_name) AS last_name
+      |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val qArrayAggSql: String =
+    """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+      |FROM orders WHERE o_custkey <= 100
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   /** A8/skew: salted two-phase aggregate — result must equal a direct
     * GROUP BY (that equality is what the oracle checks). */
   private def qSaltedAgg(s: SparkSession, dir: String): DataFrame = {
@@ -648,6 +716,14 @@ object SparkEntry {
     "q_percentiles" -> ((s, d) => Relational.exactPercentiles(s, d)),
     "q_sketches" -> ((s, d) => Relational.sketchSummary(s, d)),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_outer_left" -> ((s, d) => Relational.customerOrderSummary(s, d)),
+    "q_outer_full" -> ((s, d) => Relational.nationBalanceFullOuter(s, d)),
+    "q_pivot" -> ((s, d) => Relational.statusPriorityPivot(s, d)),
+    "q_ntile" -> ((s, d) => Relational.balanceQuartiles(s, d)),
+    "q_corr_scalar" -> ((s, d) => Relational.maxPricedLineitems(s, d)),
+    "q_quarterly" -> ((s, d) => Relational.quarterlyRevenue(s, d)),
+    "q_string_funcs" -> ((s, d) => Relational.partTypeStats(s, d)),
+    "q_array_agg" -> ((s, d) => Relational.orderKeyArrays(s, d)),
     "cp_hashes" -> (cpHashes _),
     "cp_readable_date" -> (cpReadableDate _),
     "ev_user_stats" -> (evUserStats _),
@@ -708,6 +784,14 @@ object SparkEntry {
     "q_set_ops" -> qSetOpsSql,
     "q_percentiles" -> qPercentilesSql,
     "q_salted_agg" -> qSaltedAggSql,
+    "q_outer_left" -> qOuterLeftSql,
+    "q_outer_full" -> qOuterFullSql,
+    "q_pivot" -> qPivotSql,
+    "q_ntile" -> qNtileSql,
+    "q_corr_scalar" -> qCorrScalarSql,
+    "q_quarterly" -> qQuarterlySql,
+    "q_string_funcs" -> qStringFuncsSql,
+    "q_array_agg" -> qArrayAggSql,
     "q_monthly_revenue" ->
       """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
         |  CAST(extract(month FROM o_orderdate) AS BIGINT) AS o_month,

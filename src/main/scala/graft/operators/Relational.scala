@@ -246,6 +246,133 @@ object Relational {
     exceptRes.unionByName(intersectRes).orderBy(col("op"), col("c_custkey"))
   }
 
+  // --- J4 outer variants ----------------------------------------------------
+
+  /** LEFT OUTER join keeping zero-order customers: the per-customer
+    * order summary a report would run — the probe side stays whole, the
+    * aggregated side is built BEFORE the join so the outer join matches
+    * one row per key (no fan-out, no double counting). */
+  def customerOrderSummary(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("tot"))
+    c.join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        coalesce(col("tot"), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** FULL OUTER join of two partial aggregates (high-balance customers
+    * vs high-balance suppliers per nation): either side may miss a
+    * nation, so the join must preserve both — coalesced key, null
+    * aggregates kept. */
+  def nationBalanceFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000.0)
+      .groupBy(col("c_nationkey"))
+      .agg(dsum(col("c_acctbal")).as("cust_bal"), count(lit(1)).as("n_cust"))
+    val supp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 9000.0)
+      .groupBy(col("s_nationkey"))
+      .agg(dsum(col("s_acctbal")).as("supp_bal"), count(lit(1)).as("n_supp"))
+    cust.join(supp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        col("cust_bal"), col("n_cust"), col("supp_bal"), col("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  // --- A6 pivot -------------------------------------------------------------
+
+  /** Pivot: order totals cross-tabbed priority × status. The status
+    * domain is pinned explicitly (F/O/P) so the plan is a single
+    * aggregate pass — an unpinned pivot needs an extra distinct-values
+    * job first, a full extra scan at 100 TB. */
+  def statusPriorityPivot(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum(col("o_totalprice")))
+      .select(col("o_orderpriority"),
+        col("F").as("f_total"), col("O").as("o_total"), col("P").as("p_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // --- W1 ranking family beyond row_number ----------------------------------
+
+  /** ntile/percent_rank/cume_dist over customer balances. Global (un-
+    * partitioned) ranking windows funnel into ONE task; fine here, but
+    * at 100 TB rank globally via range-partitioned sort + per-partition
+    * offsets instead. percent_rank's (rank-1)/(n-1) double division is
+    * bit-identical across engines. */
+  def balanceQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    c.select(
+        col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // --- J2 correlated scalar shape -------------------------------------------
+
+  /** Most expensive line item(s) per order — the correlated-scalar-
+    * subquery shape (`price = (SELECT max ... WHERE same order)`),
+    * planned as a single window max + filter: one shuffle on the
+    * correlation key, no self-join. */
+  def maxPricedLineitems(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val w = Window.partitionBy(col("l_orderkey"))
+    l.withColumn("omax", max(col("l_extendedprice")).over(w))
+      .filter(col("l_extendedprice") === col("omax"))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  // --- F5 date surface: calendar truncation ---------------------------------
+
+  /** Quarterly revenue via date_trunc — calendar bucketing (vs the
+    * extract-based monthlyRevenue). */
+  def quarterlyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(to_date(date_trunc("quarter", col("o_orderdate"))).as("quarter"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("quarter"))
+  }
+
+  // --- F1–F3 string surface --------------------------------------------------
+
+  /** String-function sweep grouped by the leading word of p_type:
+    * substring_index/upper/length/min/max over part attributes. */
+  def partTypeStats(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.groupBy(upper(substring_index(col("p_type"), " ", 1)).as("type_head"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        davg(length(col("p_name")), 0).as("avg_name_len"),
+        min(col("p_name")).as("first_name"),
+        max(col("p_name")).as("last_name"))
+      .orderBy(col("type_head"))
+  }
+
+  // --- F8 array aggregation --------------------------------------------------
+
+  /** Sorted per-customer order-key arrays (collect_list + array_sort) —
+    * the array-valued aggregation surface. Bounded to a key range: an
+    * unbounded collect_list is a per-group memory risk at scale. */
+  def orderKeyArrays(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") <= 100)
+    o.groupBy(col("o_custkey"))
+      .agg(array_sort(collect_list(col("o_orderkey"))).as("orderkeys"))
+      .orderBy(col("o_custkey"))
+  }
+
   // --- A8: sketches (no SQL oracle — rows-only check) ----------------------
 
   /** HLL++ distinct counts + approx percentiles. Registered without an

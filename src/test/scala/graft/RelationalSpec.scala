@@ -89,4 +89,53 @@ class RelationalSpec extends SparkSuite {
         s"flag $k: approx=${approx(k)} exact=$n")
     }
   }
+
+  test("left-outer order summary keeps every customer; zero-order rows coalesce to 0") {
+    val rows = Relational.customerOrderSummary(spark, sf).collect()
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(rows.length.toLong == nCust)
+    val zeros = rows.filter(_.getLong(1) == 0L)
+    zeros.foreach(r => assert(r.getDouble(2) == 0.0))
+  }
+
+  test("full-outer nation balances preserve one-sided nations with null other side") {
+    val rows = Relational.nationBalanceFullOuter(spark, sf).collect()
+    // keys unique after coalesce; at least one side non-null on each row
+    assert(rows.map(_.getAs[Number](0).longValue()).distinct.length == rows.length)
+    rows.foreach(r => assert(!r.isNullAt(1) || !r.isNullAt(3)))
+  }
+
+  test("pivot equals the filtered group-by it denormalizes") {
+    val piv = Relational.statusPriorityPivot(spark, sf).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(Relational.dsum(col("o_totalprice")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    direct.foreach { case (k, v) => assert(piv(k).contains(v)) }
+  }
+
+  test("correlated-scalar shape: every order's max-priced lineitem(s), no order lost") {
+    val res = Relational.maxPricedLineitems(spark, sf)
+    val nOrdersWithItems = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey").distinct().count()
+    assert(res.select("l_orderkey").distinct().count() == nOrdersWithItems)
+  }
+
+  test("quartiles: ntile in 1..4, pct_rank and cume in [0,1], monotone with balance") {
+    val rows = Relational.balanceQuartiles(spark, sf)
+      .orderBy(col("c_acctbal"), col("c_custkey")).collect()
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 4))
+    val pr = rows.map(_.getDouble(3))
+    assert(pr.head == 0.0 && pr.last == 1.0 && pr.sameElements(pr.sorted))
+  }
+
+  test("sorted order-key arrays are ascending per customer") {
+    val rows = Relational.orderKeyArrays(spark, sf).collect()
+    rows.foreach { r =>
+      val arr = r.getSeq[Long](1)
+      assert(arr == arr.sorted)
+    }
+  }
 }
