@@ -402,6 +402,43 @@ object SparkEntry {
       |FROM orders WHERE o_custkey <= 100
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** Skew-join face: salted orders⋈customer rolled up per segment —
+    * must equal the direct join (what the oracle computes). */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val joined = graft.operators.SkewOps.saltedJoin(
+      Tables.orders(s, dir), Tables.customer(s, dir),
+      col("o_custkey"), col("c_custkey"))
+    joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        Relational.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val qSaltedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** T9 via Spark's native session_window operator. Boundary: an event
+    * at exactly the gap starts a new session (>= in the oracle; the
+    * lag-based ev_sessionize uses strict >). */
+  private val evSessionWindowSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |           FROM events),
+      |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |                       OR us - lag(us) OVER w >= 300000000
+      |                     THEN 1 ELSE 0 END AS ns
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      |      FROM g)
+      |SELECT user_id, min(us) // 1000000 AS session_start,
+      |  (max(us) + 300000000) // 1000000 AS session_end_excl,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, seq ORDER BY user_id, session_start""".stripMargin
+
   /** A8/skew: salted two-phase aggregate — result must equal a direct
     * GROUP BY (that equality is what the oracle checks). */
   private def qSaltedAgg(s: SparkSession, dir: String): DataFrame = {
@@ -716,6 +753,8 @@ object SparkEntry {
     "q_percentiles" -> ((s, d) => Relational.exactPercentiles(s, d)),
     "q_sketches" -> ((s, d) => Relational.sketchSummary(s, d)),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_salted_join" -> (qSaltedJoin _),
+    "ev_session_window" -> ((s, d) => EventOps.sessionWindowStats(s, d)),
     "q_outer_left" -> ((s, d) => Relational.customerOrderSummary(s, d)),
     "q_outer_full" -> ((s, d) => Relational.nationBalanceFullOuter(s, d)),
     "q_pivot" -> ((s, d) => Relational.statusPriorityPivot(s, d)),
@@ -784,6 +823,8 @@ object SparkEntry {
     "q_set_ops" -> qSetOpsSql,
     "q_percentiles" -> qPercentilesSql,
     "q_salted_agg" -> qSaltedAggSql,
+    "q_salted_join" -> qSaltedJoinSql,
+    "ev_session_window" -> evSessionWindowSql,
     "q_outer_left" -> qOuterLeftSql,
     "q_outer_full" -> qOuterFullSql,
     "q_pivot" -> qPivotSql,

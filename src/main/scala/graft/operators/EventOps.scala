@@ -74,6 +74,26 @@ object EventOps {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** T9: the same sessionization through Spark's NATIVE session_window
+    * operator (one `SessionWindow` aggregate, merged in the window
+    * exchange — the exact operator the streaming engine uses for
+    * stateful session aggregation). Boundary semantics: an event at
+    * exactly `gap` after the previous one starts a NEW session (windows
+    * are [start, last+gap) and merge only on strict overlap) — the
+    * lag-based `sessionize` uses strict-> so the two differ only on
+    * exact-gap ties; the oracle mirrors this with `>=`. */
+  def sessionWindowStats(spark: SparkSession, dir: String,
+                         gapMinutes: Int = 5): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        unix_timestamp(col("w.end")).as("session_end_excl"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** J5 as-of join: for each purchase, the most recent prior view by
     * the same user. Implemented as a single per-user window pass (union
     * already holds both sides): carry the last view timestamp forward,

@@ -33,4 +33,26 @@ object SkewOps {
       .groupBy(col("k"))
       .agg(sum(col("pc")).as("n"), sum(col("ps")).as("total"))
   }
+
+  /** Salted equi-join for a skewed probe side: the probe rows of one
+    * hot key are spread over `saltBuckets` shuffle partitions, and the
+    * build side is replicated once per bucket (explode over 0..S-1), so
+    * the join key becomes (key, salt) and no single reducer owns a hot
+    * key. Use when BOTH sides are too big to broadcast and AQE's
+    * skew-split (which handles most cases) can't help — e.g. the hot
+    * key's build rows must co-locate with state. Result is identical to
+    * the plain join (what the oracle checks).
+    *
+    * `buildSide` is replicated ×saltBuckets: keep it the SMALL side. */
+  def saltedJoin(probe: DataFrame, build: DataFrame,
+                 probeKey: Column, buildKey: Column,
+                 saltBuckets: Int = 8): DataFrame = {
+    val salted = probe.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+    val replicated = build
+      .withColumn("_salt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    salted.join(replicated,
+      probeKey === buildKey && salted("_salt") === replicated("_salt"))
+      .drop("_salt")
+  }
 }

@@ -42,6 +42,37 @@ class EventOpsSpec extends SparkSuite {
     }
   }
 
+  test("native session_window agrees with lag-based sessionize up to exact-gap ties") {
+    // both close a session after >5min of silence; they may only differ
+    // on events at EXACTLY the gap (native starts a new session, lag
+    // keeps the old one), so native sessions >= lag sessions and event
+    // totals match
+    val lagBased = EventOps.sessionize(spark, sf).agg(
+      count(lit(1)), sum(col("n_events"))).head()
+    val native = EventOps.sessionWindowStats(spark, sf).agg(
+      count(lit(1)), sum(col("n_events"))).head()
+    assert(native.getLong(1) == lagBased.getLong(1), "event totals differ")
+    assert(native.getLong(0) >= lagBased.getLong(0))
+    // session bounds sane: start < exclusive end, positive counts
+    EventOps.sessionWindowStats(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) < r.getLong(2))
+      assert(r.getLong(3) >= 1)
+    }
+  }
+
+  test("salted join equals the plain join row-for-row") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val plain = o.join(c, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val salted = graft.operators.SkewOps.saltedJoin(o, c,
+        col("o_custkey"), col("c_custkey"))
+      .select("o_orderkey", "c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(salted == plain)
+  }
+
   test("range join: click counts are non-negative and bounded by user's clicks") {
     val ev = EventOps.events(spark, sf)
     val clicksPerUser = ev.filter(col("event_type") === "click")
