@@ -72,6 +72,21 @@ object EventStream {
       }
   }
 
+  /** T9 via the NATIVE SessionWindow operator in streaming mode: the
+    * watermark both drops late events and FINALIZES sessions — a session
+    * is emitted (append mode) once the watermark passes its close, which
+    * is exactly the flush the mapGroupsWithState version above leaves to
+    * the caller. Batch face: graft.operators.EventOps.sessionWindowStats
+    * (oracle-checked). */
+  def sessionWindowCounts(events: DataFrame, gapMinutes: Int = 5): DataFrame =
+    events
+      .withWatermark("ts", "5 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("w.start").as("session_start"), col("w.end").as("session_end_excl"),
+        col("n_events"), col("sum_value"))
+
   /** Watermarked stream-stream interval join: each error event joined to
     * the same user's clicks from the preceding `windowMinutes` — the
     * streaming face of EventOps.clicksBeforeErrors. Both sides carry

@@ -105,6 +105,32 @@ class EventStreamSpec extends SparkSuite {
     assert(byErr(3L).forall(_.isNullAt(1)))
   }
 
+  test("streaming session_window emits a session once the watermark passes its close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionWindowCounts(input.toDF())
+      .writeStream.format("memory").queryName("swin_out")
+      .outputMode("append").start()
+    try {
+      // session: 10:01 + 10:02; the 10:30 event pushes the watermark to
+      // 10:25, past the session close (10:07) → session finalized
+      input.addData(Event(1, ts(1), 7, "click", 2.0), Event(2, ts(2), 7, "click", 3.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(30), 7, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, session_start, session_end_excl, n_events, sum_value FROM swin_out").collect()
+      assert(rows.length == 1, "exactly the closed session is emitted")
+      val r = rows.head
+      assert(r.getLong(0) == 7L)
+      assert(r.getTimestamp(1) == ts(1))
+      assert(r.getTimestamp(2) == ts(7))   // last event 10:02 + 5 min gap
+      assert(r.getLong(3) == 2L)
+      assert(r.getDouble(4) == 5.0)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session after the gap and keeps state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
