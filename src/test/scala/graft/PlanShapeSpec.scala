@@ -1,0 +1,58 @@
+package graft
+
+/** Plan-shape regression guards: the scale-critical physical-plan
+  * properties audited in PLANS.md, pinned as tests so a refactor that
+  * silently degrades a plan (broadcast lost, top-k unfused, a
+  * correlated shape re-planned as a self-join) fails the build rather
+  * than only the 100 TB deploy. */
+class PlanShapeSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q5 star join broadcasts all four dimension sides") {
+    val p = plan("q5_revenue_by_nation")
+    // the three dims + customer broadcast by hint; at sf0.001 the tiny
+    // orders side broadcasts too (AQE under threshold) — what must hold
+    // at ANY scale is: ≥4 broadcast joins, ≤1 shuffle join, no loops
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p.take(800))
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 1)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("top-k queries fuse to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q3_top_revenue_orders").contains("TakeOrderedAndProject"))
+    assert(plan("cp_oldest_ingest").contains("TakeOrderedAndProject"))
+  }
+
+  test("pushdown: pricing summary ships the shipdate predicate to the scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
+  }
+
+  test("correlated scalar shape plans as a window, not a self-join") {
+    val p = plan("q_corr_scalar")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
+  test("semi/anti joins plan as join types, not distinct+inner rewrites") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("similarity/dedup candidate joins are equi-joins, never cross joins") {
+    Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+        "sim_near_dups", "sim_lsh_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q has a cross join")
+    }
+  }
+
+  test("native kernels appear in the plan (no interpreted HOF fallback in dedup paths)") {
+    val p = plan("dedup_simhash")
+    assert(p.contains("simhash64"))
+    assert(!p.toLowerCase.contains("aggregate(zip_with"))
+  }
+}

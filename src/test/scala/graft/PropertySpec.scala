@@ -23,6 +23,36 @@ class PropertySpec extends SparkSuite {
   private def sample[T](g: Gen[T], i: Long): T =
     g.pureApply(Gen.Parameters.default, Seed(i))
 
+  test("native text kernels match composable forms on arbitrary unicode text") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.DedupOps
+    // whitespace-heavy unicode strings: tabs/newlines are NOT trimmed by
+    // Spark's trim (spaces only) — the kernels must agree on that too
+    val textGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf(" ", "\t", "\n", "  "),
+      Gen.oneOf("héllo", "wörld", "日本語", "émoji🙂", "")))
+      .map(_.mkString(" "))
+    val texts = (1L to 60L).map(i => Tuple1(sample(textGen, i))) :+
+      Tuple1("") :+ Tuple1("   ") :+ Tuple1("\tone two three\n")
+    val spark0 = spark
+    import spark0.implicits._
+    val df = texts.toDF("text")
+    assert(df.select(
+        DedupOps.shingles(col("text"), 3).as("a"),
+        DedupOps.shinglesComposable(col("text"), 3).as("b"))
+      .filter(not(col("a") === col("b"))).count() == 0)
+    assert(df.select(
+        DedupOps.simhash("text").as("a"),
+        DedupOps.simhashComposable("text").as("b"))
+      .filter(col("a") =!= col("b")).count() == 0)
+    assert(df.select(DedupOps.shingles(col("text"), 2).as("sh"))
+      .select(
+        DedupOps.minhashSig("sh", 16).as("a"),
+        DedupOps.minhashSigComposable("sh", 16).as("b"))
+      .filter(not(col("a") === col("b"))).count() == 0)
+  }
+
   test("oldestPendingIngest selects the numeric argmin for arbitrary folder sets") {
     (1L to 20L).foreach { i =>
       val folders = sample(Gen.nonEmptyListOf(folderGen), i)
