@@ -73,13 +73,17 @@ object DedupOps {
     // shingle compute across cores, and persist: the shingle table is
     // read three times (prefix index + both verify sides) — at scale
     // this is the materialized signature table of a similarity join
+    // candidate generation runs on 8-byte shingle HASH ids (see
+    // WordShingleHashes for the recall trade-off); the string arrays
+    // stay in the persisted table for exact verification only
     val docs = Tables.documents(spark, dir)
       .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"),
+        bc(graft.functions.WordShingleHashes(br(col("text")), n)).as("hs"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("shingle"))
+    val exploded = docs.select(col("doc_id"), size(col("hs")).as("n_sh"),
+      explode(col("hs")).as("shingle"))
     val df = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ranked = exploded.join(df, "shingle")
       .withColumn("r", row_number().over(

@@ -56,6 +56,31 @@ object TextHashUtil {
     new GenericArrayData(out)
   }
 
+  /** Distinct xxhash64 values of the word n-gram shingles — the
+    * narrow (8-byte) shingle identity used for candidate generation in
+    * the Jaccard join. Distinctness is BY HASH: candidate recall is
+    * exact unless two distinct shingles inside a true pair's
+    * INTERSECTION collide in 64 bits (P ≈ n²/2^65 over the corpus
+    * shingle count — ~1e-9 at 260k shingles), the standard trade every
+    * production MinHash pipeline makes to avoid shuffling full strings.
+    * A collision can only DROP a candidate, never emit a wrong pair:
+    * verification runs on the exact string arrays. */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val sh = shingles(text, n)
+    val m = sh.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long](math.max(16, m))
+    var i = 0
+    while (i < m) {
+      seen.add(XxHash64Function.hash(sh.getUTF8String(i), StringType, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** SimHash-64 over distinct tokens: per-token xxhash64 (seed 42),
     * bitwise majority vote -> 64-bit fingerprint. */
   def simhash64(text: UTF8String): Long = {
@@ -124,6 +149,23 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.shingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** `word_shingle_hashes(text, n)`: distinct xxhash64 shingle ids. */
+case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
     copy(child = newChild)
 }
 
