@@ -601,6 +601,40 @@ object SparkEntry {
       |WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Connected components over the verified Jaccard pairs via a
+    * recursive CTE (min label reachable from each node), keeper = min
+    * doc_id per component — mirrors DedupOps.dedupClusters' iterative
+    * min-label propagation. */
+  private val dedupClustersSql: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |              FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(0, greatest(len(t) - 3, 0) + 1),
+      |         i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+      |       FROM toks),
+      |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM ex a JOIN ex b
+      |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      |v AS (SELECT doc_a, doc_b,
+      |        len(list_intersect(sa.s, sb.s)) AS common,
+      |        len(sa.s) AS na, len(sb.s) AS nb
+      |      FROM cand
+      |      JOIN sh sa ON sa.doc_id = doc_a
+      |      JOIN sh sb ON sb.doc_id = doc_b),
+      |pairs AS (SELECT doc_a, doc_b FROM v
+      |          WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8),
+      |edges AS (SELECT doc_a AS u, doc_b AS w FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |walk(u, label) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, w2.label FROM edges e JOIN walk w2 ON e.w = w2.u
+      |)
+      |SELECT u AS doc_id, min(label) AS cluster,
+      |       (u = min(label)) AS is_keeper
+      |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin
+
   private val simBruteForceSql: String =
     """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
       |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
@@ -773,6 +807,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
     "dedup_exact" -> ((s, d) => DedupOps.exactDupGroups(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
+    "dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "sim_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
@@ -856,6 +891,7 @@ object SparkEntry {
     "text_fingerprint" -> textFingerprintSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_clusters" -> dedupClustersSql,
     // dedup_minhash_lsh, dedup_simhash: no oracle (xxhash64 is
     // Spark-specific); recall pinned vs dedup_ngram_jaccard in ScalaTest.
     "sim_bruteforce_topk" -> simBruteForceSql,

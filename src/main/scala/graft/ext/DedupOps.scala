@@ -194,6 +194,49 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup CLUSTERS from the verified pair set: connected components
+    * by iterative min-label propagation, then keeper = min doc_id per
+    * component — the selection step a dedup pipeline runs after pair
+    * generation ("keep one document per duplicate cluster").
+    *
+    * Distributed shape: each round is one equi-join (edges ⋈ labels) +
+    * one min-aggregate; the driver only reads a convergence COUNT per
+    * round (a scalar, not data). Rounds = component diameter — for dup
+    * clusters typically 2–3. At true web scale swap the propagation for
+    * the large-star/small-star alternation (Kiveris et al.), same
+    * join+min building block. `localCheckpoint` caps lineage growth so
+    * round N doesn't replay rounds 1..N−1. */
+  def dedupClusters(spark: SparkSession, dir: String,
+                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir, n, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val propagated = edges
+        .join(labels, edges("v") === labels("doc_id"))
+        .select(col("u").as("doc_id"), col("label"))
+      val next = labels.unionByName(propagated)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val improved = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") < col("prev")).count()
+      labels = next
+      converged = improved == 0
+    }
+    edges.unpersist()
+    labels
+      .select(col("doc_id"), col("label").as("cluster"),
+        (col("doc_id") === col("label")).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash-64: per-token xxhash64, bitwise majority vote → 64-bit
     * fingerprint. Near-dup candidates share at least one of
     * `maxHamming + 1` bit blocks (equi-join on block); verified by

@@ -79,6 +79,24 @@ class DedupSpec extends SparkSuite {
     assert(exact.nonEmpty)
   }
 
+  test("dedup clusters: every paired doc labeled, exactly one keeper per cluster, pairs co-clustered") {
+    import spark.implicits._
+    val pairs = DedupOps.ngramJaccardPairs(spark, plantedDir, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val clusters = DedupOps.dedupClusters(spark, plantedDir, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // every doc in a pair got a label; both ends share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // exactly one keeper per cluster, and it is the min doc_id
+    clusters.groupBy(_._2._1).foreach { case (cl, members) =>
+      val keepers = members.filter(_._2._2).keys.toSeq
+      assert(keepers == Seq(cl), s"cluster $cl keepers=$keepers")
+      assert(members.keys.min == cl)
+    }
+  }
+
   test("native kernels are bit-identical to the composable formulations they replace") {
     val raw = spark.read.parquet(s"$plantedDir/documents.parquet")
     assert(raw.select(
