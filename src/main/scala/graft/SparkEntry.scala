@@ -745,6 +745,33 @@ object SparkEntry {
       |  ON c.user_id = err.user_id
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  private val textTopTermsSql: String = {
+    s"""WITH tok AS (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |            FROM documents),
+       |cnt AS (SELECT lang, token, count(*) AS n FROM tok
+       |        WHERE token NOT IN $stopSet AND length(token) > 0
+       |        GROUP BY lang, token),
+       |rk AS (SELECT lang, token, n,
+       |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rnk
+       |       FROM cnt)
+       |SELECT lang, rnk, token, n FROM rk WHERE rnk <= 5
+       |ORDER BY lang, rnk""".stripMargin
+  }
+
+  private val evFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events),
+      |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+      |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND us > c_us GROUP BY 1)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |  UNION ALL SELECT '2_click', count(*) FROM c
+      |  UNION ALL SELECT '3_purchase', count(*) FROM p
+      |) ORDER BY stage""".stripMargin
+
   private val evPropsStatsSql: String =
     """SELECT event_type,
       |  count(CAST(props->>'k' AS BIGINT)) AS n,
@@ -805,6 +832,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
+    "text_topterms" -> ((s, d) => TextOps.topTerms(s, d)),
+    "ev_funnel" -> ((s, d) => EventOps.funnel(s, d)),
     "dedup_exact" -> ((s, d) => DedupOps.exactDupGroups(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(s, d)),
@@ -889,6 +918,8 @@ object SparkEntry {
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_topterms" -> textTopTermsSql,
+    "ev_funnel" -> evFunnelSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,

@@ -42,6 +42,29 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language top-k terms by corpus frequency (stopwords excluded) —
+    * the tokenize → explode → count → top-k-per-group vocabulary shape.
+    * Scale: the explode shuffles (lang, token) count pairs after a
+    * map-side partial aggregate; ranking shuffles once per language
+    * key. Ties break on the token string for determinism. */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .filter(!col("token").isin(stopwords.map(_.toString): _*) &&
+        length(col("token")) > 0)
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("token").asc)
+    counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("token"), col("n"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   /** Quality score: a deterministic weighted combination of length,
     * lexical diversity and stopword presence — the shape of a real
     * heuristic quality filter (length/punct/stopword ratios). */

@@ -143,6 +143,30 @@ object EventOps {
 
   /** F9 over the `props` JSON column: extract k, aggregate per type.
     * k is an integer so the sums are exact. */
+  /** Ordered 3-step funnel (view → later click → later purchase): how
+    * many users reach each stage in order. Each stage is one filtered
+    * aggregate joined to the previous stage's per-user frontier — three
+    * shuffles total on user_id, no window over the whole event stream,
+    * no self-join of raw events against raw events. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val viewed = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val clicked = ev.filter(col("event_type") === "click")
+      .join(viewed, "user_id").filter(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val purchased = ev.filter(col("event_type") === "purchase")
+      .join(clicked, "user_id").filter(col("us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    viewed.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(clicked.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), col("n_users")))
+      .unionByName(purchased.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+      .orderBy(col("stage"))
+  }
+
   def propsStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .select(col("event_type"),
