@@ -842,6 +842,10 @@ object SparkEntry {
     "sim_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     "sim_lsh_topk" -> ((s, d) => SimilarityOps.lshTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
+    // full probe (nProbe = nCentroids) makes IVF provably exact: every
+    // posting list is scanned, so the result must equal brute force —
+    // the recall knob checked at its endpoint by the brute-force oracle
+    "sim_ivf_fullprobe" -> ((s, d) => SimilarityOps.ivfTopK(s, d, nProbe = 16)),
     "sim_near_dups" -> ((s, d) => SimilarityOps.embeddingNearDups(s, d)),
     "sim_embedding_stats" -> ((s, d) => SimilarityOps.embeddingStats(s, d)),
     "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
@@ -926,6 +930,7 @@ object SparkEntry {
     // dedup_minhash_lsh, dedup_simhash: no oracle (xxhash64 is
     // Spark-specific); recall pinned vs dedup_ngram_jaccard in ScalaTest.
     "sim_bruteforce_topk" -> simBruteForceSql,
+    "sim_ivf_fullprobe" -> simBruteForceSql,
     // sim_lsh_topk, sim_near_dups: no oracle (LSH bucket membership);
     // recall pinned vs sim_bruteforce_topk in ScalaTest.
     "sim_embedding_stats" -> simEmbeddingStatsSql,
