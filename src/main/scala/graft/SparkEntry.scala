@@ -501,6 +501,36 @@ object SparkEntry {
        |FROM d ORDER BY label""".stripMargin
   }
 
+  /** §2.10 UDAF surface in the gate: the typed Times Aggregator rolled
+    * up per ingest over the golden fixture (ingestor.spec.js:355–358);
+    * mergeable buffer ⇒ the plan is a real partial+final aggregate. */
+  private def cpTimesAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.TimesAggregator
+    import graft.operators.TimesAggregator.SinkEvent
+    val t0 = 1538050000L
+    val events: org.apache.spark.sql.Dataset[(String, SinkEvent)] = Seq(
+      ("A", SinkEvent("neo4j", "start", t0)),
+      ("A", SinkEvent("neo4j", "end", t0 + 8100)),
+      ("A", SinkEvent("elastic", "start", t0 + 5040)),
+      ("A", SinkEvent("elastic", "end", t0 + 8940)),
+      ("B", SinkEvent("neo4j", "start", t0)),
+      ("B", SinkEvent("neo4j", "end", t0 + 600)),
+      ("B", SinkEvent("elastic", "start", t0 + 600))).toDS()
+    events.groupByKey(_._1).mapValues(_._2)
+      .agg(TimesAggregator.aggregator.toColumn.name("times"))
+      .toDF("ingest", "times")
+      .select(col("ingest"), col("times.*"))
+      .orderBy(col("ingest"))
+  }
+
+  private val cpTimesAggSql: String =
+    """SELECT * FROM (VALUES
+      |  ('A', '2h:15mins', '1h:05mins', '2h:29mins', true),
+      |  ('B', '0h:10mins', 'timestamp error', 'timestamp error', false)
+      |) t(ingest, neo_job_duration, elastic_job_duration,
+      |    total_job_duration, complete) ORDER BY ingest""".stripMargin
+
   /** A6/F-surface: exact distinct users + value totals per event type. */
   private def evUserStats(s: SparkSession, dir: String): DataFrame =
     EventOps.events(s, dir)
@@ -826,6 +856,7 @@ object SparkEntry {
     "q_array_agg" -> ((s, d) => Relational.orderKeyArrays(s, d)),
     "cp_hashes" -> (cpHashes _),
     "cp_readable_date" -> (cpReadableDate _),
+    "cp_times_agg" -> (cpTimesAgg _),
     "ev_user_stats" -> (evUserStats _),
     // LLM-data ops [EXT]
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
@@ -915,6 +946,7 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "cp_hashes" -> cpHashesSql,
     "cp_readable_date" -> cpReadableDateSql,
+    "cp_times_agg" -> cpTimesAggSql,
     "ev_user_stats" -> evUserStatsSql,
     // q_sketches: intentionally no oracle — sketch internals are
     // engine-specific; driver records a rows-only check.
