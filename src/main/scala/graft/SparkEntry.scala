@@ -682,6 +682,13 @@ object SparkEntry {
       |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
       |ORDER BY qid, rnk""".stripMargin
 
+  private val simLabelCentroidsSql: String =
+    """SELECT label, i AS pos,
+      |  list_sum(list_transform(list(CAST(embedding[i] AS DOUBLE) ORDER BY vec_id),
+      |           x -> x)) / count(*) AS centroid
+      |FROM embeddings, range(1, 65) t(i)
+      |GROUP BY label, i ORDER BY label, pos""".stripMargin
+
   private val simEmbeddingStatsSql: String =
     """SELECT vec_id, label,
       |  round(sqrt(list_sum(list_transform(range(1, 65),
@@ -879,6 +886,7 @@ object SparkEntry {
     "sim_ivf_fullprobe" -> ((s, d) => SimilarityOps.ivfTopK(s, d, nProbe = 16)),
     "sim_near_dups" -> ((s, d) => SimilarityOps.embeddingNearDups(s, d)),
     "sim_embedding_stats" -> ((s, d) => SimilarityOps.embeddingStats(s, d)),
+    "sim_label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
     "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
     "mm_resize" -> ((s, d) => MultimodalOps.resizeStub(s, d)),
     "mm_frames" -> ((s, d) => MultimodalOps.sampleFrames(s, d)),
@@ -966,6 +974,7 @@ object SparkEntry {
     // sim_lsh_topk, sim_near_dups: no oracle (LSH bucket membership);
     // recall pinned vs sim_bruteforce_topk in ScalaTest.
     "sim_embedding_stats" -> simEmbeddingStatsSql,
+    "sim_label_centroids" -> simLabelCentroidsSql,
     "mm_media_meta" -> mmMediaMetaSql,
     "mm_resize" -> mmResizeSql,
     "mm_frames" -> mmFramesSql,

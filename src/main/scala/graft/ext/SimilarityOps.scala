@@ -172,6 +172,29 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Per-label embedding centroids (the class-centroid aggregation a
+    * labeling/clustering pipeline runs): one row per (label, dimension).
+    * Float summation is order-dependent, so each (label, dim) group
+    * folds its values IN vec_id ORDER (sorted collect_list + aggregate)
+    * — bit-identical to DuckDB's `list_sum(list(... ORDER BY vec_id))`.
+    * At 100 TB swap the in-order fold for a plain sum and accept ULP
+    * drift, or keep per-partition ordered folds and merge in key order;
+    * the oracle-parity version is the deterministic one. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")))
+      .select(col("label"), col("vec_id"),
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("v"))
+    e.groupBy(col("label"), col("pos"))
+      .agg(
+        (aggregate(
+          transform(
+            array_sort(collect_list(struct(col("vec_id"), col("v")))),
+            s => s.getField("v").cast("double")),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("centroid"))
+      .orderBy(col("label"), col("pos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table hyperplane
     * LSH (OR-amplification across `nTables` independent plane families):
     * candidates agree on any full table signature, then verify cosine ≥
