@@ -35,7 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
-      (children: Seq[Expression]) => Simhash64(children(0))))
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"simhash64 takes 1 argument, got ${children.length}")
+        Simhash64(children(0))
+      }))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_sig"),
@@ -45,11 +48,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   /** SQL-surface size arguments must be literals (they shape the
     * generated kernel, like approx_percentile's accuracy). */
-  private def literalInt(children: Seq[Expression], i: Int, default: Int): Int =
+  private def literalInt(children: Seq[Expression], i: Int, default: Int): Int = {
+    require(children.length <= i + 1,
+      s"too many arguments: expected at most ${i + 1}, got ${children.length}")
     if (children.length <= i) default
     else children(i) match {
-      case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+      case e if e.foldable => e.eval() match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"argument ${i + 1} must be a non-null integer literal, got $other")
+      }
       case e => throw new IllegalArgumentException(
         s"argument ${i + 1} must be an integer literal, got $e")
     }
+  }
 }

@@ -407,7 +407,7 @@ object SparkEntry {
   private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val joined = graft.operators.SkewOps.saltedJoin(
       Tables.orders(s, dir), Tables.customer(s, dir),
-      col("o_custkey"), col("c_custkey"))
+      "o_custkey", "c_custkey")
     joined.groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
         Relational.dsum(col("o_totalprice")).as("revenue"))
@@ -883,7 +883,7 @@ object SparkEntry {
     // full probe (nProbe = nCentroids) makes IVF provably exact: every
     // posting list is scanned, so the result must equal brute force —
     // the recall knob checked at its endpoint by the brute-force oracle
-    "sim_ivf_fullprobe" -> ((s, d) => SimilarityOps.ivfTopK(s, d, nProbe = 16)),
+    "sim_ivf_fullprobe" -> ((s, d) => SimilarityOps.ivfTopK(s, d, nCentroids = 16, nProbe = 16)),
     "sim_near_dups" -> ((s, d) => SimilarityOps.embeddingNearDups(s, d)),
     "sim_embedding_stats" -> ((s, d) => SimilarityOps.embeddingStats(s, d)),
     "sim_label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),

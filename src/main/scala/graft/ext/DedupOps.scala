@@ -74,15 +74,17 @@ object DedupOps {
     // read three times (prefix index + both verify sides) — at scale
     // this is the materialized signature table of a similarity join
     // candidate generation runs on 8-byte shingle HASH ids (see
-    // WordShingleHashes for the recall trade-off); the string arrays
-    // stay in the persisted table for exact verification only
+    // TextHashUtil.hashStringArray for the recall trade-off); hashes
+    // are derived from the PERSISTED string arrays, so the expensive
+    // shingling pass runs once and verification reads the same arrays
     val docs = Tables.documents(spark, dir)
       .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"),
-        bc(graft.functions.WordShingleHashes(br(col("text")), n)).as("hs"))
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = docs.select(col("doc_id"), size(col("hs")).as("n_sh"),
+    val hashed = docs.select(col("doc_id"),
+      bc(graft.functions.HashStringArray(br(col("sh")))).as("hs"))
+    val exploded = hashed.select(col("doc_id"), size(col("hs")).as("n_sh"),
       explode(col("hs")).as("shingle"))
     val df = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ranked = exploded.join(df, "shingle")
@@ -302,10 +304,13 @@ object DedupOps {
     val docs = Tables.documents(spark, dir)
       .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
       .select(col("doc_id"), simhash("text").as("sh"))
+    // mask via -1L >>> (64 - w): the naive (1L << w) - 1 is 0 at w=64
+    // (JVM shifts are mod 64), which would collapse maxHamming=0 into
+    // one all-pairs bucket
     val blocked = docs.select(col("doc_id"), col("sh"),
       posexplode(array((0 until nBlocks).map(b =>
         shiftrightunsigned(col("sh"), offsets(b))
-          .bitwiseAND((1L << widths(b)) - 1L)): _*)))
+          .bitwiseAND(-1L >>> (64 - widths(b)))): _*)))
       .withColumnRenamed("pos", "block")
       .withColumnRenamed("col", "block_val")
     // verify (cheap bit_count) BEFORE the pair-dedup shuffle: at a 7-bit

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -65,8 +65,7 @@ object TextHashUtil {
     * production MinHash pipeline makes to avoid shuffling full strings.
     * A collision can only DROP a candidate, never emit a wrong pair:
     * verification runs on the exact string arrays. */
-  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
-    val sh = shingles(text, n)
+  def hashStringArray(sh: ArrayData): ArrayData = {
     val m = sh.numElements()
     val seen = new java.util.LinkedHashSet[java.lang.Long](math.max(16, m))
     var i = 0
@@ -136,9 +135,11 @@ object TextHashUtil {
 }
 
 /** `word_shingles(text, n)`: distinct word n-gram shingles. */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1, "shingle size must be >= 1")
 
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
@@ -152,25 +153,30 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `word_shingle_hashes(text, n)`: distinct xxhash64 shingle ids. */
-case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
-  require(n >= 1, "shingle size must be >= 1")
+/** `hash_string_array(arr)`: distinct xxhash64 ids of a string array —
+  * applied to an already-materialized shingle column so the shingling
+  * pass runs once, not once per consumer. */
+case class HashStringArray(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "word_shingle_hashes"
+  override def prettyName: String = "hash_string_array"
 
   override protected def nullSafeEval(input: Any): Any =
-    TextHashUtil.shingleHashes(input.asInstanceOf[UTF8String], n)
+    TextHashUtil.hashStringArray(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.shingleHashes($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.hashStringArray($c)")
 
-  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+  override protected def withNewChildInternal(newChild: Expression): HashStringArray =
     copy(child = newChild)
 }
 
 /** `simhash64(text)`: 64-bit SimHash fingerprint of the token set. */
-case class Simhash64(child: Expression) extends UnaryExpression {
+case class Simhash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -186,9 +192,11 @@ case class Simhash64(child: Expression) extends UnaryExpression {
 
 /** `minhash_sig(shingles, k)`: k-element MinHash signature of a string
   * array. */
-case class MinhashSignature(child: Expression, k: Int) extends UnaryExpression {
+case class MinhashSignature(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
   require(k >= 1, "signature length must be >= 1")
 
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 

@@ -43,16 +43,22 @@ object SkewOps {
     * key's build rows must co-locate with state. Result is identical to
     * the plain join (what the oracle checks).
     *
-    * `buildSide` is replicated ×saltBuckets: keep it the SMALL side. */
+    * `buildSide` is replicated ×saltBuckets: keep it the SMALL side.
+    * Keys are passed by NAME and resolved against their own side, so
+    * identically-named keys on both sides stay unambiguous. */
   def saltedJoin(probe: DataFrame, build: DataFrame,
-                 probeKey: Column, buildKey: Column,
+                 probeKey: String, buildKey: String,
                  saltBuckets: Int = 8): DataFrame = {
-    val salted = probe.withColumn("_salt",
+    val saltCol = "__graft_salt"
+    require(!probe.columns.contains(saltCol) && !build.columns.contains(saltCol),
+      s"input already has a $saltCol column")
+    val salted = probe.withColumn(saltCol,
       pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
     val replicated = build
-      .withColumn("_salt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+      .withColumn(saltCol, explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     salted.join(replicated,
-      probeKey === buildKey && salted("_salt") === replicated("_salt"))
-      .drop("_salt")
+      salted(probeKey) === replicated(buildKey) &&
+        salted(saltCol) === replicated(saltCol))
+      .drop(saltCol)
   }
 }

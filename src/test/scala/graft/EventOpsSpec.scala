@@ -67,7 +67,7 @@ class EventOpsSpec extends SparkSuite {
       .select("o_orderkey", "c_custkey").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val salted = graft.operators.SkewOps.saltedJoin(o, c,
-        col("o_custkey"), col("c_custkey"))
+        "o_custkey", "c_custkey")
       .select("o_orderkey", "c_custkey").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(salted == plain)
