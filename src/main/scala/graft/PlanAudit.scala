@@ -13,10 +13,18 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    // iterative queries execute during CONSTRUCTION (driver-checked
+    // convergence), so "explain" would run the whole computation and
+    // print only the final checkpoint scan — audit their building
+    // blocks instead (the source scaladoc documents the loop shape)
+    val iterative = Set("dedup_clusters")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      if (iterative(n))
+        println("(iterative query — plans per round; see DedupOps.dedupClusters scaladoc)")
+      else
+        SparkEntry.queries(n)(spark, dir).explain("formatted")
     }
     spark.stop()
   }
