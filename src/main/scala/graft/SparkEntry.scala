@@ -397,8 +397,10 @@ object SparkEntry {
       |  max(p_name) AS last_name
       |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // array serialized to CSV in BOTH engines: pandas cannot sort/hash
+  // array-typed result columns, so the comparable form is a string
   private val qArrayAggSql: String =
-    """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+    """SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
       |FROM orders WHERE o_custkey <= 100
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
@@ -860,7 +862,7 @@ object SparkEntry {
     "q_corr_scalar" -> ((s, d) => Relational.maxPricedLineitems(s, d)),
     "q_quarterly" -> ((s, d) => Relational.quarterlyRevenue(s, d)),
     "q_string_funcs" -> ((s, d) => Relational.partTypeStats(s, d)),
-    "q_array_agg" -> ((s, d) => Relational.orderKeyArrays(s, d)),
+    "q_array_agg" -> ((s, d) => Relational.orderKeyArraysCsv(s, d)),
     "cp_hashes" -> (cpHashes _),
     "cp_readable_date" -> (cpReadableDate _),
     "cp_times_agg" -> (cpTimesAgg _),

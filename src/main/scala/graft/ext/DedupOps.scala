@@ -18,6 +18,21 @@ import graft.model.Tables
   */
 object DedupOps {
 
+  /** Caches shared across the dedup query family (shingle tables, the
+    * verified pair set). They are persisted on purpose — sibling queries
+    * reuse them through CacheManager plan matching — but a long-lived
+    * session should be able to let them go: `releaseShared()` unpersists
+    * everything this object pinned. Verify/Bench call it after the last
+    * dedup query. */
+  private val sharedCaches =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private def registerCache(df: DataFrame): DataFrame =
+    sharedCaches.synchronized { sharedCaches += df; df }
+  def releaseShared(): Unit = sharedCaches.synchronized {
+    sharedCaches.foreach(_.unpersist())
+    sharedCaches.clear()
+  }
+
   /** Exact dedup groups: hash-groupBy on md5(text). At 100 TB the
     * 128-bit digest group key keeps shuffle rows narrow (no full text
     * moves through the exchange). */
@@ -68,7 +83,20 @@ object DedupOps {
     * quadratic hot-key join (a naive shingle join on a skewed corpus
     * degenerates on stop-phrases; prefixes exclude them by construction). */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.8): DataFrame =
+    ngramJaccardPairsUnsorted(spark, dir, n, threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The unsorted verified-pair table `ngramJaccardPairs` sorts for
+    * display. Downstream consumers (clustering) read THIS face: they
+    * re-shuffle on their own keys anyway, so a global sort between the
+    * persisted pair cache and the consumer is pure wasted work — and
+    * because both faces share one persisted plan, CacheManager serves
+    * the sorted query and the cluster query from a single
+    * materialization. */
+  private[graft] def ngramJaccardPairsUnsorted(
+      spark: SparkSession, dir: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
     // single-file inputs arrive as one partition; spread the per-row
     // shingle compute across cores, and persist: the shingle table is
     // read three times (prefix index + both verify sides) — at scale
@@ -77,11 +105,11 @@ object DedupOps {
     // TextHashUtil.hashStringArray for the recall trade-off); hashes
     // are derived from the PERSISTED string arrays, so the expensive
     // shingling pass runs once and verification reads the same arrays
-    val docs = Tables.documents(spark, dir)
+    val docs = registerCache(Tables.documents(spark, dir)
       .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hashed = docs.select(col("doc_id"),
       bc(graft.functions.HashStringArray(br(col("sh")))).as("hs"))
     val exploded = hashed.select(col("doc_id"), size(col("hs")).as("n_sh"),
@@ -115,11 +143,10 @@ object DedupOps {
     // this exact plan, and CacheManager plan-matching lets both read one
     // materialization — at scale this is the shared "duplicate pairs"
     // table every downstream dedup step consumes
-    verified
+    registerCache(verified
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** MinHash signature: k permutations h_i(x) = (a_i * x + b_i) mod p
@@ -166,11 +193,11 @@ object DedupOps {
                       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val docs = Tables.documents(spark, dir)
+    val docs = registerCache(Tables.documents(spark, dir)
       .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sigs = docs.select(col("doc_id"),
       minhashSig("sh", numHashes).as("sig"))
     // band key = hash of the band's slice of the signature; candidates
@@ -212,43 +239,72 @@ object DedupOps {
     * node. Neighbor propagation alone needs diameter rounds; the jump
     * doubles the reach each round, so convergence is O(log diameter)
     * — at a fixed per-round scheduling cost, that is the difference
-    * between 4 and 10+ Spark jobs. The driver only reads a convergence
-    * COUNT per round (a scalar, not data). At true web scale swap in
+    * between 4 and 10+ Spark jobs. At true web scale swap in
     * the large-star/small-star alternation (Kiveris et al.), same
     * join+min building block. `localCheckpoint` caps lineage growth so
-    * round N doesn't replay rounds 1..N−1. */
+    * round N doesn't replay rounds 1..N−1.
+    *
+    * Round pacing (the part that costs wall-clock, not data): each round
+    * runs exactly ONE materializing job. The union is TAGGED so the
+    * aggregate emits both the new label and the node's previous label;
+    * convergence is then a filter-count over the already-checkpointed
+    * round output — no second join, no separate convergence plan. The
+    * label table is orders of magnitude smaller than the corpus (only
+    * nodes that appear in a duplicate pair), so the loop runs at a
+    * handful of shuffle partitions — sized by the pair-node count, not
+    * by the corpus-wide default. */
   def dedupClusters(spark: SparkSession, dir: String,
                     n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, dir, n, threshold)
+    val pairs = ngramJaccardPairsUnsorted(spark, dir, n, threshold)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("u", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    var converged = false
-    while (!converged) {
-      val propagated = edges
-        .join(labels, edges("v") === labels("doc_id"))
-        .select(col("u").as("doc_id"), col("label"))
-      val jumped = labels.as("l1")
-        .join(labels.as("l2"), col("l1.label") === col("l2.doc_id"))
-        .select(col("l1.doc_id").as("doc_id"), col("l2.label").as("label"))
-      val next = labels.unionByName(propagated).unionByName(jumped)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+    // materialize the (expensive) pair generation at the session's full
+    // shuffle width BEFORE narrowing the loop — the persist above is
+    // lazy, and the first loop action must not drag the corpus-wide
+    // shingle join down to the loop's partition count
+    edges.count()
+    // the label table holds one row per pair-endpoint node — tiny relative
+    // to the corpus. Narrow the loop's exchanges to match: 32 (or 200)
+    // two-row shuffle tasks per round is pure scheduling overhead.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      var labels = edges.select(col("u").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
         .localCheckpoint()
-      val improved = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") < col("prev")).count()
-      labels = next
-      converged = improved == 0
-    }
-    edges.unpersist()
-    labels
-      .select(col("doc_id"), col("label").as("cluster"),
-        (col("doc_id") === col("label")).as("is_keeper"))
-      .orderBy(col("doc_id"))
+      var converged = false
+      while (!converged) {
+        val propagated = edges
+          .join(labels, edges("v") === labels("doc_id"))
+          .select(col("u").as("doc_id"), col("label"))
+        val jumped = labels.as("l1")
+          .join(labels.as("l2"), col("l1.label") === col("l2.doc_id"))
+          .select(col("l1.doc_id").as("doc_id"), col("l2.label").as("label"))
+        // tag the self rows: each doc_id occurs exactly once as `self`,
+        // so min(label WHERE self) recovers the previous label in the
+        // SAME aggregate that computes the new one
+        val next = labels.withColumn("self", lit(true))
+          .unionByName(propagated.withColumn("self", lit(false)))
+          .unionByName(jumped.withColumn("self", lit(false)))
+          .groupBy(col("doc_id"))
+          .agg(min(col("label")).as("label"),
+            min(when(col("self"), col("label"))).as("prev"))
+          .localCheckpoint() // the round's single materializing job
+        // convergence reads the checkpointed partitions — a
+        // milliseconds-scale scan, not a recomputation
+        val improved = next.filter(col("label") < col("prev")).count()
+        labels = next.select(col("doc_id"), col("label"))
+        converged = improved == 0
+      }
+      edges.unpersist()
+      labels
+        .select(col("doc_id"), col("label").as("cluster"),
+          (col("doc_id") === col("label")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** SimHash-64: per-token xxhash64, bitwise majority vote → 64-bit

@@ -144,26 +144,38 @@ object EventOps {
   /** F9 over the `props` JSON column: extract k, aggregate per type.
     * k is an integer so the sums are exact. */
   /** Ordered 3-step funnel (view → later click → later purchase): how
-    * many users reach each stage in order. Each stage is one filtered
-    * aggregate joined to the previous stage's per-user frontier — three
-    * shuffles total on user_id, no window over the whole event stream,
-    * no self-join of raw events against raw events. */
+    * many users reach each stage in order. SINGLE PASS over the events:
+    * one shuffle on user_id, then three chained full-partition window
+    * minima — v_us = first view, c_us = first click strictly after
+    * v_us, p_us = first purchase strictly after c_us. Each depends on
+    * the previous, but all three share the user_id partitioning, so
+    * Catalyst plans them as stacked Window operators over ONE exchange
+    * (the per-stage join-back formulation re-scans the source once per
+    * stage). The per-user reduction reuses the same partitioning — no
+    * further exchange until the final 3-row summary. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id"))
+    val staged = events(spark, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-    val viewed = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
-    val clicked = ev.filter(col("event_type") === "click")
-      .join(viewed, "user_id").filter(col("us") > col("v_us"))
-      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
-    val purchased = ev.filter(col("event_type") === "purchase")
-      .join(clicked, "user_id").filter(col("us") > col("c_us"))
-      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
-    viewed.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
-      .unionByName(clicked.agg(count(lit(1)).as("n_users"))
-        .select(lit("2_click").as("stage"), col("n_users")))
-      .unionByName(purchased.agg(count(lit(1)).as("n_users"))
-        .select(lit("3_purchase").as("stage"), col("n_users")))
+      .withColumn("v_us",
+        min(when(col("event_type") === "view", col("us"))).over(byUser))
+      .withColumn("c_us",
+        min(when(col("event_type") === "click" && col("us") > col("v_us"),
+          col("us"))).over(byUser))
+      .withColumn("p_us",
+        min(when(col("event_type") === "purchase" && col("us") > col("c_us"),
+          col("us"))).over(byUser))
+    val perUser = staged.groupBy(col("user_id"))
+      .agg(min(col("v_us")).as("v_us"), min(col("c_us")).as("c_us"),
+        min(col("p_us")).as("p_us"))
+    perUser
+      .agg(count(col("v_us")).as("v"), count(col("c_us")).as("c"),
+        count(col("p_us")).as("p"))
+      .select(explode(array(
+        struct(lit("1_view").as("stage"), col("v").as("n_users")),
+        struct(lit("2_click").as("stage"), col("c").as("n_users")),
+        struct(lit("3_purchase").as("stage"), col("p").as("n_users")))).as("s"))
+      .select(col("s.stage"), col("s.n_users"))
       .orderBy(col("stage"))
   }
 

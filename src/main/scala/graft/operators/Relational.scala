@@ -303,19 +303,57 @@ object Relational {
 
   // --- W1 ranking family beyond row_number ----------------------------------
 
-  /** ntile/percent_rank/cume_dist over customer balances. Global (un-
-    * partitioned) ranking windows funnel into ONE task; fine here, but
-    * at 100 TB rank globally via range-partitioned sort + per-partition
-    * offsets instead. percent_rank's (rank-1)/(n-1) double division is
-    * bit-identical across engines. */
+  /** ntile/percent_rank/cume_dist over customer balances — WITHOUT the
+    * global un-partitioned window (which funnels every row through one
+    * task, the textbook scale-killer). Scale-safe shape:
+    *
+    *  1. `repartitionByRange` + `sortWithinPartitions` on the ranking
+    *     key: a parallel range sort, P tasks.
+    *  2. `monotonically_increasing_id()` over the sorted partitions
+    *     assigns (partitionId << 33 | local row index) — local index is
+    *     deterministic because the sort key is total.
+    *  3. A P-row aggregate (count + first id per partition) → running
+    *     offsets. The only single-partition exchange in the plan is over
+    *     THIS P-row table, never over the data.
+    *  4. Broadcast the offsets back: global rank = offset + local index.
+    *     ntile/percent_rank/cume_dist are closed-form in (rank, n) when
+    *     the ordering key is unique — same double divisions as the
+    *     built-ins, so results are bit-identical (RelationalSpec pins
+    *     equality against the window formulation).
+    *
+    * The ranged exchange is consumed by both the offsets aggregate and
+    * the rank join; Spark reuses one shuffle write (ReusedExchange). */
   def balanceQuartiles(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
-    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    c.select(
-        col("c_custkey"), col("c_acctbal"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"))
+    val k = 4
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_acctbal"))
+    val parts = math.max(1, math.min(c.sparkSession.sparkContext.defaultParallelism, 64))
+    val sortKeys = Seq(col("c_acctbal").asc, col("c_custkey").asc)
+    val ranged = c.repartitionByRange(parts, sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", spark_partition_id().cast("long"))
+    val cumW = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranged.groupBy(col("pid"))
+      .agg(count(lit(1)).as("cnt"), min(col("mid")).as("min_mid"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(cumW), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .select(col("pid"), col("off"), col("n"), col("min_mid"))
+    ranged.join(broadcast(offs), "pid")
+      .withColumn("rn", col("off") + col("mid") - col("min_mid") + 1)
+      // ntile(k): the first (n mod k) buckets hold ⌈n/k⌉ rows, the rest
+      // ⌊n/k⌋ — closed form over the global rank (ties impossible: the
+      // ordering key includes the unique c_custkey)
+      .withColumn("quartile", expr(
+        s"""CASE WHEN rn <= (n % $k) * (n DIV $k + 1)
+           |  THEN (rn - 1) DIV (n DIV $k + 1) + 1
+           |  ELSE (n % $k) + (rn - (n % $k) * (n DIV $k + 1) - 1) DIV (n DIV $k) + 1
+           |END""".stripMargin))
+      .withColumn("pct_rank", when(col("n") > 1,
+        (col("rn") - 1).cast("double") / (col("n") - 1)).otherwise(lit(0.0)))
+      .withColumn("cume", col("rn").cast("double") / col("n"))
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("quartile").cast("long").as("quartile"),
+        col("pct_rank"), col("cume"))
       .orderBy(col("c_custkey"))
   }
 
@@ -372,6 +410,15 @@ object Relational {
       .agg(array_sort(collect_list(col("o_orderkey"))).as("orderkeys"))
       .orderBy(col("o_custkey"))
   }
+
+  /** The gate-facing face of `orderKeyArrays`: the sorted array rendered
+    * as a canonical CSV string. Array-typed result columns are not
+    * hashable by pandas-based comparators, so the cross-engine check
+    * runs on the serialized form (DuckDB: `array_to_string(list_sort(
+    * list(...)), ',')`); the typed array stays covered by RelationalSpec. */
+  def orderKeyArraysCsv(spark: SparkSession, dir: String): DataFrame =
+    orderKeyArrays(spark, dir)
+      .withColumn("orderkeys", concat_ws(",", col("orderkeys")))
 
   // --- A8: sketches (no SQL oracle — rows-only check) ----------------------
 

@@ -50,6 +50,24 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("global ranking plans as a range-partitioned sort, not a one-task window") {
+    val p = plan("q_ntile")
+    // parallel range sort over the data; the built-in global-window
+    // operators (ntile over an empty partition spec) must be gone — the
+    // only SinglePartition exchange left feeds the P-row offsets table
+    assert(p.contains("rangepartitioning"), p.take(800))
+    assert(!p.contains("ntile("), "global ntile window still in plan")
+    assert(p.contains("BroadcastHashJoin"), "offsets not broadcast back")
+  }
+
+  test("single-pass funnel: one exchange on user_id, no event self-joins") {
+    val p = plan("ev_funnel")
+    // stacked windows over one user_id hash exchange; the per-stage
+    // join-back formulation had three joins over three source scans
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(800))
+    assert("Scan parquet".r.findAllIn(p).length <= 1, "events scanned more than once")
+  }
+
   test("native kernels appear in the plan (no interpreted HOF fallback in dedup paths)") {
     val p = plan("dedup_simhash")
     assert(p.contains("simhash64"))

@@ -138,4 +138,27 @@ class RelationalSpec extends SparkSuite {
       assert(arr == arr.sorted)
     }
   }
+
+  test("CSV face of order-key arrays serializes the typed arrays verbatim") {
+    val typed = Relational.orderKeyArrays(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).mkString(",")).toMap
+    val csv = Relational.orderKeyArraysCsv(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(csv == typed)
+  }
+
+  test("range-partitioned quartiles equal the global-window formulation bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val expected = c.select(
+        col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("c_custkey")).collect()
+    val actual = Relational.balanceQuartiles(spark, sf).collect()
+    assert(actual.length == expected.length)
+    actual.zip(expected).foreach { case (a, e) => assert(a == e, s"$a != $e") }
+  }
 }
