@@ -30,8 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (children: Seq[Expression]) =>
-        WordShingles(children(0), literalInt(children, 1, default = 3))))
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty, "word_shingles takes at least 1 argument")
+        WordShingles(children(0), literalInt(children, 1, default = 3))
+      }))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
@@ -42,8 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_sig"),
-      (children: Seq[Expression]) =>
-        MinhashSignature(children(0), literalInt(children, 1, default = 32))))
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty, "minhash_sig takes at least 1 argument")
+        MinhashSignature(children(0), literalInt(children, 1, default = 32))
+      }))
   }
 
   /** SQL-surface size arguments must be literals (they shape the

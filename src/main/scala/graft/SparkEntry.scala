@@ -633,6 +633,70 @@ object SparkEntry {
       |WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Full replication of the md5-mode MinHash-LSH pipeline: md5-60 base
+    * hashes (engine-neutral — see TextHashUtil.md5_60), the same k=32
+    * (a·h+b) mod p permutation minima, 8 bands of 4 rows keyed by the
+    * comma-joined signature slice, candidate pairs on any agreeing band,
+    * exact-Jaccard verification at t=0.8. Every arithmetic step stays in
+    * BIGINT range on both engines, so the pair set hash-matches exactly
+    * (LSH recall misses and all). */
+  private val dedupMinhashLshSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |              FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(0, greatest(len(t) - 3, 0) + 1),
+      |         i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+      |       FROM toks),
+      |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0),
+      |hs AS (SELECT doc_id,
+      |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 4294967296 AS h32
+      |       FROM ex),
+      |sig AS (SELECT doc_id, j,
+      |          min((h32 * (2*j+1) + (982451653 * (j+1) % 2305843009213693951))
+      |              % 2305843009213693951) AS m
+      |        FROM hs CROSS JOIN generate_series(0, 31) AS g(j)
+      |        GROUP BY doc_id, j),
+      |band AS (SELECT doc_id, j // 4 AS band, string_agg(m, ',' ORDER BY j) AS bkey
+      |         FROM sig GROUP BY doc_id, j // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM band a JOIN band b
+      |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |v AS (SELECT doc_a, doc_b,
+      |        len(list_intersect(sa.s, sb.s)) AS common,
+      |        len(sa.s) AS na, len(sb.s) AS nb
+      |      FROM cand
+      |      JOIN sh sa ON sa.doc_id = doc_a
+      |      JOIN sh sb ON sb.doc_id = doc_b)
+      |SELECT doc_a, doc_b,
+      |       round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+      |FROM v
+      |WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Oracle for the md5-mode SimHash query: the blocking scheme is
+    * exhaustive at the radius (pigeonhole over maxHamming+1 blocks), so
+    * the Spark result provably equals the exact Hamming self-join over
+    * the engine-neutral fingerprints — which is what this computes
+    * (majority vote per bit over distinct md5-60 token hashes). */
+  private val dedupSimhashSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |              FROM documents),
+      |tok AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
+      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      |      FROM tok),
+      |v AS (SELECT doc_id, b,
+      |        sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |      FROM h CROSS JOIN generate_series(0, 63) AS g(b)
+      |      GROUP BY doc_id, b),
+      |fp AS (SELECT doc_id,
+      |         CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS fp
+      |       FROM v GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Connected components over the verified Jaccard pairs via a
     * recursive CTE (min label reachable from each node), keeper = min
     * doc_id per component — mirrors DedupOps.dedupClusters' iterative
@@ -877,8 +941,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => DedupOps.exactDupGroups(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(s, d)),
-    "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
-    "dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d, md5Mode = true)),
+    "dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d, md5Mode = true)),
     "sim_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     "sim_lsh_topk" -> ((s, d) => SimilarityOps.lshTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
@@ -969,8 +1033,12 @@ object SparkEntry {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
-    // dedup_minhash_lsh, dedup_simhash: no oracle (xxhash64 is
-    // Spark-specific); recall pinned vs dedup_ngram_jaccard in ScalaTest.
+    // dedup_minhash_lsh / dedup_simhash run in engine-neutral md5-60
+    // mode, so the oracle replays the full pipeline (minhash) or the
+    // exact Hamming self-join the exhaustive blocking equals (simhash);
+    // the narrower xxhash64 mode stays pinned by DedupSpec.
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "sim_bruteforce_topk" -> simBruteForceSql,
     "sim_ivf_fullprobe" -> simBruteForceSql,
     // sim_lsh_topk, sim_near_dups: no oracle (LSH bucket membership);

@@ -161,9 +161,11 @@ object DedupOps {
 
   /** Native single-pass signature kernel (graft.functions
     * .MinhashSignature) — same coefficients and fold as the SQL form
-    * below, one static call in codegen. */
-  private[graft] def minhashSig(shingleArrExpr: String, k: Int): Column =
-    bc(graft.functions.MinhashSignature(br(expr(shingleArrExpr)), k))
+    * below, one static call in codegen. `md5Mode` swaps the base hash
+    * for the engine-neutral md5-60 (oracle-replicable). */
+  private[graft] def minhashSig(shingleArrExpr: String, k: Int,
+                                md5Mode: Boolean = false): Column =
+    bc(graft.functions.MinhashSignature(br(expr(shingleArrExpr)), k, md5Mode))
 
   /** The aggregate/zip_with formulation minhashSig() replaces — kept as
     * the semantic reference (DedupSpec pins bit-parity). */
@@ -185,13 +187,20 @@ object DedupOps {
 
   /** MinHash-LSH near-dup pairs: signature of `numHashes` minhashes
     * split into `bands` bands; documents agreeing on any full band
-    * become candidates (equi-join on (band_idx, band_hash)); candidates
-    * are verified with exact Jaccard over shingles. No SQL oracle
-    * (xxhash64 is Spark-specific) — correctness is pinned by the
-    * ScalaTest recall check against `ngramJaccardPairs`. */
+    * become candidates (equi-join on the band key); candidates are
+    * verified with exact Jaccard over shingles.
+    *
+    * `md5Mode = true` makes the WHOLE pipeline engine-neutral: the base
+    * hash becomes md5-60 and the band key stays the raw comma-joined
+    * signature slice (a string any engine reproduces), so an external
+    * SQL oracle can replay signature → banding → candidates → verify
+    * and hash-match the result exactly. The default xxhash64 mode hashes
+    * the band key to 8 bytes — the narrower shuffle you want at scale —
+    * and is pinned by the ScalaTest recall check instead. */
   def minhashLshPairs(spark: SparkSession, dir: String,
                       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      md5Mode: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     val docs = registerCache(Tables.documents(spark, dir)
       .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
@@ -199,15 +208,19 @@ object DedupOps {
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sigs = docs.select(col("doc_id"),
-      minhashSig("sh", numHashes).as("sig"))
-    // band key = hash of the band's slice of the signature; candidates
-    // carry ids only (the shingle arrays re-join after pair dedup, so
-    // wide payloads never travel through the shuffle)
+      minhashSig("sh", numHashes, md5Mode).as("sig"))
+    // band key = the band's slice of the signature (hashed to 8 bytes in
+    // xxhash64 mode, raw comma-joined string in engine-neutral md5 mode);
+    // candidates carry ids only (the shingle arrays re-join after pair
+    // dedup, so wide payloads never travel through the shuffle)
+    def bandKey(b: Column): Column = {
+      val joined = concat_ws(",", slice(col("sig"),
+        b * rowsPerBand + lit(1), lit(rowsPerBand)))
+      if (md5Mode) joined else xxhash64(joined, b)
+    }
     val banded = sigs.select(
         col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey(_))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     val candidates = banded.as("a").join(banded.as("b"),
@@ -307,18 +320,20 @@ object DedupOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
-  /** SimHash-64: per-token xxhash64, bitwise majority vote → 64-bit
+  /** SimHash-64: per-token hash, bitwise majority vote → 64-bit
     * fingerprint. Near-dup candidates share at least one of
     * `maxHamming + 1` bit blocks (equi-join on block); verified by
-    * Hamming distance ≤ maxHamming. No SQL oracle (xxhash64) —
-    * ScalaTest-pinned.
+    * Hamming distance ≤ maxHamming. In md5 mode the fingerprint is
+    * engine-neutral AND the blocking is exhaustive at the radius, so the
+    * result set equals an exact Hamming self-join — which is exactly
+    * what the SQL oracle computes (no need to replicate the blocking).
     *
     * Native fused-loop expression (graft.functions.Simhash64): one
     * codegen'd static call per row; bit-parity with `simhashComposable`
     * pinned by DedupSpec. `textExpr` is a SQL expression naming the
     * text column. */
-  def simhash(textExpr: String): Column =
-    bc(graft.functions.Simhash64(br(expr(textExpr))))
+  def simhash(textExpr: String, md5Mode: Boolean = false): Column =
+    bc(graft.functions.Simhash64(br(expr(textExpr)), md5Mode))
 
   /** The aggregate/zip_with formulation simhash() replaces — kept as
     * the semantic reference. Single-pass: one aggregate carries all 64
@@ -350,7 +365,7 @@ object DedupOps {
     * standard cost — at 100 TB pick the smallest radius the corpus
     * needs, or add Manku's block-permutation tables for selectivity. */
   def simhashPairs(spark: SparkSession, dir: String,
-                   maxHamming: Int = 8): DataFrame = {
+                   maxHamming: Int = 8, md5Mode: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
     val nBlocks = maxHamming + 1
     // distribute 64 bits as evenly as possible: (64 mod n) blocks get an
@@ -359,7 +374,7 @@ object DedupOps {
     val offsets = widths.scanLeft(0)(_ + _)
     val docs = Tables.documents(spark, dir)
       .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
-      .select(col("doc_id"), simhash("text").as("sh"))
+      .select(col("doc_id"), simhash("text", md5Mode).as("sh"))
     // mask via -1L >>> (64 - w): the naive (1L << w) - 1 is 0 at w=64
     // (JVM shifts are mod 64), which would collapse maxHamming=0 into
     // one all-pairs bucket

@@ -80,16 +80,43 @@ object TextHashUtil {
     new GenericArrayData(out)
   }
 
-  /** SimHash-64 over distinct tokens: per-token xxhash64 (seed 42),
-    * bitwise majority vote -> 64-bit fingerprint. */
-  def simhash64(text: UTF8String): Long = {
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** ENGINE-NEUTRAL 60-bit hash: the first 15 hex chars of md5(s) as a
+    * long — any SQL engine reproduces it verbatim
+    * (`CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)` in DuckDB,
+    * `CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)` in Spark
+    * SQL), which is what makes the md5-mode simhash/minhash queries
+    * hash-checkable against an external oracle. 15 chars (not 16) keeps
+    * the value inside a signed 64-bit long on every engine. ~10× slower
+    * than xxhash64 per token — the xxhash64 mode remains the at-scale
+    * default. */
+  def md5_60(s: UTF8String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  /** SimHash-64 over distinct tokens: per-token hash (xxhash64 seed 42,
+    * or engine-neutral md5-60), bitwise majority vote -> 64-bit
+    * fingerprint (top 4 bits are always 0 in md5 mode — a 60-bit
+    * fingerprint, same Hamming semantics). */
+  def simhash64(text: UTF8String, md5Mode: Boolean): Long = {
     val toks = tokenize(text)
     val seen = new java.util.HashSet[String](math.max(16, toks.length))
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
       if (seen.add(toks(i))) {
-        val h = XxHash64Function.hash(UTF8String.fromString(toks(i)), StringType, 42L)
+        val u = UTF8String.fromString(toks(i))
+        val h = if (md5Mode) md5_60(u) else XxHash64Function.hash(u, StringType, 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -107,10 +134,14 @@ object TextHashUtil {
     fp
   }
 
+  /** Binary-compat face for the xxhash64 default. */
+  def simhash64(text: UTF8String): Long = simhash64(text, md5Mode = false)
+
   /** MinHash signature: k running minima of h_i(x) = (a_i*x + b_i) mod p
-    * over the 32-bit-folded xxhash64 of each shingle — each shingle is
-    * hashed exactly once. */
-  def minhashSig(shingleArr: ArrayData, k: Int): ArrayData = {
+    * over the 32-bit-folded base hash (xxhash64 seed 42, or
+    * engine-neutral md5-60) of each shingle — each shingle is hashed
+    * exactly once. */
+  def minhashSig(shingleArr: ArrayData, k: Int, md5Mode: Boolean): ArrayData = {
     val p = MersennePrime
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, p)
@@ -118,7 +149,7 @@ object TextHashUtil {
     var i = 0
     while (i < n) {
       val s = shingleArr.getUTF8String(i)
-      val raw = XxHash64Function.hash(s, StringType, 42L)
+      val raw = if (md5Mode) md5_60(s) else XxHash64Function.hash(s, StringType, 42L)
       val h = java.lang.Math.floorMod(raw, 4294967296L) // fold to [0, 2^32)
       var j = 0
       while (j < k) {
@@ -132,6 +163,10 @@ object TextHashUtil {
     }
     new GenericArrayData(mins)
   }
+
+  /** Binary-compat face for the xxhash64 default. */
+  def minhashSig(shingleArr: ArrayData, k: Int): ArrayData =
+    minhashSig(shingleArr, k, md5Mode = false)
 }
 
 /** `word_shingles(text, n)`: distinct word n-gram shingles. */
@@ -173,38 +208,43 @@ case class HashStringArray(child: Expression)
     copy(child = newChild)
 }
 
-/** `simhash64(text)`: 64-bit SimHash fingerprint of the token set. */
-case class Simhash64(child: Expression)
+/** `simhash64(text)`: 64-bit SimHash fingerprint of the token set.
+  * `md5Mode = true` switches the per-token hash to the engine-neutral
+  * md5-60 (oracle-replicable; see TextHashUtil.md5_60). */
+case class Simhash64(child: Expression, md5Mode: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = if (md5Mode) "simhash64_md5" else "simhash64"
 
   override protected def nullSafeEval(input: Any): Any =
-    TextHashUtil.simhash64(input.asInstanceOf[UTF8String])
+    TextHashUtil.simhash64(input.asInstanceOf[UTF8String], md5Mode)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.simhash64($c)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashUtil.simhash64($c, $md5Mode)")
 
   override protected def withNewChildInternal(newChild: Expression): Simhash64 =
     copy(child = newChild)
 }
 
 /** `minhash_sig(shingles, k)`: k-element MinHash signature of a string
-  * array. */
-case class MinhashSignature(child: Expression, k: Int)
+  * array. `md5Mode = true` switches the base hash to the engine-neutral
+  * md5-60 (oracle-replicable). */
+case class MinhashSignature(child: Expression, k: Int, md5Mode: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
   require(k >= 1, "signature length must be >= 1")
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_sig"
+  override def prettyName: String = if (md5Mode) "minhash_sig_md5" else "minhash_sig"
 
   override protected def nullSafeEval(input: Any): Any =
-    TextHashUtil.minhashSig(input.asInstanceOf[ArrayData], k)
+    TextHashUtil.minhashSig(input.asInstanceOf[ArrayData], k, md5Mode)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.minhashSig($c, $k)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashUtil.minhashSig($c, $k, $md5Mode)")
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
     copy(child = newChild)

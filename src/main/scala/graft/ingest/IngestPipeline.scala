@@ -10,7 +10,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ListingOps, TimeOps}
+import graft.operators.{KubeOps, ListingOps, TimeOps}
 
 /** The reference's ingest control loop re-expressed as a batch pipeline
   * (SURVEY.md §2.9 T1–T8, §3.1): poll a bucket prefix for timestamped
@@ -172,21 +172,65 @@ object IngestPipeline {
         .parquet(s"$warehouse/$sink/$e")
     }
 
+  /** T6 rolling-update / CI-settle stage (ingestor.js:231–236, 259): after
+    * a sink's load completes, the reference sleeps ONE polling interval
+    * ("wait for drone to trigger a rolling update"), then polls each of
+    * the sink's pods until the `build` container is ready AND its
+    * `running.startedAt` is after the sink's job start
+    * (checkRollingStatus, ingestor.js:180–193) — only then is the sink's
+    * end time recorded. `podJsons` returns the CURRENT kubectl pod
+    * documents for the sink (a scripted stale→fresh sequence in tests,
+    * `kubectl get pods -o json` in production); an empty list means the
+    * sink has no pods to roll (stage skipped). `maxPolls` bounds the spin
+    * so a never-fresh pod surfaces as an error (T7), where the reference
+    * would poll forever. */
+  private[graft] def awaitRollingUpdate(
+      spark: SparkSession, podJsons: () => Seq[String], jobStartSec: Long,
+      settle: () => Unit, maxPolls: Int): Unit = {
+    import spark.implicits._
+    settle() // the fixed one-interval sleep before the first check
+    var polls = 0
+    var fresh = false
+    while (!fresh) {
+      val docs = podJsons()
+      if (docs.isEmpty) return
+      val stale = KubeOps.parsePods(docs.toDF("json"))
+        .filter(!(col("ready") &&
+          KubeOps.podFresh(col("startedAt"),
+            timestamp_seconds(lit(jobStartSec)))))
+      fresh = stale.isEmpty
+      if (!fresh) {
+        polls += 1
+        if (polls >= maxPolls)
+          throw new IllegalStateException(
+            s"rolling update did not settle after $maxPolls polls")
+        settle()
+      }
+    }
+  }
+
   /** T5: THE core scheduling semantic — bulk runs both sinks in parallel
     * (async.parallel, ingestor.js:272–281); delta runs neo4j strictly
-    * before elastic (async.eachSeries, ingestor.js:283–287). */
+    * before elastic (async.eachSeries, ingestor.js:283–287). Each sink
+    * finishes with the T6 rolling-update stage before its end time is
+    * recorded (runJob's waterfall, ingestor.js:224–246). */
   def runSinks(spark: SparkSession, bucket: String, warehouse: String,
                params: IngestParams, entityNames: Seq[String],
                times: Times, clock: () => Long = () => System.currentTimeMillis / 1000,
-               onSinkEvent: (String, String) => Unit = (_, _) => ()): Unit = {
+               onSinkEvent: (String, String) => Unit = (_, _) => (),
+               podsFor: String => Seq[String] = _ => Nil,
+               settle: () => Unit = () => (),
+               maxPolls: Int = 10000): Unit = {
     def neo(): Unit = {
       times.neoStart = Some(clock()); onSinkEvent("neo4j", "start")
       runSink(spark, bucket, warehouse, params, "neo4j", entityNames)
+      awaitRollingUpdate(spark, () => podsFor("neo4j"), times.neoStart.get, settle, maxPolls)
       times.neoEnd = Some(clock()); onSinkEvent("neo4j", "end")
     }
     def elastic(): Unit = {
       times.elasticStart = Some(clock()); onSinkEvent("elastic", "start")
       runSink(spark, bucket, warehouse, params, "elastic", entityNames)
+      awaitRollingUpdate(spark, () => podsFor("elastic"), times.elasticStart.get, settle, maxPolls)
       times.elasticEnd = Some(clock()); onSinkEvent("elastic", "end")
     }
     if (params.ingestType == "bulk") {
@@ -213,7 +257,9 @@ object IngestPipeline {
     * analogue of enterErrorState is a failed job, not a silent spin (T7). */
   def processPendingOnce(spark: SparkSession, bucket: String, warehouse: String,
                          clock: () => Long = () => System.currentTimeMillis / 1000,
-                         onSinkEvent: (String, String) => Unit = (_, _) => ())
+                         onSinkEvent: (String, String) => Unit = (_, _) => (),
+                         podsFor: String => Seq[String] = _ => Nil,
+                         settle: () => Unit = () => ())
       : Option[IngestMetrics] = {
     import spark.implicits._
     val listing = listKeys(spark, bucket)
@@ -232,7 +278,8 @@ object IngestPipeline {
       .collect().map(_.getString(0)).toSeq
     val startSec = clock()
     val entityNames = entities(listing, params.ingestName)
-    runSinks(spark, bucket, warehouse, params, entityNames, times, clock, onSinkEvent)
+    runSinks(spark, bucket, warehouse, params, entityNames, times, clock,
+      onSinkEvent, podsFor, settle)
 
     val endSec = clock()
     val loadDate = new java.sql.Timestamp(endSec * 1000L)

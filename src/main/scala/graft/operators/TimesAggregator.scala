@@ -57,16 +57,19 @@ object TimesAggregator {
         mergeOpt(a.elasticEnd, b.elasticEnd, math.max))
 
       override def finish(b: TimesBuf): IngestTimes = {
-        val starts = Seq(b.neoStart, b.elasticStart).flatten
         val ends = Seq(b.neoEnd, b.elasticEnd).flatten
         IngestTimes(
           neo_job_duration =
             graft.ingest.IngestPipeline.formatDuration(b.neoStart, b.neoEnd),
           elastic_job_duration =
             graft.ingest.IngestPipeline.formatDuration(b.elasticStart, b.elasticEnd),
+          // the total runs from the NEO4J start (not the earliest start)
+          // to the latest end — the reference computes
+          // getJobDuration(neoStart, ingestEndTime) (ingestor.js:335),
+          // so an elastic job that starts first does not move the total
           total_job_duration =
             graft.ingest.IngestPipeline.formatDuration(
-              starts.minOption, if (ends.size == 2) Some(ends.max) else None),
+              b.neoStart, if (ends.size == 2) Some(ends.max) else None),
           complete = b.neoEnd.isDefined && b.elasticEnd.isDefined)
       }
 

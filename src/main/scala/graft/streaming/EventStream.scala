@@ -76,11 +76,18 @@ object EventStream {
     * watermark both drops late events and FINALIZES sessions — a session
     * is emitted (append mode) once the watermark passes its close, which
     * is exactly the flush the mapGroupsWithState version above leaves to
-    * the caller. Batch face: graft.operators.EventOps.sessionWindowStats
-    * (oracle-checked). */
-  def sessionWindowCounts(events: DataFrame, gapMinutes: Int = 5): DataFrame =
+    * the caller. The lateness bound scales with the session gap
+    * (`lateMinutes` defaults to the gap) so a wider-gap session never
+    * silently keeps a 5-minute bound. Batch face:
+    * graft.operators.EventOps.sessionWindowStats (oracle-checked); note
+    * the batch face sums `value` as exact decimal (`dsum`) while this
+    * streaming face uses a plain double `sum` — incremental state
+    * merging is order-dependent, so streaming sums can drift from the
+    * oracle by float-association ULPs. */
+  def sessionWindowCounts(events: DataFrame, gapMinutes: Int = 5,
+                          lateMinutes: Option[Int] = None): DataFrame =
     events
-      .withWatermark("ts", "5 minutes")
+      .withWatermark("ts", s"${lateMinutes.getOrElse(gapMinutes)} minutes")
       .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("user_id"),

@@ -79,6 +79,31 @@ class DedupSpec extends SparkSuite {
     assert(exact.nonEmpty)
   }
 
+  test("md5-60 kernel matches the portable SQL formulation; md5-mode blocking stays exhaustive") {
+    import spark.implicits._
+    // the engine-neutral contract: kernel md5_60(s) == the conv/substr
+    // SQL form every engine can compute
+    val strs = spark.range(200).selectExpr("concat('tok_', id) AS s")
+      .selectExpr("s", "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS h")
+      .as[(String, Long)].collect()
+    strs.foreach { case (s, h) =>
+      assert(graft.functions.TextHashUtil.md5_60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) == h, s)
+    }
+    // exhaustiveness holds in md5 mode too: banded result == exact
+    // Hamming self-join over the md5-mode fingerprints
+    val fps = spark.read.parquet(s"$plantedDir/documents.parquet")
+      .select(col("doc_id"), DedupOps.simhash("text", md5Mode = true).as("h"))
+    val exact = fps.as("a").crossJoin(fps.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.h").bitwiseXOR(col("b.h"))) <= 8)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val banded = DedupOps.simhashPairs(spark, plantedDir, 8, md5Mode = true)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded == exact)
+  }
+
   test("dedup clusters: every paired doc labeled, exactly one keeper per cluster, pairs co-clustered") {
     import spark.implicits._
     val pairs = DedupOps.ngramJaccardPairs(spark, plantedDir, threshold = 0.5)

@@ -129,6 +129,54 @@ class IngestPipelineSpec extends SparkSuite {
       "total_job_duration"))
   }
 
+  private def podJson(ready: Boolean, startedAtIso: String) =
+    s"""{"status":{"containerStatuses":[{"name":"build","ready":$ready,
+       |"restartCount":0,"state":{"running":{"startedAt":"$startedAtIso"}}}]}}"""
+      .stripMargin.replace("\n", "")
+
+  test("T6: sink end times wait on the rolling update — stale pods poll until fresh") {
+    val bucket = tmpDir("graft-bucket")
+    val wh = tmpDir("graft-wh")
+    makeIngest(bucket, "1538055240", "incremental")
+    var t = 1538050000L              // ≈ 2018-09-27; job starts shortly after
+    val clock = () => { t += 100; t }
+    val stale = podJson(ready = true, "2018-09-01T00:00:00Z")  // before job start
+    val fresh = podJson(ready = true, "2018-12-01T00:00:00Z")  // after job start
+    val polls = mutable.Map("neo4j" -> 0, "elastic" -> 0)
+    var settles = 0
+    val m = IngestPipeline.processPendingOnce(spark, bucket, wh, clock,
+      podsFor = sink => {
+        polls(sink) += 1
+        if (polls(sink) <= 2) Seq(stale) else Seq(fresh)
+      },
+      settle = () => settles += 1).get
+    // each sink kept polling through the 2 scripted stale states and
+    // completed on the fresh one (checkRollingStatus, ingestor.js:180–193)
+    assert(polls("neo4j") == 3 && polls("elastic") == 3, polls)
+    // the one-interval settle ran before the first check and between
+    // retries: 1 + 2 per sink (ingestor.js:259)
+    assert(settles == 6, s"settles=$settles")
+    assert(m.neo_job_duration.matches("\\d+h:\\d{2}mins"))
+  }
+
+  test("T6: a ready-but-never-rolled pod errors out instead of spinning forever") {
+    val stale = podJson(ready = true, "2018-09-01T00:00:00Z")
+    intercept[IllegalStateException] {
+      IngestPipeline.awaitRollingUpdate(spark, () => Seq(stale),
+        jobStartSec = 1538050000L, settle = () => (), maxPolls = 3)
+    }
+    // fresh startedAt but container not ready also keeps polling (both
+    // conditions gate, ingestor.js:188–191)
+    val notReady = podJson(ready = false, "2018-12-01T00:00:00Z")
+    intercept[IllegalStateException] {
+      IngestPipeline.awaitRollingUpdate(spark, () => Seq(notReady),
+        jobStartSec = 1538050000L, settle = () => (), maxPolls = 3)
+    }
+    // no pods ⇒ stage is a no-op
+    IngestPipeline.awaitRollingUpdate(spark, () => Nil,
+      jobStartSec = 1538050000L, settle = () => (), maxPolls = 1)
+  }
+
   test("checksum verification flags the tampered file (F10/J3)") {
     val bucket = tmpDir("graft-bucket")
     makeIngest(bucket, "1538055240", "bulk", withManifest = false)

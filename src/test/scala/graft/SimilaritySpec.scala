@@ -125,6 +125,29 @@ class SimilaritySpec extends SparkSuite {
     assert(hits >= 9, s"only $hits/10 planted neighbors found: $top1")
   }
 
+  test("IVF centroids are k-means-trained: objective beats the seed index, centroids are means") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seeds = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val trained = SimilarityOps.trainCentroids(emb, 16)
+    assert(trained.count() == 16)
+    // avg best-centroid cosine over the corpus — Lloyd's must improve it
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      emb.crossJoin(broadcast(cents))
+        .withColumn("csim", SimilarityOps.cosine(col("embedding"), col("cvec")))
+        .groupBy(col("vec_id")).agg(max(col("csim")).as("best"))
+        .agg(avg(col("best"))).collect().head.getDouble(0)
+    val before = objective(seeds)
+    val after = objective(trained)
+    assert(after > before, f"k-means did not improve: $before%.4f -> $after%.4f")
+    // trained centroids are cluster MEANS, not corpus vectors: none of
+    // them should equal its seed vector bit-for-bit
+    val unchanged = trained.join(seeds.withColumnRenamed("cvec", "seed"), "cid")
+      .filter(col("cvec") === col("seed")).count()
+    assert(unchanged < 16, "training left every centroid at its seed")
+  }
+
   test("near-dup LSH finds planted perturbed copies (cos ≈ 1)") {
     import spark.implicits._
     val base = spark.read.parquet(s"$sf/embeddings.parquet")
