@@ -748,6 +748,80 @@ object SparkEntry {
       |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
       |ORDER BY qid, rnk""".stripMargin
 
+  /** Full replication of the multi-table hyperplane-LSH near-dup join:
+    * the planes are integer-LCG literals (planeComponent — exact in any
+    * engine: the 31-bit value is exactly representable, /2^31 and −0.5
+    * are exact), the plane dots are in-order double folds (bit-identical
+    * to list_sum(list_transform(...)) — the same contract the green
+    * brute-force oracle relies on), so bucket membership, the candidate
+    * set, and the verified cosines all reproduce exactly. */
+  private val simNearDupsSql: String =
+    """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+      |tp AS (SELECT t, p FROM generate_series(0, 1) g1(t)
+      |       CROSS JOIN generate_series(0, 5) g2(p)),
+      |dots AS (SELECT e.vec_id, tp.t, tp.p,
+      |    list_sum(list_transform(range(1, 65),
+      |      j -> CAST(e.embedding[j] AS DOUBLE) *
+      |           (CAST((CAST(1103515245 AS BIGINT) * ((tp.t * 6 + tp.p) * 64 + j)
+      |                  + 12345) & 2147483647 AS DOUBLE) / 2147483648.0 - 0.5))) AS d
+      |  FROM emb e CROSS JOIN tp),
+      |buck AS (SELECT vec_id, t,
+      |    CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, t),
+      |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM buck a JOIN buck b
+      |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |v AS (SELECT vec_a, vec_b, round(
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))))), 6) AS cos
+      |  FROM cand JOIN emb ea ON ea.vec_id = vec_a
+      |            JOIN emb eb ON eb.vec_id = vec_b)
+      |SELECT vec_a, vec_b, cos FROM v WHERE cos >= 0.3
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Replication of the single-table multi-probe LSH top-k: 12-plane
+    * buckets (same LCG planes), probes = own bucket plus every 1-bit
+    * flip, candidates on bucket equality, exact cosine ranking with the
+    * (cos DESC, vec_id ASC) tie-break both engines share. */
+  private val simLshTopKSql: String =
+    """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+      |pl AS (SELECT p FROM generate_series(0, 11) g(p)),
+      |dots AS (SELECT e.vec_id, pl.p,
+      |    list_sum(list_transform(range(1, 65),
+      |      j -> CAST(e.embedding[j] AS DOUBLE) *
+      |           (CAST((CAST(1103515245 AS BIGINT) * (pl.p * 64 + j)
+      |                  + 12345) & 2147483647 AS DOUBLE) / 2147483648.0 - 0.5))) AS d
+      |  FROM emb e CROSS JOIN pl),
+      |buck AS (SELECT vec_id,
+      |    CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id),
+      |probes AS (SELECT q.vec_id AS qid,
+      |    CASE WHEN f = -1 THEN q.bucket
+      |         ELSE xor(q.bucket, CAST(1 AS BIGINT) << f) END AS bucket
+      |  FROM buck q CROSS JOIN generate_series(-1, 11) g(f)
+      |  WHERE q.vec_id < 5),
+      |cand AS (SELECT DISTINCT p.qid, c.vec_id
+      |  FROM probes p JOIN buck c ON p.bucket = c.bucket
+      |  WHERE c.vec_id >= 5),
+      |sims AS (SELECT qid, cand.vec_id, round(
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(eq.embedding[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(ec.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE))))), 6) AS cos
+      |  FROM cand JOIN emb eq ON eq.vec_id = cand.qid
+      |            JOIN emb ec ON ec.vec_id = cand.vec_id),
+      |ranked AS (SELECT qid, vec_id, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+      |  FROM sims)
+      |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+
   private val simLabelCentroidsSql: String =
     """SELECT label, i AS pos,
       |  list_sum(list_transform(list(CAST(embedding[i] AS DOUBLE) ORDER BY vec_id),
@@ -1041,8 +1115,13 @@ object SparkEntry {
     "dedup_simhash" -> dedupSimhashSql,
     "sim_bruteforce_topk" -> simBruteForceSql,
     "sim_ivf_fullprobe" -> simBruteForceSql,
-    // sim_lsh_topk, sim_near_dups: no oracle (LSH bucket membership);
-    // recall pinned vs sim_bruteforce_topk in ScalaTest.
+    // sim_lsh_topk / sim_near_dups: the LCG hyperplanes and in-order
+    // dot folds are engine-exact, so the oracle replays bucketing,
+    // probing, and verification bit-for-bit.
+    // sim_ivf_topk: no oracle — k-means means are partition-order-
+    // dependent doubles; its exactness endpoint is sim_ivf_fullprobe.
+    "sim_near_dups" -> simNearDupsSql,
+    "sim_lsh_topk" -> simLshTopKSql,
     "sim_embedding_stats" -> simEmbeddingStatsSql,
     "sim_label_centroids" -> simLabelCentroidsSql,
     "mm_media_meta" -> mmMediaMetaSql,

@@ -90,6 +90,45 @@ object IngestPipeline {
     keys.toSeq.toDF("key")
   }
 
+  /** S1 at 100 TB: `listKeys` above mirrors the reference's single-node
+    * control plane (an ArrayBuffer of keys on the driver) — correct for
+    * control-plane-sized listings, but a bucket with tens of millions of
+    * objects belongs on the executors. This face shards the listing the
+    * standard way: the driver lists only the FIRST level (the shard
+    * prefixes), and each executor recursively lists its shard — the
+    * driver never holds more than the shard list, and the full key set
+    * is born distributed. Keys are relative to the bucket root and
+    * byte-identical to `listKeys` (including zero-length marker files,
+    * which file-content sources silently drop). */
+  def listKeysDistributed(spark: SparkSession, bucket: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(bucket)
+    val filesystem = fs(spark, bucket)
+    if (!filesystem.exists(root)) return Seq.empty[String].toDF("key")
+    val rootUri = filesystem.makeQualified(root).toUri
+    val shards = filesystem.listStatus(root).map(_.getPath.toString).toSeq.sorted
+    if (shards.isEmpty) return Seq.empty[String].toDF("key")
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(shards)
+      .repartition(math.min(shards.size, spark.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        it.flatMap { shard =>
+          val p = new Path(shard)
+          val fsys = p.getFileSystem(bcConf.value.value)
+          if (fsys.getFileStatus(p).isDirectory) {
+            val files = fsys.listFiles(p, true)
+            val out = mutable.ArrayBuffer.empty[String]
+            while (files.hasNext)
+              out += rootUri.relativize(files.next().getPath.toUri).getPath
+            out
+          } else Seq(rootUri.relativize(p.toUri).getPath)
+        }
+      }
+      .toDF("key")
+  }
+
   /** §3.2: the oldest pending ingest, or None while the bucket has no
     * valid timestamped marker folder (the wait states of ingestor.js:82–96). */
   def oldestPending(listing: DataFrame): Option[IngestParams] = {

@@ -212,6 +212,22 @@ class IngestPipelineSpec extends SparkSuite {
     assert(Files.exists(Paths.get(s"$bucket/pending/1538055240")))
   }
 
+  test("distributed listing face equals the driver-side listing") {
+    val bucket = tmpDir("graft-bucket")
+    makeIngest(bucket, "1538055240", "bulk")
+    makeIngest(bucket, "1538055250", "incremental")
+    val driverSide = IngestPipeline.listKeys(spark, bucket)
+      .collect().map(_.getString(0)).toSet
+    val distributed = IngestPipeline.listKeysDistributed(spark, bucket)
+      .collect().map(_.getString(0)).toSet
+    assert(distributed == driverSide, s"diff: ${distributed.diff(driverSide)} / ${driverSide.diff(distributed)}")
+    // and it feeds the same control decision
+    assert(IngestPipeline.oldestPending(
+      IngestPipeline.listKeysDistributed(spark, bucket)).get.ingestName == "1538055240")
+    // empty bucket ⇒ empty frame, same as the driver face
+    assert(IngestPipeline.listKeysDistributed(spark, tmpDir("graft-empty")).isEmpty)
+  }
+
   test("manifest reconciliation reports undeclared and missing files") {
     val bucket = tmpDir("graft-bucket")
     makeIngest(bucket, "1538055240", "bulk")
