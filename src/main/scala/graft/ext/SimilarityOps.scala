@@ -129,89 +129,117 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** K-means (Lloyd's) centroid training as pure DataFrame ops — the
-    * scalable shape: ASSIGN is one map-side pass against a broadcast
-    * centroid table (k is small by construction), UPDATE is a grouped
-    * per-dimension mean — the only shuffle per round is the (cid, dim)
-    * aggregate, with map-side partial averaging. Seeds are the first
-    * `nCentroids` vectors (deterministic — no RNG, so every engine/run
-    * trains the same index); clusters that go empty keep their previous
-    * centroid (the standard Lloyd's guard). The tiny centroid table is
-    * `localCheckpoint`ed per round so round N's plan doesn't replay
-    * rounds 1..N−1. */
-  private[graft] def trainCentroids(emb: DataFrame, nCentroids: Int,
-                                    iters: Int = 4): DataFrame = {
-    var centroids = emb.filter(col("vec_id") >= 0 && col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cid").asc)
-      val assigned = emb.crossJoin(broadcast(centroids))
-        .withColumn("csim", cosine(col("embedding"), col("cvec")))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
-        .select(col("cid"), col("embedding"))
-      val means = assigned
-        .select(col("cid"), posexplode(col("embedding")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).cast("array<float>").as("mean"))
-      centroids = centroids.select(col("cid"), col("cvec").as("prev"))
-        .join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("mean"), col("prev")).as("cvec"))
-        .localCheckpoint()
-    }
-    centroids
+  /** The k-centroid table as a literal array-of-struct column. k·d is
+    * bounded by construction (an IVF index with k beyond a few thousand
+    * stops being an IVF index), so the centroids travel inside the plan
+    * itself — every executor evaluates assignments map-side with no
+    * join, no broadcast exchange, no shuffle. */
+  private def centroidStructs(cents: Seq[(Int, Seq[Float])]): Column =
+    array(cents.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), typedLit(v).as("cvec"))
+    }: _*)
+
+  /** Per-row top-`keep` centroid ids by (cosine desc, cid asc) — a pure
+    * column expression: score the literal centroid array, sort by
+    * (−cos, cid), slice. No shuffle; the HOF lambda calls the native
+    * CosineSimilarity kernel via its interpreted eval. */
+  private def topCentroids(vec: Column, cents: Seq[(Int, Seq[Float])],
+                           keep: Int): Column = {
+    val scored = transform(centroidStructs(cents), c =>
+      struct((-cosine(vec, c.getField("cvec"))).as("neg"),
+        c.getField("cid").as("cid")))
+    transform(slice(array_sort(scored), 1, keep), s => s.getField("cid"))
   }
 
-  /** IVF-style ANN (inverted-file index): vectors are assigned to their
-    * nearest centroid (one linear pass against a broadcast centroid
-    * table); a query probes only the posting lists of its `nProbe`
-    * nearest centroids — an equi-join on centroid id. Centroids come
-    * from `trainCentroids` (Lloyd's k-means over the corpus). The
-    * `sim_ivf_fullprobe` oracle identity (nProbe = nCentroids ⇒ result
-    * ≡ brute force) holds for ANY centroid set, so the trained index
-    * stays hash-checkable at its exactness endpoint. At 100 TB:
-    * assignment is a map-side broadcast pass, the probe join shuffles
-    * each vector once on its centroid id. */
+  /** K-means (Lloyd's) centroid training, MLlib-shaped: the centroid
+    * table lives on the driver (O(k·d) floats — bounded by construction,
+    * the same driver sync Spark MLlib's KMeans performs each round),
+    * ASSIGN is a map-side literal-array argmax (zero shuffle, zero
+    * join), and UPDATE is ONE `groupBy(cid)` with d partially-aggregated
+    * means — so each Lloyd's round costs exactly one k×d-sized shuffle
+    * and one k-row collect. Seeds are the first `nCentroids` vectors
+    * (deterministic — no RNG, so every run trains the same index);
+    * clusters that go empty keep their previous centroid (the standard
+    * Lloyd's guard). */
+  private[graft] def trainCentroidsLocal(emb: DataFrame, nCentroids: Int,
+                                         iters: Int = 2): Seq[(Int, Seq[Float])] = {
+    // every Lloyd's round re-scans the corpus — pin it for the loop
+    // (CacheManager also serves the caller's identical plan while hot)
+    emb.persist()
+    try {
+      var cents: Seq[(Int, Seq[Float])] =
+        emb.filter(col("vec_id") >= 0 && col("vec_id") < nCentroids)
+          .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Float](1))
+          .sortBy(_._1).toSeq
+      require(cents.nonEmpty, s"no seed vectors with vec_id < $nCentroids")
+      val dim = cents.head._2.length
+      val meanCols = (0 until dim).map(j => avg(col("embedding").getItem(j)))
+      for (_ <- 1 to iters) {
+        val means = emb
+          .select(element_at(topCentroids(col("embedding"), cents, 1), 1).as("cid"),
+            col("embedding"))
+          .groupBy(col("cid"))
+          .agg(meanCols.head, meanCols.tail: _*)
+          .collect()
+          .map(r => r.getInt(0) -> (0 until dim).map(j => r.getDouble(j + 1).toFloat))
+          .toMap
+        cents = cents.map { case (cid, prev) => cid -> means.getOrElse(cid, prev) }
+      }
+      cents
+    } finally emb.unpersist(blocking = false)
+  }
+
+  /** DataFrame face of `trainCentroidsLocal` (cid: long, cvec:
+    * array<float>) for callers that want the index as a table. */
+  private[graft] def trainCentroids(emb: DataFrame, nCentroids: Int,
+                                    iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    trainCentroidsLocal(emb, nCentroids, iters)
+      .toDF("cid", "cvec")
+      .select(col("cid").cast("long").as("cid"),
+        col("cvec").cast("array<float>").as("cvec"))
+  }
+
   /** Trained-centroid memo: the full-probe and nProbe query faces share
     * one training run per (dir, k, iters) — training is deterministic,
     * so re-running it per query would only re-spend the Lloyd's jobs. */
   private val centroidCache =
-    scala.collection.mutable.Map.empty[(String, Int, Int), DataFrame]
+    scala.collection.mutable.Map.empty[(String, Int, Int), Seq[(Int, Seq[Float])]]
 
+  /** IVF-style ANN (inverted-file index): vectors are assigned to their
+    * nearest centroid by a map-side literal-array argmax (no join, no
+    * shuffle); a query probes only the posting lists of its `nProbe`
+    * nearest centroids — an equi-join on centroid id, so each candidate
+    * vector shuffles ONCE on its cid and the query side explodes to
+    * nProbe rows. Centroids come from `trainCentroidsLocal` (Lloyd's
+    * k-means). The `sim_ivf_fullprobe` oracle identity (nProbe =
+    * nCentroids ⇒ result ≡ brute force) holds for ANY centroid set, so
+    * the trained index stays hash-checkable at its exactness endpoint.
+    * Each (qid, vec_id) pair arises at most once (one cid per candidate,
+    * distinct probe cids per query), so no pair-dedup exchange is
+    * needed. */
   def ivfTopK(spark: SparkSession, dir: String,
               numQueries: Int = 5, k: Int = 5,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
-    val centroids = centroidCache.synchronized {
-      centroidCache.getOrElseUpdate((dir, nCentroids, 4),
-        trainCentroids(emb, nCentroids))
+    val cents = centroidCache.synchronized {
+      centroidCache.getOrElseUpdate((dir, nCentroids, 2),
+        trainCentroidsLocal(emb, nCentroids))
     }
-    def nearestCentroids(df: DataFrame, idCol: String, vecCol: String,
-                         keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("csim").desc, col("cid").asc)
-      df.crossJoin(broadcast(centroids))
-        .withColumn("csim", cosine(col(vecCol), col("cvec")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("cvec", "csim", "crank")
-    }
-    val assigned = nearestCentroids(
-      emb.filter(col("vec_id") >= numQueries), "vec_id", "embedding", keep = 1)
-    val probes = nearestCentroids(
-      emb.filter(col("vec_id") < numQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-      "qid", "qvec", keep = nProbe)
+    val assigned = emb.filter(col("vec_id") >= numQueries)
+      .select(element_at(topCentroids(col("embedding"), cents, 1), 1).as("cid"),
+        col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .select(col("qid"), col("qvec"),
+        explode(topCentroids(col("qvec"), cents, nProbe)).as("cid"))
     val sims = probes.join(assigned, Seq("cid"))
       .select(col("qid"), col("vec_id"),
         round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
-      .dropDuplicates("qid", "vec_id")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     sims.withColumn("rank", row_number().over(w).cast("long"))
