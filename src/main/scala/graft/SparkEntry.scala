@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ext.{DedupOps, MultimodalOps, SampleOps, SimilarityOps, TextOps}
 import graft.model.{Fixtures, Tables}
 import graft.operators.{EventOps, KubeOps, ListingOps, Relational, TimeOps}
 
@@ -604,6 +604,94 @@ object SparkEntry {
       |    string_split_regex(trim(text), '\s+'))), ' ')) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition signals: per-row duplicate-trigram fraction
+    * plus an explode→count→max replay of the top-bigram share. */
+  private val textRepetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |        CASE WHEN len(toks) >= 3 THEN
+      |          CAST(len(toks) - 2 - len(list_distinct(list_transform(
+      |                 range(0, len(toks) - 2),
+      |                 i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))))
+      |               AS DOUBLE) / (len(toks) - 2)
+      |        ELSE 0.0 END AS dup3,
+      |        list_transform(range(0, len(toks) - 1),
+      |                       i -> toks[i + 1] || ' ' || toks[i + 2]) AS bgs
+      |      FROM t),
+      |e AS (SELECT doc_id, n_tokens, dup3, unnest(bgs) AS bg FROM b),
+      |c AS (SELECT doc_id, bg, max(n_tokens) AS n_tokens, max(dup3) AS dup3,
+      |             count(*) AS n
+      |      FROM e GROUP BY doc_id, bg),
+      |g AS (SELECT doc_id, max(n_tokens) AS n_tokens, max(dup3) AS dup3,
+      |             CAST(max(n) AS DOUBLE) / sum(n) AS tbf
+      |      FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, tbf AS top_bigram_frac, dup3 AS dup_trigram_frac,
+      |       (tbf < 0.05 AND dup3 <= 0.02) AS keep
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified sampling: md5 hex prefix vs per-stratum
+    * 4-hex-digit thresholds (floor(rate * 65536)). */
+  private val textSampleSql: String = {
+    val rows = SampleOps.mixtureRates.toSeq.sorted
+      .map { case (l, r) =>
+        s"(${sqlStr(l)}, ${sqlStr(f"${math.floor(r * 65536).toInt}%04x")})" }
+      .mkString(", ")
+    s"""WITH r(lang, thresh) AS (VALUES $rows)
+       |SELECT d.doc_id, d.lang, d.source
+       |FROM documents d JOIN r ON d.lang = r.lang
+       |WHERE substr(md5('${SampleOps.mixtureSeed}:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+       |      < r.thresh
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** GPT-style packing: running token offsets per language stream,
+    * split at fixed 256-token sequence boundaries. */
+  private val textPackSql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |                    AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+      |      FROM t)
+      |SELECT doc_id, lang, n_tokens, end_off - n_tokens AS start_off,
+      |  CAST(floor((end_off - n_tokens) / 256.0) AS BIGINT) AS bin_first,
+      |  CAST(floor((end_off - 1) / 256.0) AS BIGINT) AS bin_last,
+      |  (CAST(floor((end_off - n_tokens) / 256.0) AS BIGINT)
+      |     <> CAST(floor((end_off - 1) / 256.0) AS BIGINT)) AS straddles
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  private val qPiiScrubSql: String =
+    """SELECT c_custkey,
+      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+      |  CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+      |       AS BIGINT) AS n_masked
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  private val qModeMedianSql: String =
+    """WITH cnt AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+      |             FROM customer GROUP BY 1, 2),
+      |m AS (SELECT c_nationkey, c_mktsegment AS mode_segment,
+      |        row_number() OVER (PARTITION BY c_nationkey
+      |                           ORDER BY n DESC, c_mktsegment ASC) AS rnk
+      |      FROM cnt),
+      |md AS (SELECT c_nationkey, round(median(c_acctbal), 4) AS median_acctbal,
+      |              count(*) AS n_customers
+      |       FROM customer GROUP BY 1)
+      |SELECT md.c_nationkey, m.mode_segment, md.median_acctbal, md.n_customers
+      |FROM md JOIN m ON md.c_nationkey = m.c_nationkey AND m.rnk = 1
+      |ORDER BY md.c_nationkey""".stripMargin
+
+  private val qUnpivotSql: String =
+    """SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+      |FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
+      |FROM part
+      |ORDER BY p_partkey, measure""".stripMargin
+
   private val dedupExactSql: String =
     """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keeper
       |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
@@ -1011,6 +1099,12 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
     "text_topterms" -> ((s, d) => TextOps.topTerms(s, d)),
+    "text_repetition" -> ((s, d) => TextOps.repetitionSignals(s, d)),
+    "text_sample" -> ((s, d) => SampleOps.mixtureSample(s, d)),
+    "text_pack" -> ((s, d) => SampleOps.packSequences(s, d)),
+    "q_pii_scrub" -> ((s, d) => TextOps.scrubIds(s, d)),
+    "q_mode_median" -> ((s, d) => Relational.segmentModeMedian(s, d)),
+    "q_unpivot" -> ((s, d) => Relational.partMeasuresLong(s, d)),
     "ev_funnel" -> ((s, d) => EventOps.funnel(s, d)),
     "dedup_exact" -> ((s, d) => DedupOps.exactDupGroups(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
@@ -1103,6 +1197,12 @@ object SparkEntry {
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_topterms" -> textTopTermsSql,
+    "text_repetition" -> textRepetitionSql,
+    "text_sample" -> textSampleSql,
+    "text_pack" -> textPackSql,
+    "q_pii_scrub" -> qPiiScrubSql,
+    "q_mode_median" -> qModeMedianSql,
+    "q_unpivot" -> qUnpivotSql,
     "ev_funnel" -> evFunnelSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Corpus-construction operators for a training-data pipeline: weighted
+  * stratified sampling (data mixing) and fixed-budget sequence packing.
+  * Both are deterministic — sampling decisions derive from a seeded hash
+  * of the row key, packing from a total order — so reruns, retries and
+  * cross-engine oracles all agree bit-for-bit.
+  */
+object SampleOps {
+
+  /** Deterministic hash-based stratified sampling: a row is kept iff the
+    * first 4 hex chars of md5(seed ":" key) fall below the stratum's
+    * threshold, where threshold = floor(rate * 16^4) rendered as a
+    * 4-digit hex string. This is the data-mixing primitive: the rate map
+    * is the mixture weight per stratum (language, source domain, ...).
+    *
+    * Scale: no shuffle at all — the rates table is broadcast and the
+    * filter is a per-row hash, so the operator is a narrow map over the
+    * scan and composes with predicate pushdown on the stratum column.
+    * md5 hex is lowercase in every engine, which makes the decision
+    * reproducible outside Spark (the DuckDB oracle replays it exactly).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      rates: Map[String, Double], seed: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0,1]: $rates")
+    val thresholds = rates.toSeq.sorted
+      .map { case (s, r) => (s, f"${math.floor(r * 65536).toInt}%04x") }
+      .toDF(strataCol, "thresh")
+    df.join(broadcast(thresholds), strataCol)
+      .filter(substring(md5(concat(lit(seed + ":"), col(keyCol).cast("string"))),
+        1, 4) < col("thresh"))
+      .drop("thresh")
+  }
+
+  /** The `text_sample` query face: mix the document corpus by language
+    * with fixed weights — the "sample 50% of English, 25% of German, ..."
+    * recipe used to rebalance a pretraining mixture. */
+  val mixtureRates: Map[String, Double] = Map(
+    "en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.125, "zh" -> 0.0625)
+  val mixtureSeed = "graft-mix-v1"
+
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    stratifiedSample(docs, "lang", "doc_id", mixtureRates, mixtureSeed)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** GPT-style sequence packing: concatenate each language's token
+    * stream in doc_id order and split it into fixed `budget`-token
+    * training sequences. A document is assigned the bin range
+    * [bin_first, bin_last] its tokens land in; `straddles` marks
+    * documents split across a sequence boundary.
+    *
+    * Scale: one running-sum window per language partition — fine while
+    * every language fits a single task's sort. At 100 TB, swap the
+    * window for the two-pass trick already used by
+    * Relational.balanceQuartiles: repartitionByRange(lang, doc_id),
+    * per-partition token totals collected once, then each partition
+    * computes exact global offsets locally (offsets are just a running
+    * sum of ~hundreds of partition totals). Output is identical.
+    */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 256): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val docs = Tables.documents(spark, dir)
+    val nTok = size(TextOps.tokens(col("text"))).cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), nTok.as("n_tokens"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .withColumn("bin_first", floor(col("start_off") / budget))
+      .withColumn("bin_last", floor((col("end_off") - 1) / budget))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_off"),
+        col("bin_first"), col("bin_last"),
+        (col("bin_first") =!= col("bin_last")).as("straddles"))
+      .orderBy(col("doc_id"))
+  }
+}

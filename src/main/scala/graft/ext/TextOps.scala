@@ -132,4 +132,76 @@ object TextOps {
       .filter(col("n_docs") > 1)
       .orderBy(col("fp"))
   }
+
+  /** Gopher-style repetition signals (Rae et al. 2021, arXiv:2112.11446
+    * app. A1.1): the fraction of duplicate n-grams in a document and the
+    * share of all n-gram occurrences taken by the single most frequent
+    * one — the two classic filters for boilerplate / degenerate text.
+    *
+    * Shape: the duplicate-trigram fraction is a per-row array expression
+    * (no shuffle); the top-bigram share explodes bigrams and runs a
+    * two-level aggregate — (doc_id, bigram) counts then a per-doc max —
+    * both map-side combinable, so the shuffle carries (id, count) pairs,
+    * never text, at 100 TB.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val trigrams = expr(
+      """transform(sequence(0, size(toks) - 3),
+        |  i -> concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
+        |                 element_at(toks, i + 3)))""".stripMargin)
+    val dup3 = when(col("n_tokens") >= 3,
+        (col("n_tokens") - 2 - size(array_distinct(trigrams))).cast("double") /
+          (col("n_tokens") - 2))
+      .otherwise(lit(0.0))
+    val bigrams = expr(
+      """transform(sequence(0, size(toks) - 2),
+        |  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))""".stripMargin)
+    base
+      .select(col("doc_id"), col("n_tokens"), dup3.as("dup_trigram_frac"),
+        explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        max(col("dup_trigram_frac")).as("dup_trigram_frac"),
+        count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        max(col("dup_trigram_frac")).as("dup_trigram_frac"),
+        (max(col("n")).cast("double") / sum(col("n"))).as("top_bigram_frac"))
+      .select(col("doc_id"), col("n_tokens"), col("top_bigram_frac"),
+        col("dup_trigram_frac"),
+        (col("top_bigram_frac") < 0.05 && col("dup_trigram_frac") <= 0.02)
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII-redaction shape: mask a pattern, count what was masked. The
+    * regexes stay in the RE2-compatible subset (character classes,
+    * bounded repetition — no backrefs or lookaround) so every engine,
+    * and the DuckDB oracle, agrees on the match set. */
+  def scrubPattern(text: Column, pattern: String, replacement: String): Column =
+    regexp_replace(text, pattern, replacement)
+
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** Email redaction for free text — planted-fixture checked in
+    * TextOpsSpec (the synthetic corpus itself contains no emails). */
+  def scrubEmails(text: Column): Column =
+    scrubPattern(text, emailPattern, "<EMAIL>")
+
+  /** The `q_pii_scrub` query face: account-number masking over the
+    * customer table — `c_name` carries a customer-id digit run
+    * ("Customer#000000042"); digits become '#' and n_masked counts the
+    * redacted characters. Pure per-row expressions, no shuffle. */
+  def scrubIds(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    cust.select(col("c_custkey"),
+        scrubPattern(col("c_name"), "[0-9]", "#").as("name_masked"),
+        (length(col("c_name")) -
+          length(regexp_replace(col("c_name"), "[0-9]", "")))
+          .cast("long").as("n_masked"))
+      .orderBy(col("c_custkey"))
+  }
 }

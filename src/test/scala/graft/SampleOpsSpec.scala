@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.SampleOps
+
+/** Pins the corpus-construction operators: deterministic stratified
+  * sampling (data mixing) and fixed-budget sequence packing. */
+class SampleOpsSpec extends SparkSuite {
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val rates = Map("a" -> 0.5, "b" -> 0.1)
+    val s1 = SampleOps.stratifiedSample(df, "stratum", "id", rates, "seed-1")
+    val s2 = SampleOps.stratifiedSample(df, "stratum", "id", rates, "seed-1")
+    // identical reruns — the decision is a pure hash of (seed, key)
+    assert(s1.collect().toSet == s2.collect().toSet)
+    val counts = s1.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2000 rows per stratum; md5 is uniform, so observed rates sit within
+    // a loose ±30% band of the target (binomial 6-sigma is far tighter)
+    assert(counts("a") > 700 && counts("a") < 1300, s"a=${counts("a")}")
+    assert(counts("b") > 100 && counts("b") < 300, s"b=${counts("b")}")
+  }
+
+  test("rate 0 keeps nothing, rate 1 would need threshold above ffff") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 200L).map(i => (i, "x")).toDF("id", "stratum")
+    val none = SampleOps.stratifiedSample(df, "stratum", "id",
+      Map("x" -> 0.0), "s")
+    assert(none.count() == 0)
+    // a stratum missing from the rate map is dropped (inner join)
+    val other = SampleOps.stratifiedSample(df, "stratum", "id",
+      Map("y" -> 1.0), "s")
+    assert(other.count() == 0)
+  }
+
+  test("different seeds pick different subsets") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 1000L).map(i => (i, "x")).toDF("id", "stratum")
+    val a = SampleOps.stratifiedSample(df, "stratum", "id", Map("x" -> 0.3), "s1")
+      .select("id").as[Long].collect().toSet
+    val b = SampleOps.stratifiedSample(df, "stratum", "id", Map("x" -> 0.3), "s2")
+      .select("id").as[Long].collect().toSet
+    assert(a != b)
+  }
+
+  test("packSequences offsets are contiguous per language and bins honor the budget") {
+    val rows = SampleOps.packSequences(spark, sf, budget = 256)
+      .collect()
+      .groupBy(_.getAs[String]("lang"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_.getAs[Long]("doc_id"))
+      var expectedStart = 0L
+      sorted.foreach { r =>
+        val start = r.getAs[Long]("start_off")
+        val n = r.getAs[Long]("n_tokens")
+        assert(start == expectedStart, s"gap at doc ${r.getAs[Long]("doc_id")}")
+        assert(r.getAs[Long]("bin_first") == start / 256)
+        assert(r.getAs[Long]("bin_last") == (start + n - 1) / 256)
+        assert(r.getAs[Boolean]("straddles") ==
+          (r.getAs[Long]("bin_first") != r.getAs[Long]("bin_last")))
+        expectedStart = start + n
+      }
+    }
+  }
+
+  test("packSequences with a huge budget never straddles") {
+    val rows = SampleOps.packSequences(spark, sf, budget = Int.MaxValue)
+    assert(rows.filter(col("straddles")).count() == 0)
+  }
+}

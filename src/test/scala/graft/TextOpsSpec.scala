@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextOps
+
+/** Pins the text-analysis additions: Gopher-style repetition signals on
+  * hand-built documents with known n-gram structure, and PII scrubbing
+  * on planted fixtures. */
+class TextOpsSpec extends SparkSuite {
+
+  test("repetition signals on hand-built docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 22 distinct tokens -> 21 distinct bigrams (tbf = 1/21 < 0.05), no
+    // duplicate trigrams -> the one "keep" doc in this fixture
+    val clean = ('a' to 'v').mkString(" ")
+    val out = dir(Seq(
+      (0L, clean),
+      // "x y x y x y": trigrams = {xyx, yxy, xyx, yxy} -> 4 with 2 distinct
+      // bigrams = {xy, yx, xy, yx, xy} -> top "x y" 3/5
+      (1L, "x y x y x y"),
+      // short doc: fewer than 3 tokens -> dup3 = 0
+      (2L, "hello world")))
+    val r = out.sortBy(_.getAs[Long]("doc_id"))
+    assert(r(0).getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(r(0).getAs[Double]("top_bigram_frac") == 1.0 / 21)
+    assert(r(1).getAs[Double]("dup_trigram_frac") == 0.5)
+    assert(r(1).getAs[Double]("top_bigram_frac") == 0.6)
+    assert(r(2).getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(r(2).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(r(0).getAs[Boolean]("keep"))
+    assert(!r(1).getAs[Boolean]("keep"))
+  }
+
+  private def dir(docs: Seq[(Long, String)]): Array[org.apache.spark.sql.Row] = {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmpDir("textops")
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    TextOps.repetitionSignals(spark, d).collect()
+  }
+
+  test("scrubEmails masks planted addresses and leaves clean text alone") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      "contact alice.smith+x@example.co.uk for details",
+      "no address here",
+      "two: a@b.io and c_d@e-f.org end").toDF("text")
+    val out = df.select(TextOps.scrubEmails(col("text")).as("t"))
+      .as[String].collect()
+    assert(out(0) == "contact <EMAIL> for details")
+    assert(out(1) == "no address here")
+    assert(out(2) == "two: <EMAIL> and <EMAIL> end")
+  }
+
+  test("scrubIds masks every digit and counts them") {
+    val names = graft.model.Tables.customer(spark, sf)
+      .select("c_custkey", "c_name").collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[String]("c_name")).toMap
+    val r = TextOps.scrubIds(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val name = names(row.getAs[Long]("c_custkey"))
+      assert(row.getAs[String]("name_masked") == name.replaceAll("[0-9]", "#"))
+      assert(row.getAs[Long]("n_masked") == name.count(_.isDigit))
+    }
+  }
+}
