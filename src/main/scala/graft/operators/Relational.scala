@@ -323,12 +323,15 @@ object Relational {
     *
     * The ranged exchange is consumed by both the offsets aggregate and
     * the rank join; Spark reuses one shuffle write (ReusedExchange). */
-  def balanceQuartiles(spark: SparkSession, dir: String): DataFrame = {
-    val k = 4
-    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_acctbal"))
-    val parts = math.max(1, math.min(c.sparkSession.sparkContext.defaultParallelism, 64))
-    val sortKeys = Seq(col("c_acctbal").asc, col("c_custkey").asc)
-    val ranged = c.repartitionByRange(parts, sortKeys: _*)
+  /** Scale-safe global row_number over `sortKeys` (which must define a
+    * TOTAL order — include a unique tiebreaker): parallel range sort,
+    * per-partition offsets computed on a P-row table, broadcast back.
+    * Adds `rn` (1-based global rank) and `n` (total rows); the only
+    * single-partition exchange in the plan is over the P-row offset
+    * table, never over the data. */
+  def withGlobalRank(df: DataFrame, sortKeys: Seq[Column]): DataFrame = {
+    val parts = math.max(1, math.min(df.sparkSession.sparkContext.defaultParallelism, 64))
+    val ranged = df.repartitionByRange(parts, sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
       .withColumn("mid", monotonically_increasing_id())
       .withColumn("pid", spark_partition_id().cast("long"))
@@ -340,6 +343,14 @@ object Relational {
       .select(col("pid"), col("off"), col("n"), col("min_mid"))
     ranged.join(broadcast(offs), "pid")
       .withColumn("rn", col("off") + col("mid") - col("min_mid") + 1)
+      .drop("mid", "pid", "off", "min_mid")
+  }
+
+  def balanceQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val k = 4
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_acctbal"))
+    val sortKeys = Seq(col("c_acctbal").asc, col("c_custkey").asc)
+    withGlobalRank(c, sortKeys)
       // ntile(k): the first (n mod k) buckets hold ⌈n/k⌉ rows, the rest
       // ⌊n/k⌋ — closed form over the global rank (ties impossible: the
       // ordering key includes the unique c_custkey)
@@ -442,5 +453,50 @@ object Relational {
         round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)"), 4).as("median_qty"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
+  }
+
+  // --- A6+: mode + median ----------------------------------------------------
+
+  /** Deterministic per-group mode + exact median. Engine built-in
+    * `mode()` breaks ties arbitrarily (not oracle-checkable), so the
+    * mode is a count + row_number shape with ties broken toward the
+    * smallest value: shuffle 1 on (group, value) with map-side combine,
+    * shuffle 2 on the group — counts travel, never rows. The median is
+    * rounded to absorb engines' interpolation-formula rounding
+    * (a + (b-a)/2 vs (a+b)/2), same rationale as exactPercentiles. */
+  def segmentModeMedian(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("n").desc, col("c_mktsegment").asc)
+    val modes = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("c_nationkey"), col("c_mktsegment").as("mode_segment"))
+    val med = c.groupBy(col("c_nationkey"))
+      .agg(
+        round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal)"), 4)
+          .as("median_acctbal"),
+        count(lit(1)).as("n_customers"))
+    med.join(modes, "c_nationkey")
+      .select(col("c_nationkey"), col("mode_segment"), col("median_acctbal"),
+        col("n_customers"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  // --- A6+: unpivot / melt ---------------------------------------------------
+
+  /** Wide→long unpivot (melt) of the part measures — Spark's native
+    * `Dataset.unpivot` plans as a single Expand over one scan (no
+    * union of per-measure scans, no join), so it stays a narrow map
+    * at any scale. Measures are cast to a common double type, as
+    * unpivot requires. */
+  def partMeasuresLong(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "measure", "value")
+      .orderBy(col("p_partkey"), col("measure"))
   }
 }
