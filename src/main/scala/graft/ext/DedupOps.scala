@@ -125,9 +125,17 @@ object DedupOps {
     // whose only shared prefix shingle sits at the boundary position
     val tN = math.round(threshold * 1000000L) // thresholds with ≤6 decimals
     val alpha = expr(s"(CAST($tN AS BIGINT) * n_sh + 999999) DIV 1000000")
-    val prefix = ranked
+    // persist the prefix index: the candidate self-join consumes it on
+    // BOTH sides, and without a materialization each side re-runs the
+    // whole explode → document-frequency join → per-doc rank window
+    // (measured ~2× the generation cost at sf0.1). The index is tiny —
+    // (doc_id, shingle_hash) pairs for ~20% of shingles — so this is the
+    // classic "materialize the signature index once" step of a
+    // distributed similarity join.
+    val prefix = registerCache(ranked
       .filter(col("r") <= col("n_sh") - alpha + 1)
       .select("doc_id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -139,12 +139,30 @@ object SimilarityOps {
       struct(lit(cid).as("cid"), typedLit(v).as("cvec"))
     }: _*)
 
-  /** Per-row top-`keep` centroid ids by (cosine desc, cid asc) — a pure
-    * column expression: score the literal centroid array, sort by
-    * (−cos, cid), slice. No shuffle; the HOF lambda calls the native
-    * CosineSimilarity kernel via its interpreted eval. */
-  private def topCentroids(vec: Column, cents: Seq[(Int, Seq[Float])],
-                           keep: Int): Column = {
+  /** Per-row top-`keep` centroid ids by (cosine desc, cid asc) — the
+    * native fused kernel (graft.functions.TopCentroidIds): one codegen'd
+    * static call per row, centroid matrix carried by reference. The
+    * literal-array formulation below re-embedded k×dim float literals in
+    * every plan and each Lloyd's round re-analyzed it — plan compile
+    * time, not row throughput, was the training cost. No shuffle either
+    * way. */
+  private[graft] def topCentroids(vec: Column, cents: Seq[(Int, Seq[Float])],
+                                  keep: Int): Column = {
+    val sorted = cents.sortBy(_._1)
+    val cids = sorted.map(_._1).toArray
+    val matrix = sorted.flatMap(_._2).toArray
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.TopCentroidIds(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+        matrix, cids, keep))
+  }
+
+  /** The composable struct-sort formulation topCentroids() replaces —
+    * kept as the executable semantic reference (SimilaritySpec pins
+    * equality on every corpus vector). */
+  private[graft] def topCentroidsComposable(vec: Column,
+                                            cents: Seq[(Int, Seq[Float])],
+                                            keep: Int): Column = {
     val scored = transform(centroidStructs(cents), c =>
       struct((-cosine(vec, c.getField("cvec"))).as("neg"),
         c.getField("cid").as("cid")))

@@ -148,6 +148,21 @@ class SimilaritySpec extends SparkSuite {
     assert(unchanged < 16, "training left every centroid at its seed")
   }
 
+  test("native top-centroid kernel matches the composable struct-sort form") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = SimilarityOps.trainCentroidsLocal(emb, 16)
+    for (keep <- Seq(1, 4, 16)) {
+      val both = emb.select(
+        SimilarityOps.topCentroids(col("embedding"), cents, keep).as("native"),
+        SimilarityOps.topCentroidsComposable(col("embedding"), cents, keep)
+          .as("composable"))
+      val diff = both.filter(col("native") =!= col("composable")).count()
+      assert(diff == 0L,
+        s"$diff vectors rank centroids differently at keep=$keep")
+    }
+  }
+
   test("near-dup LSH finds planted perturbed copies (cos ≈ 1)") {
     import spark.implicits._
     val base = spark.read.parquet(s"$sf/embeddings.parquet")
