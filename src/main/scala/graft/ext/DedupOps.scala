@@ -293,8 +293,12 @@ object DedupOps {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      var labels = edges.select(col("u").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
+      // seed with the first propagation round folded into init: label₀ =
+      // min(self, neighbors). Same groupBy the plain distinct would cost,
+      // one fewer loop round (and checkpoint) for every component
+      var labels = edges.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("label"))
+        .select(col("u").as("doc_id"), col("label"))
         .localCheckpoint()
       var converged = false
       while (!converged) {
