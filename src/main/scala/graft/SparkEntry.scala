@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{DedupOps, MultimodalOps, SampleOps, SimilarityOps, TextOps}
 import graft.model.{Fixtures, Tables}
-import graft.operators.{EventOps, KubeOps, ListingOps, Relational, TimeOps}
+import graft.operators.{ChangeOps, EventOps, KubeOps, ListingOps, Relational, TimeOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1130,7 +1130,10 @@ object SparkEntry {
     "ev_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "ev_asof" -> ((s, d) => EventOps.lastViewBeforePurchase(s, d)),
     "ev_range_clicks" -> ((s, d) => EventOps.clicksBeforeErrors(s, d)),
-    "ev_props_stats" -> ((s, d) => EventOps.propsStats(s, d))
+    "ev_props_stats" -> ((s, d) => EventOps.propsStats(s, d)),
+
+    "q_compact_latest" -> ((s, d) => ChangeOps.latestEvents(s, d)),
+    "q_scd2" -> ((s, d) => ChangeOps.orderStatusHistory(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1232,6 +1235,20 @@ object SparkEntry {
     "ev_sessionize" -> evSessionizeSql,
     "ev_asof" -> evAsofSql,
     "ev_range_clicks" -> evRangeClicksSql,
-    "ev_props_stats" -> evPropsStatsSql
+    "ev_props_stats" -> evPropsStatsSql,
+    "q_compact_latest" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
   )
 }
