@@ -1133,7 +1133,8 @@ object SparkEntry {
     "ev_props_stats" -> ((s, d) => EventOps.propsStats(s, d)),
 
     "q_compact_latest" -> ((s, d) => ChangeOps.latestEvents(s, d)),
-    "q_scd2" -> ((s, d) => ChangeOps.orderStatusHistory(s, d))
+    "q_scd2" -> ((s, d) => ChangeOps.orderStatusHistory(s, d)),
+    "q_heavy_hitters" -> ((s, d) => graft.operators.SkewOps.hotUsers(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1249,6 +1250,11 @@ object SparkEntry {
         |  (lead(o_orderdate) OVER w IS NULL) AS is_current
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT count(*) AS total FROM events),
+        |c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+        |SELECT user_id, n FROM c, t WHERE n * 1280 >= total
+        |ORDER BY user_id""".stripMargin
   )
 }

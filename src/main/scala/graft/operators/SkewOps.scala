@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities (SURVEY.md §7.4 / 100 TB notes): salting
@@ -61,4 +61,60 @@ object SkewOps {
         salted(saltCol) === replicated(saltCol))
       .drop(saltCol)
   }
+
+  /** Exact heavy hitters via Misra-Gries candidates + one verification
+    * pass — the other face of skew handling: FINDING the hot keys.
+    *
+    * Phase 1 streams each partition through k counters (classic
+    * Misra-Gries summary) with NO shuffle; a key with global count
+    * ≥ N/shareDen is guaranteed to survive in at least one partition's
+    * summary whenever shareDen ≤ k+1 (if a key is decremented away
+    * everywhere, its total is ≤ Σ N_p/(k+1) = N/(k+1) < N/shareDen).
+    * Phase 2 broadcast-semi-joins the tiny candidate set back and counts
+    * EXACTLY, keeping keys with count·shareDen ≥ N (integer compare — no
+    * float threshold), so false candidates drop out and the result is
+    * exactly {key : count ≥ N/shareDen}.
+    *
+    * Scale: phase 1 is map-only (k counters per partition, 2048 longs);
+    * phase 2 shuffles only rows of candidate keys (≤ k×partitions keys).
+    * A direct groupBy over 100 TB would shuffle every distinct key;
+    * this shuffles only plausible-heavy ones. Key must be integral
+    * (hash wider keys to 64-bit first; the exact pass still verifies).
+    */
+  def heavyHitters(df: DataFrame, key: String, shareDen: Long = 1280L,
+                   k: Int = 2048): DataFrame = {
+    require(shareDen <= k + 1L,
+      s"guarantee needs shareDen <= k+1 (got shareDen=$shareDen, k=$k)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val candidates = df.select(col(key).cast("long")).as[Long]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.LongMap.empty[Long]
+        it.foreach { v =>
+          if (counters.contains(v)) counters(v) += 1L
+          else if (counters.size < k) counters(v) = 1L
+          else {
+            // Misra-Gries decrement-all: O(k) per trigger, amortized O(1)
+            // per element (each trigger retires k+1 units of count)
+            counters.toList.foreach { case (kk, c) =>
+              if (c == 1L) counters.remove(kk) else counters(kk) = c - 1L
+            }
+          }
+        }
+        counters.keysIterator
+      }.toDF(key).distinct()
+    val counts = df.join(broadcast(candidates), Seq(key), "left_semi")
+      .groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    counts.join(broadcast(total))
+      .filter(col("n") * lit(shareDen) >= col("__total"))
+      .drop("__total")
+  }
+
+  /** Query face: users with ≥ 1/1280 of all events (exact via MG +
+    * verify; at sf0.01 every user clears the bar, at sf0.1 only the
+    * busiest do — same rule, both oracle-checked). */
+  def hotUsers(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(EventOps.events(spark, dir), "user_id")
+      .orderBy(col("user_id"))
 }
