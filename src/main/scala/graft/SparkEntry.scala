@@ -1134,7 +1134,8 @@ object SparkEntry {
 
     "q_compact_latest" -> ((s, d) => ChangeOps.latestEvents(s, d)),
     "q_scd2" -> ((s, d) => ChangeOps.orderStatusHistory(s, d)),
-    "q_heavy_hitters" -> ((s, d) => graft.operators.SkewOps.hotUsers(s, d))
+    "q_heavy_hitters" -> ((s, d) => graft.operators.SkewOps.hotUsers(s, d)),
+    "q_bloom_join" -> ((s, d) => graft.operators.BloomOps.highValueOrderRevenue(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1255,6 +1256,13 @@ object SparkEntry {
       """WITH t AS (SELECT count(*) AS total FROM events),
         |c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
         |SELECT user_id, n FROM c, t WHERE n * 1280 >= total
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS lineitem_price,
+        |  count(*) AS n_items
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000
+        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin
   )
 }
