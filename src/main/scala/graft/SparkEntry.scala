@@ -1135,7 +1135,8 @@ object SparkEntry {
     "q_compact_latest" -> ((s, d) => ChangeOps.latestEvents(s, d)),
     "q_scd2" -> ((s, d) => ChangeOps.orderStatusHistory(s, d)),
     "q_heavy_hitters" -> ((s, d) => graft.operators.SkewOps.hotUsers(s, d)),
-    "q_bloom_join" -> ((s, d) => graft.operators.BloomOps.highValueOrderRevenue(s, d))
+    "q_bloom_join" -> ((s, d) => graft.operators.BloomOps.highValueOrderRevenue(s, d)),
+    "text_tfidf" -> ((s, d) => TextOps.tfIdfTopTerms(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1263,6 +1264,22 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 450000
-        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin
+        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |            FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       WHERE length(token) > 0 GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |         tf.tf * ((t.total * 1000000) // df.df) AS score_fp
+        |  FROM tf JOIN df USING (token), t),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                 ORDER BY score_fp DESC, token ASC) AS rnk
+        |       FROM scored)
+        |SELECT doc_id, rnk, token, tf, df, score_fp
+        |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
   )
 }

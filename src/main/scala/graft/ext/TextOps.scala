@@ -65,6 +65,49 @@ object TextOps {
       .orderBy(col("lang"), col("rnk"))
   }
 
+  /** TF-IDF top-k terms per document: tokenize → per-doc term counts →
+    * corpus document frequency → score → per-doc rank.
+    *
+    * Two idf faces:
+    *  - fixed-point rational idf (DEFAULT, the text_tfidf oracle face):
+    *    `idf_fp = (N·10⁶) div df`, `score_fp = tf · idf_fp` — all-integer
+    *    arithmetic, bit-identical in any engine (a 1e-6 quantization of
+    *    the RAW idf N/df — the pre-log variant, a different weighting
+    *    than log idf, not a reordering of it).
+    *  - classic log idf (`logIdf = true`): `tf · ln(N/df)` — float;
+    *    cross-engine ln() is not guaranteed bit-stable, so this face is
+    *    pinned by TextOpsSpec against hand-computed values instead.
+    *
+    * Scale: tf is a (doc, token) partial+final hash aggregate; df
+    * aggregates the tf table by token (vocabulary-sized — Heaps' law
+    * keeps it millions, not billions); N joins in as a broadcast scalar;
+    * ranking shuffles once on doc_id. No driver-side state. */
+  def tfIdfTopTerms(spark: SparkSession, dir: String, k: Int = 3,
+                    logIdf: Boolean = false): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("total"))
+    val score =
+      if (logIdf) col("tf") * log(col("total").cast("double") / col("df"))
+      else expr("tf * ((total * 1000000) DIV df)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("token").asc)
+    tf.join(broadcast(df), "token")
+      .join(broadcast(total))
+      .withColumn("score_fp", score)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"),
+        col("df"), col("score_fp"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Quality score: a deterministic weighted combination of length,
     * lexical diversity and stopword presence — the shape of a real
     * heuristic quality filter (length/punct/stopword ratios). */

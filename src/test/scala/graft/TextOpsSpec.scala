@@ -57,6 +57,26 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2) == "two: <EMAIL> and <EMAIL> end")
   }
 
+  test("tfidf log face matches hand-computed tf*ln(N/df), fp face exact integer math") {
+    val logFace = TextOps.tfIdfTopTerms(spark, sf, k = 3, logIdf = true).collect()
+    assert(logFace.nonEmpty)
+    val total = graft.model.Tables.documents(spark, sf).count().toDouble
+    logFace.foreach { r =>
+      val tf = r.getAs[Long]("tf").toDouble
+      val df = r.getAs[Long]("df").toDouble
+      val expected = tf * math.log(total / df)
+      assert(math.abs(r.getAs[Double]("score_fp") - expected) < 1e-9,
+        s"tfidf mismatch for token ${r.getAs[String]("token")}")
+    }
+    // the fixed-point face scores exactly tf*((N*1e6) div df)
+    val fp = TextOps.tfIdfTopTerms(spark, sf, k = 3, logIdf = false).collect()
+    val n = total.toLong
+    fp.foreach { r =>
+      val expected = r.getAs[Long]("tf") * ((n * 1000000L) / r.getAs[Long]("df"))
+      assert(r.getAs[Long]("score_fp") == expected)
+    }
+  }
+
   test("scrubIds masks every digit and counts them") {
     val names = graft.model.Tables.customer(spark, sf)
       .select("c_custkey", "c_name").collect()
