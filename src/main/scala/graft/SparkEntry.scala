@@ -1136,7 +1136,8 @@ object SparkEntry {
     "q_scd2" -> ((s, d) => ChangeOps.orderStatusHistory(s, d)),
     "q_heavy_hitters" -> ((s, d) => graft.operators.SkewOps.hotUsers(s, d)),
     "q_bloom_join" -> ((s, d) => graft.operators.BloomOps.highValueOrderRevenue(s, d)),
-    "text_tfidf" -> ((s, d) => TextOps.tfIdfTopTerms(s, d))
+    "text_tfidf" -> ((s, d) => TextOps.tfIdfTopTerms(s, d)),
+    "q_zorder" -> ((s, d) => graft.sources.LayoutOps.zOrderBuckets(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1280,6 +1281,24 @@ object SparkEntry {
         |                 ORDER BY score_fp DESC, token ASC) AS rnk
         |       FROM scored)
         |SELECT doc_id, rnk, token, tf, df, score_fp
-        |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+        |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q_zorder" ->
+      """WITH base AS (SELECT l_partkey AS px, l_suppkey AS py,
+        |                     l_partkey & 65535 AS x, l_suppkey & 65535 AS y
+        |              FROM lineitem),
+        |s1 AS (SELECT px, py, (x | (x << 8)) & 16711935 AS x,
+        |              (y | (y << 8)) & 16711935 AS y FROM base),
+        |s2 AS (SELECT px, py, (x | (x << 4)) & 252645135 AS x,
+        |              (y | (y << 4)) & 252645135 AS y FROM s1),
+        |s3 AS (SELECT px, py, (x | (x << 2)) & 858993459 AS x,
+        |              (y | (y << 2)) & 858993459 AS y FROM s2),
+        |s4 AS (SELECT px, py, (x | (x << 1)) & 1431655765 AS x,
+        |              (y | (y << 1)) & 1431655765 AS y FROM s3),
+        |z AS (SELECT px, py, (x | (y << 1)) AS zval FROM s4)
+        |SELECT (zval * 64) // ((SELECT max(zval) FROM z) + 1) AS bucket,
+        |       count(*) AS n,
+        |       min(px) AS min_part, max(px) AS max_part,
+        |       min(py) AS min_supp, max(py) AS max_supp
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.LayoutOps
+
+/** Z-order layout: Morton-code correctness, clustering locality, and the
+  * range-exchange plan shape (exact bucket stats pinned by q_zorder). */
+class LayoutOpsSpec extends SparkSuite {
+
+  test("zValue interleaves bits: known codes and monotone locality") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L),
+      (65535L, 65535L)).toDF("x", "y")
+    val z = df.select(LayoutOps.zValue(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    // Morton: z(1,0)=1, z(0,1)=2, z(1,1)=3, z(2,2)=12, z(max,max)=2^32-1
+    assert(z == Seq(0L, 1L, 2L, 3L, 12L, (1L << 32) - 1))
+  }
+
+  test("z-buckets have compact bounding boxes vs the global key space") {
+    val rows = LayoutOps.zOrderBuckets(spark, sf).collect()
+    assert(rows.length > 1)
+    val partSpan = rows.map(_.getAs[Long]("max_part")).max -
+      rows.map(_.getAs[Long]("min_part")).min
+    val avgBucketSpan = rows.map(r =>
+      r.getAs[Long]("max_part") - r.getAs[Long]("min_part")).sum.toDouble / rows.length
+    // each z-bucket must cover a small slice of the part range, not all of it
+    assert(avgBucketSpan < partSpan / 2.0,
+      s"buckets not localized: avg span $avgBucketSpan of $partSpan")
+  }
+
+  test("clusterByZ range-partitions on the z-value and sorts within partitions") {
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    val clustered = LayoutOps.clusterByZ(l, "l_partkey", "l_suppkey", 4)
+    val plan = clustered.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"expected a range exchange:\n$plan")
+    assert(clustered.count() == l.count())
+    // within every output partition, z-values are non-decreasing
+    import spark.implicits._
+    val ok = clustered
+      .select(LayoutOps.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+      .mapPartitions { it =>
+        val zs = it.map(_.getLong(0))
+        var prev = Long.MinValue
+        var sorted = true
+        zs.foreach { v => if (v < prev) sorted = false; prev = v }
+        Iterator.single(sorted)
+      }.collect()
+    assert(ok.forall(identity), "z-values not sorted within a partition")
+  }
+}
