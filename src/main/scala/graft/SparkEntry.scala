@@ -1137,7 +1137,9 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, d) => graft.operators.SkewOps.hotUsers(s, d)),
     "q_bloom_join" -> ((s, d) => graft.operators.BloomOps.highValueOrderRevenue(s, d)),
     "text_tfidf" -> ((s, d) => TextOps.tfIdfTopTerms(s, d)),
-    "q_zorder" -> ((s, d) => graft.sources.LayoutOps.zOrderBuckets(s, d))
+    "q_zorder" -> ((s, d) => graft.sources.LayoutOps.zOrderBuckets(s, d)),
+    "q_upsert" -> ((s, d) => ChangeOps.correctedOrders(s, d)),
+    "dedup_decontaminate" -> ((s, d) => DedupOps.decontaminate(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1299,6 +1301,29 @@ object SparkEntry {
         |       count(*) AS n,
         |       min(px) AS min_part, max(px) AS max_part,
         |       min(py) AS min_supp, max(py) AS max_supp
-        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 450000 THEN 'X' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "dedup_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |                     string_split_regex(trim(text), '\s+') AS t
+        |              FROM documents),
+        |sh AS (SELECT doc_id, source, list_distinct(list_transform(
+        |         range(0, greatest(len(t) - 5, 0) + 1),
+        |         i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))) AS s
+        |       FROM toks),
+        |eg AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE source = 'src0'),
+        |tg AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE source <> 'src0'),
+        |hits AS (SELECT doc_id, count(*) AS n FROM tg
+        |         JOIN eg USING (gram) WHERE length(gram) > 0 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(hits.n, 0) AS n_contaminated,
+        |       coalesce(hits.n, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+        |LEFT JOIN hits ON d.doc_id = hits.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

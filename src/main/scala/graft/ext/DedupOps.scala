@@ -412,4 +412,43 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * n-gram with a held-out evaluation set — the standard guard against
+    * test-set leakage into LLM training data.
+    *
+    * Scale (100 TB train, ~10⁵-doc eval): the eval n-gram set is the
+    * SMALL side — distinct'd and broadcast, so the train side never
+    * shuffles its grams; `shingles()` emits per-doc DISTINCT grams, so
+    * (doc_id, gram) needs no dedup exchange either. The only shuffle is
+    * the per-doc hit count over matched rows. With `hashed = true`
+    * (default) grams travel as xxhash64 longs — 8 bytes instead of the
+    * phrase — which shrinks the broadcast ~10×; the string face
+    * (`hashed = false`) is the engine-neutral oracle surface, and
+    * DedupSpec pins both faces equal. */
+  def contamination(train: DataFrame, eval: DataFrame, n: Int = 5,
+                    hashed: Boolean = true): DataFrame = {
+    def grams(df: DataFrame) =
+      df.select(col("doc_id"), explode(shingles(col("text"), n)).as("gram"))
+        .filter(length(col("gram")) > 0)
+    val hash = (c: Column) => if (hashed) xxhash64(c) else c
+    val evalGrams = grams(eval).select(hash(col("gram")).as("gram")).distinct()
+    val hits = grams(train).select(col("doc_id"), hash(col("gram")).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Query face: documents from source 'src0' act as the eval holdout;
+    * every other document is scored against its 5-gram set. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    contamination(docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), n = 5, hashed = false)
+  }
 }

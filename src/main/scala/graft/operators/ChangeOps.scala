@@ -55,6 +55,30 @@ object ChangeOps {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** MERGE/upsert: apply `updates` to `base` — for each key, the updates
+    * row wins; base rows without an update pass through. `updates` must
+    * hold at most one row per key (compact a changelog with
+    * `latestByKey` first). Scale: the anti-join broadcasts the update
+    * KEYS (narrow), so the base side never shuffles; the union is a
+    * no-shuffle bag append. This is the write-side companion of
+    * `latestByKey` (the read-side compaction). */
+  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = updates.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+    base.join(broadcast(keys), keyCols, "left_anti")
+      .unionByName(updates)
+  }
+
+  /** Query face: price corrections for all high-value orders (status
+    * forced to 'X'), merged over the orders table. */
+  def correctedOrders(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val updates = orders.filter(col("o_totalprice") > 450000)
+      .withColumn("o_orderstatus", lit("X"))
+    upsert(orders, updates, Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Query face: per-customer order-status history as SCD2 ranges. */
   def orderStatusHistory(spark: SparkSession, dir: String): DataFrame =
     scd2(Tables.orders(spark, dir), Seq("o_custkey"), "o_orderdate", "o_orderkey")

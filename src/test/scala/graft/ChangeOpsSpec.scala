@@ -40,6 +40,15 @@ class ChangeOpsSpec extends SparkSuite {
     assert(joined.count() == 0, "found an event newer than the compacted pick")
   }
 
+  test("upsert: update rows win, unmatched base rows pass through, no row lost") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "n")
+    val updates = Seq((2L, "B", 99), (4L, "d", 40)).toDF("k", "v", "n")
+    val out = ChangeOps.upsert(base, updates, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, "a", 10), (2L, "B", 99), (3L, "c", 30), (4L, "d", 40)))
+  }
+
   test("scd2 ranges tile each key's timeline: no overlap, exactly one current") {
     val hist = ChangeOps.orderStatusHistory(spark, sf)
     import spark.implicits._

@@ -161,4 +161,28 @@ class DedupSpec extends SparkSuite {
     assert(hs(1L) == hs(2L))
     assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) <= 16)
   }
+
+  test("contamination flags exactly the docs sharing an n-gram with the eval set") {
+    val spark2 = spark
+    import spark2.implicits._
+    // doc 11 contains eval doc 1's 3-gram verbatim; 12 shares nothing
+    val eval = Seq((1L, "secret eval question one")).toDF("doc_id", "text")
+    val train = Seq(
+      (11L, "padding secret eval question one more padding"),
+      (12L, "completely unrelated training text here")).toDF("doc_id", "text")
+    val out = DedupOps.contamination(train, eval, n = 3, hashed = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((11L, 2L, true), (12L, 0L, false)))
+  }
+
+  test("hashed contamination face equals the string-gram oracle face") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val eval = docs.filter(col("source") === "src0")
+    val train = docs.filter(col("source") =!= "src0")
+    val hashed = DedupOps.contamination(train, eval, n = 5, hashed = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val strings = DedupOps.contamination(train, eval, n = 5, hashed = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hashed == strings)
+  }
 }
