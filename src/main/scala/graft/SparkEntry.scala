@@ -1139,7 +1139,8 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextOps.tfIdfTopTerms(s, d)),
     "q_zorder" -> ((s, d) => graft.sources.LayoutOps.zOrderBuckets(s, d)),
     "q_upsert" -> ((s, d) => ChangeOps.correctedOrders(s, d)),
-    "dedup_decontaminate" -> ((s, d) => DedupOps.decontaminate(s, d))
+    "dedup_decontaminate" -> ((s, d) => DedupOps.decontaminate(s, d)),
+    "q_table_stats" -> ((s, d) => graft.operators.StatsOps.orderStats(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1324,6 +1325,11 @@ object SparkEntry {
         |       coalesce(hits.n, 0) > 0 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
         |LEFT JOIN hits ON d.doc_id = hits.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_table_stats" -> Seq("o_custkey", "o_orderkey", "o_totalprice").map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS ndv,
+         |  CAST(min($c) AS DOUBLE) AS min_val, CAST(max($c) AS DOUBLE) AS max_val
+         |FROM orders""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   )
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.StatsOps
+
+/** Column-stats collection: null/NDV accounting and the one-scan plan
+  * (exact values pinned by the q_table_stats oracle). */
+class StatsOpsSpec extends SparkSuite {
+
+  test("columnStats counts nulls and NDV correctly") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.5), (2L, null), (2L, 2.5), (null, 2.5)
+    ).toDF("k", "v")
+    val rows = StatsOps.columnStats(df, Seq("k", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k = rows("k")
+    assert(k.getAs[Long]("n_rows") == 4 && k.getAs[Long]("n_nulls") == 1 &&
+      k.getAs[Long]("ndv") == 2 && k.getAs[Double]("min_val") == 1.0 &&
+      k.getAs[Double]("max_val") == 2.0)
+    val v = rows("v")
+    assert(v.getAs[Long]("n_nulls") == 1 && v.getAs[Long]("ndv") == 2)
+  }
+
+  test("orderStats reads the orders table exactly once") {
+    val plan = StatsOps.orderStats(spark, sf).queryExecution.executedPlan.toString
+    val scans = "FileScan|BatchScan".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one scan, got $scans:\n$plan")
+  }
+}
