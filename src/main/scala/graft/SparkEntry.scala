@@ -1140,7 +1140,9 @@ object SparkEntry {
     "q_zorder" -> ((s, d) => graft.sources.LayoutOps.zOrderBuckets(s, d)),
     "q_upsert" -> ((s, d) => ChangeOps.correctedOrders(s, d)),
     "dedup_decontaminate" -> ((s, d) => DedupOps.decontaminate(s, d)),
-    "q_table_stats" -> ((s, d) => graft.operators.StatsOps.orderStats(s, d))
+    "q_table_stats" -> ((s, d) => graft.operators.StatsOps.orderStats(s, d)),
+    "sim_pq_topk" -> ((s, d) => SimilarityOps.pqTopK(s, d)),
+    "sim_pq_exact" -> ((s, d) => SimilarityOps.pqExact(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1225,6 +1227,11 @@ object SparkEntry {
     "dedup_simhash" -> dedupSimhashSql,
     "sim_bruteforce_topk" -> simBruteForceSql,
     "sim_ivf_fullprobe" -> simBruteForceSql,
+    // sim_pq_exact: lossless codebook (every subvector its own centroid)
+    // => reconstruction is bit-identical => PQ scoring ≡ brute force.
+    // sim_pq_topk (compressed codebook): no oracle — trained centroid
+    // means are partition-order floats; recall pinned by SimilaritySpec.
+    "sim_pq_exact" -> simBruteForceSql,
     // sim_lsh_topk / sim_near_dups: the LCG hyperplanes and in-order
     // dot folds are engine-exact, so the oracle replays bucketing,
     // probing, and verification bit-for-bit.

@@ -125,6 +125,30 @@ class SimilaritySpec extends SparkSuite {
     assert(hits >= 9, s"only $hits/10 planted neighbors found: $top1")
   }
 
+  test("PQ top-k recall ≥ 0.9 for planted high-similarity neighbors") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val perturbed = base.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") - 10L)
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + (i.cast("double") % 7.0 - 3.0) * 0.0005).cast("float")))
+    val dir = tmpDir("graft-pq-q")
+    base.unionByName(perturbed)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    val top1 = SimilarityOps.pqTopK(spark, dir, numQueries = 0, k = 1)
+      .filter(col("qid") < 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = (-10L until 0L).count(q => top1.get(q).contains(q + 10L))
+    assert(hits >= 9, s"only $hits/10 planted neighbors found via ADC: $top1")
+  }
+
+  test("PQ with a lossless codebook equals brute force (the sim_pq_exact identity)") {
+    val exact = SimilarityOps.pqExact(spark, sf).collect().map(_.toSeq).toSeq
+    val brute = SimilarityOps.bruteForceTopK(spark, sf).collect().map(_.toSeq).toSeq
+    assert(exact == brute)
+  }
+
   test("IVF centroids are k-means-trained: objective beats the seed index, centroids are means") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
