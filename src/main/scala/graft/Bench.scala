@@ -21,13 +21,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 2-decimal values keep the whole line under ~1900 chars: the
-    // driver records only the last 2000 chars of output, and a line
-    // whose head falls outside that window is recorded unparsed
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver records only the last 2000 chars of output (plus sbt's
+    // trailing [success] line), and a line whose head falls outside that
+    // window is recorded unparsed. Strip trailing zeros ("0.30"->"0.3",
+    // "2.00"->"2") and drop to 1 decimal if the registry ever grows the
+    // line past ~1850 chars.
+    def fmt(v: Double, dec: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
+    def line(dec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val out = if (line(2).length <= 1850) line(2) else line(1)
+    println(out)
     graft.ext.DedupOps.releaseShared()
     spark.stop()
   }
