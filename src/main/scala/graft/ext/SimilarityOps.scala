@@ -331,19 +331,49 @@ object SimilarityOps {
 
   // --- Product quantization (PQ / ADC) --------------------------------------
 
-  /** PQ codebook: `m` subspaces × `ksub` centroids × (dim/m) floats.
-    * Each subspace trains with the shared Lloyd's trainer over that
-    * subspace's slices — deterministic (first-`ksub` seeds, no RNG).
-    * Codebook entry order is centroid id order, so codes are stable. */
+  /** PQ codebook: `m` subspaces × `ksub` centroids × (dim/m) floats,
+    * trained JOINTLY: every Lloyd's round assigns all m subspaces in one
+    * map pass (m argmax kernels in one projection), explodes to
+    * (subspace, cid, subvector) and takes means in ONE grouped
+    * aggregate — one shuffle + one 128-row collect per round, instead
+    * of m independent trainers (m× the driver-synchronized jobs, which
+    * dominated wall time at local[32]). Deterministic seeds (the first
+    * `ksub` vectors' slices, no RNG); empty cells keep their previous
+    * centroid. */
   private[graft] def trainCodebook(emb: DataFrame, dim: Int, m: Int,
                                    ksub: Int, iters: Int): Seq[Seq[Seq[Float]]] = {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    (0 until m).map { i =>
-      val sub = emb.select(col("vec_id"),
-        slice(col("embedding"), i * dsub + 1, dsub).as("embedding"))
-      trainCentroidsLocal(sub, ksub, iters).sortBy(_._1).map(_._2)
-    }
+    emb.persist()
+    try {
+      val seeds = emb.filter(col("vec_id") >= 0 && col("vec_id") < ksub)
+        .select(col("vec_id").cast("int"), col("embedding")).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1)).sortBy(_._1)
+      require(seeds.nonEmpty, s"no seed vectors with vec_id < $ksub")
+      var cents: Seq[Seq[Seq[Float]]] = (0 until m).map(i =>
+        seeds.map(_._2.slice(i * dsub, (i + 1) * dsub)).toSeq)
+      for (_ <- 1 to iters) {
+        val assigned = emb.select(posexplode(array((0 until m).map { i =>
+            val c = cents(i).zipWithIndex.map { case (v, cc) => (cc, v) }
+            val sub = slice(col("embedding"), i * dsub + 1, dsub)
+            struct(element_at(topCentroids(sub, c, 1), 1).as("cid"),
+              sub.as("sub"))
+          }: _*)))
+          .select(col("pos").as("sub_i"), col("col.cid").as("cid"),
+            col("col.sub").as("sub"))
+        val meanCols = (0 until dsub).map(j => avg(col("sub").getItem(j)))
+        val means = assigned.groupBy(col("sub_i"), col("cid"))
+          .agg(meanCols.head, meanCols.tail: _*)
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) ->
+            (0 until dsub).map(j => r.getDouble(j + 2).toFloat))
+          .toMap
+        cents = (0 until m).map(i => cents(i).zipWithIndex.map {
+          case (prev, c) => means.getOrElse((i, c), prev.toIndexedSeq)
+        })
+      }
+      cents
+    } finally emb.unpersist(blocking = false)
   }
 
   private val codebookCache = scala.collection.mutable.Map

