@@ -1142,8 +1142,34 @@ object SparkEntry {
     "dedup_decontaminate" -> ((s, d) => DedupOps.decontaminate(s, d)),
     "q_table_stats" -> ((s, d) => graft.operators.StatsOps.orderStats(s, d)),
     "sim_pq_topk" -> ((s, d) => SimilarityOps.pqTopK(s, d)),
-    "sim_pq_exact" -> ((s, d) => SimilarityOps.pqExact(s, d))
+    "sim_pq_exact" -> ((s, d) => SimilarityOps.pqExact(s, d)),
+    "q_pagerank" -> ((s, d) => graft.operators.GraphOps.pageRank(s, d))
   )
+
+  /** Fixed-point PageRank, 3 rounds unrolled from one template — the
+    * same integer arithmetic GraphOps.pageRank runs (scale 1e12,
+    * damping 85/100, truncating division ⇒ bit-identical ranks). */
+  private val qPageRankSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.dst, sum(r.r // e.deg) AS in_sum
+         |  FROM r${i - 1} r JOIN edges e ON r.node = e.src GROUP BY 1),
+         |r$i AS (SELECT node,
+         |    (SELECT (15 * 1000000000000) // (100 * n) FROM nn)
+         |      + (85 * coalesce(c$i.in_sum, 0)) // 100 AS r
+         |  FROM nodes LEFT JOIN c$i ON node = c$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+       |            FROM lineitem),
+       |e0 AS (SELECT s AS src, p AS dst FROM li
+       |       UNION ALL SELECT p, s FROM li),
+       |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+       |edges AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+       |nodes AS (SELECT DISTINCT src AS node FROM e0),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn) AS r FROM nodes),
+       |$rounds
+       |SELECT node, r FROM r3 ORDER BY node""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "cp_oldest_ingest" -> cpOldestIngestSql,
@@ -1333,6 +1359,7 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
         |LEFT JOIN hits ON d.doc_id = hits.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_pagerank" -> qPageRankSql,
     "q_table_stats" -> Seq("o_custkey", "o_orderkey", "o_totalprice").map(c =>
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,
          |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS ndv,

@@ -26,7 +26,7 @@ object DedupOps {
     * dedup query. */
   private val sharedCaches =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-  private def registerCache(df: DataFrame): DataFrame =
+  private[graft] def registerCache(df: DataFrame): DataFrame =
     sharedCaches.synchronized { sharedCaches += df; df }
   def releaseShared(): Unit = sharedCaches.synchronized {
     sharedCaches.foreach(_.unpersist())
