@@ -37,7 +37,8 @@ object Bench {
       val total = if (results.nonEmpty) results.values.sum else 0.0
       s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val out = if (line(2).length <= 1850) line(2) else line(1)
+    // window budget: 2000 chars minus sbt's ~75-char [success] tail
+    val out = if (line(2).length <= 1915) line(2) else line(1)
     println(out)
     graft.ext.DedupOps.releaseShared()
     spark.stop()

@@ -48,6 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.nonEmpty, "minhash_sig takes at least 1 argument")
         MinhashSignature(children(0), literalInt(children, 1, default = 32))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("zvalue"),
+      new ExpressionInfo("graft.sources.LayoutOps", "zvalue"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"zvalue takes 2 arguments, got ${children.length}")
+        // expands to codegen'd Catalyst bit-arithmetic primitives
+        graft.sources.LayoutOps.zValueExpr(children(0), children(1))
+      }))
   }
 
   /** SQL-surface size arguments must be literals (they shape the

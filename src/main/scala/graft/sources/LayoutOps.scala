@@ -1,7 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 import graft.model.Tables
 
@@ -20,19 +22,33 @@ import graft.model.Tables
   */
 object LayoutOps {
 
-  /** Spread the low 16 bits of `c` into the even bit positions (classic
-    * Morton magic-number sequence). */
-  private def spread16(c: Column): Column = {
-    val a = c.bitwiseAND(lit(0xFFFFL))
-    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
-    val d = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
-    val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(0x33333333L))
-    e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
+  /** Spread the low 16 bits of `e` into the even bit positions (classic
+    * Morton magic-number sequence), built from Catalyst primitives so
+    * the same tree serves the Column face and the SQL function
+    * registration (a Column-built tree stays unresolved inside a
+    * FunctionBuilder). */
+  private def spread16(e: expressions.Expression): expressions.Expression = {
+    import expressions.{BitwiseAnd, BitwiseOr, Literal, ShiftLeft}
+    def and(a: expressions.Expression, m: Long) = BitwiseAnd(a, Literal(m))
+    val a = and(expressions.Cast(e, types.LongType), 0xFFFFL)
+    val b = and(BitwiseOr(a, ShiftLeft(a, Literal(8))), 0x00FF00FFL)
+    val d = and(BitwiseOr(b, ShiftLeft(b, Literal(4))), 0x0F0F0F0FL)
+    val f = and(BitwiseOr(d, ShiftLeft(d, Literal(2))), 0x33333333L)
+    and(BitwiseOr(f, ShiftLeft(f, Literal(1))), 0x55555555L)
   }
 
-  /** 32-bit Morton code of two 16-bit values: x in even bits, y in odd. */
-  def zValue(x: Column, y: Column): Column =
-    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+  /** 32-bit Morton code of two 16-bit values: x in even bits, y in odd
+    * (expression face — used by the `zvalue` SQL registration). */
+  def zValueExpr(x: expressions.Expression,
+                 y: expressions.Expression): expressions.Expression =
+    expressions.BitwiseOr(spread16(x),
+      expressions.ShiftLeft(spread16(y), expressions.Literal(1)))
+
+  /** Column face of [[zValueExpr]]. */
+  def zValue(x: Column, y: Column): Column = {
+    val br = org.apache.spark.sql.graftbridge.ColumnBridge
+    br.column(zValueExpr(br.expression(x), br.expression(y)))
+  }
 
   /** Cluster `df` for writing: range-partition on the z-value of
     * (xCol, yCol) and sort within partitions, so each output file covers

@@ -18,6 +18,12 @@ class LayoutOpsSpec extends SparkSuite {
     assert(z == Seq(0L, 1L, 2L, 3L, 12L, (1L << 32) - 1))
   }
 
+  test("zvalue is callable from SQL via GraftExtensions") {
+    val z = spark.sql("SELECT zvalue(3, 5) AS z").collect().head.getLong(0)
+    // 3 = 11b -> even bits 0101b; 5 = 101b -> odd bits 100010b; or = 100111b = 39
+    assert(z == 39L)
+  }
+
   test("z-buckets have compact bounding boxes vs the global key space") {
     val rows = LayoutOps.zOrderBuckets(spark, sf).collect()
     assert(rows.length > 1)
