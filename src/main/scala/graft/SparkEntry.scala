@@ -1143,7 +1143,8 @@ object SparkEntry {
     "q_table_stats" -> ((s, d) => graft.operators.StatsOps.orderStats(s, d)),
     "sim_pq_topk" -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "sim_pq_exact" -> ((s, d) => SimilarityOps.pqExact(s, d)),
-    "q_pagerank" -> ((s, d) => graft.operators.GraphOps.pageRank(s, d))
+    "q_pagerank" -> ((s, d) => graft.operators.GraphOps.pageRank(s, d)),
+    "q_topk_native" -> ((s, d) => Relational.topOrdersPerSegmentNative(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1196,6 +1197,9 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_topk_per_group" -> qTopPerSegmentSql,
+    // same oracle: the custom bounded-heap operator must reproduce the
+    // window form bit-for-bit
+    "q_topk_native" -> qTopPerSegmentSql,
     "q_window_running" -> qRunningSql,
     "q_window_lag" -> qGapsSql,
     "q_min_by" -> qMinBySql,

@@ -190,6 +190,22 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 
+  /** `topOrdersPerSegment` via the custom bounded-heap physical operator
+    * (graft.plans.TopKPerGroup) instead of a window — same oracle, no
+    * per-partition sort. */
+  def topOrdersPerSegmentNative(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.TopKPerGroup.topK(joined,
+        keys = Seq("c_mktsegment"),
+        orderBy = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+        k = 3, rankName = "rn")
+      .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
   /** W3: running revenue per customer over order date (framed aggregate). */
   def runningRevenuePerCustomer(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).filter(col("o_custkey") <= 50)
