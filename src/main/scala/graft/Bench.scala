@@ -37,8 +37,10 @@ object Bench {
       val total = if (results.nonEmpty) results.values.sum else 0.0
       s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    // window budget: 2000 chars minus sbt's ~75-char [success] tail
-    val out = if (line(2).length <= 1915) line(2) else line(1)
+    // window budget: 2000 chars minus sbt's ~75-char [success] tail;
+    // degrade precision until the line fits (0 decimals is the floor —
+    // coarse but parseable beats unparsed)
+    val out = Seq(2, 1, 0).map(line).find(_.length <= 1915).getOrElse(line(0))
     println(out)
     graft.ext.DedupOps.releaseShared()
     spark.stop()

@@ -1155,8 +1155,8 @@ object SparkEntry {
       s"""c$i AS (SELECT e.dst, sum(r.r // e.deg) AS in_sum
          |  FROM r${i - 1} r JOIN edges e ON r.node = e.src GROUP BY 1),
          |r$i AS (SELECT node,
-         |    (SELECT (15 * 1000000000000) // (100 * n) FROM nn)
-         |      + (85 * coalesce(c$i.in_sum, 0)) // 100 AS r
+         |    CAST((SELECT (15 * 1000000000000) // (100 * n) FROM nn)
+         |      + (85 * coalesce(c$i.in_sum, 0)) // 100 AS BIGINT) AS r
          |  FROM nodes LEFT JOIN c$i ON node = c$i.dst)""".stripMargin
     }.mkString(",\n")
     s"""WITH li AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s

@@ -419,10 +419,15 @@ object SimilarityOps {
     val emb = Tables.embeddings(spark, dir)
       .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val codebook = codebookCache.synchronized {
-      codebookCache.getOrElseUpdate((dir, m, ksub, iters),
-        trainCodebook(emb, dim, m, ksub, iters))
-    }
+    // memoize only real (compressed) codebooks: the lossless pqExact
+    // codebook is a full in-driver copy of the corpus and each test/SF
+    // dir would pin another one for the JVM lifetime
+    val codebook =
+      if (ksub > 1024) trainCodebook(emb, dim, m, ksub, iters)
+      else codebookCache.synchronized {
+        codebookCache.getOrElseUpdate((dir, m, ksub, iters),
+          trainCodebook(emb, dim, m, ksub, iters))
+      }
     val encoded = emb.filter(col("vec_id") >= numQueries)
       .select(col("vec_id"), pqEncode(col("embedding"), codebook).as("codes"))
     val queries = emb.filter(col("vec_id") < numQueries)

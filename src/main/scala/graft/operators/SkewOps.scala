@@ -68,8 +68,11 @@ object SkewOps {
     * Phase 1 streams each partition through k counters (classic
     * Misra-Gries summary) with NO shuffle; a key with global count
     * ≥ N/shareDen is guaranteed to survive in at least one partition's
-    * summary whenever shareDen ≤ k+1 (if a key is decremented away
-    * everywhere, its total is ≤ Σ N_p/(k+1) = N/(k+1) < N/shareDen).
+    * summary whenever shareDen ≤ k (if a key is decremented away
+    * everywhere, its total is ≤ Σ N_p/(k+1) = N/(k+1) < N/k ≤
+    * N/shareDen — the inequality must be STRICT, so shareDen = k+1 is
+    * not admissible: a key exactly at the N/(k+1) threshold can be
+    * evicted from every summary).
     * Phase 2 broadcast-semi-joins the tiny candidate set back and counts
     * EXACTLY, keeping keys with count·shareDen ≥ N (integer compare — no
     * float threshold), so false candidates drop out and the result is
@@ -83,8 +86,8 @@ object SkewOps {
     */
   def heavyHitters(df: DataFrame, key: String, shareDen: Long = 1280L,
                    k: Int = 2048): DataFrame = {
-    require(shareDen <= k + 1L,
-      s"guarantee needs shareDen <= k+1 (got shareDen=$shareDen, k=$k)")
+    require(shareDen <= k,
+      s"guarantee needs shareDen <= k (got shareDen=$shareDen, k=$k)")
     val spark = df.sparkSession
     import spark.implicits._
     val candidates = df.select(col(key).cast("long")).as[Long]

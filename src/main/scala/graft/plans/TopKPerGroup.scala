@@ -116,9 +116,13 @@ object TopKPerGroup {
            k: Int, rankName: String = "rank"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val child = ColumnBridge.logicalPlan(df)
-    def attr(n: String): Attribute = child.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"column $n not in ${child.output.map(_.name).mkString(", ")}"))
+    def attr(n: String): Attribute = child.output.filter(_.name == n) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"column $n not in ${child.output.map(_.name).mkString(", ")}")
+      case many => throw new IllegalArgumentException(
+        s"column $n is ambiguous: ${many.size} matches — disambiguate before topK")
+    }
     val sortOrders = orderBy.map { case (n, asc) =>
       SortOrder(attr(n),
         if (asc) org.apache.spark.sql.catalyst.expressions.Ascending

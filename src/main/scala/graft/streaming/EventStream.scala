@@ -136,25 +136,33 @@ object EventStream {
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val fs0 = org.apache.hadoop.fs.FileSystem.get(
+        val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
+        val target = new org.apache.hadoop.fs.Path(targetDir)
         val compacted = graft.operators.ChangeOps
           .latestByKey(batch.toDF(), keyCols, orderCols)
         val merged =
-          if (fs0.exists(new org.apache.hadoop.fs.Path(targetDir))) {
+          if (fs.exists(target)) {
             val base = spark.read.parquet(targetDir)
             graft.operators.ChangeOps.upsert(base, compacted, keyCols)
           } else compacted
         // write-then-swap: the merged plan reads targetDir, so write to a
-        // sibling temp dir (distributed) and rename over the target —
-        // never a driver-side materialization of the table
-        val tmp = targetDir + ".swap"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val target = new org.apache.hadoop.fs.Path(targetDir)
-        fs.delete(target, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+        // sibling temp dir (distributed — never a driver-side
+        // materialization), then swap via a backup rename so a crash or
+        // failed rename at any point leaves either the old table or the
+        // old table's backup on disk, never nothing
+        val tmp = new org.apache.hadoop.fs.Path(targetDir + ".swap")
+        val backup = new org.apache.hadoop.fs.Path(targetDir + ".old")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(backup, true)
+        if (fs.exists(target) && !fs.rename(target, backup))
+          throw new java.io.IOException(s"could not move $target aside to $backup")
+        if (!fs.rename(tmp, target)) {
+          // restore the previous table before surfacing the failure
+          if (fs.exists(backup)) fs.rename(backup, target)
+          throw new java.io.IOException(s"could not swap $tmp into $target")
+        }
+        fs.delete(backup, true)
         ()
       }
       .trigger(Trigger.AvailableNow())

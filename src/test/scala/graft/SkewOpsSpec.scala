@@ -15,8 +15,9 @@ class SkewOpsSpec extends SparkSuite {
     val hot = Seq.fill(1000)(1L) ++ Seq.fill(1000)(2L) ++ Seq.fill(1000)(3L)
     val cold = (100L until 5100L)
     val df = spark.sparkContext.parallelize(hot ++ cold, 7).toDF("k")
-    // shareDen=9 ⇒ threshold N/9 = 8000/9 ≈ 889: exactly keys 1,2,3
-    val got = SkewOps.heavyHitters(df, "k", shareDen = 9L, k = 8)
+    // shareDen=8 ⇒ threshold N/8 = 1000: exactly keys 1,2,3 (each at
+    // exactly the threshold — covered because N/8 > N/(k+1) strictly)
+    val got = SkewOps.heavyHitters(df, "k", shareDen = 8L, k = 8)
       .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((1L, 1000L), (2L, 1000L), (3L, 1000L)))
   }
