@@ -789,7 +789,10 @@ object SparkEntry {
     * recursive CTE (min label reachable from each node), keeper = min
     * doc_id per component — mirrors DedupOps.dedupClusters' iterative
     * min-label propagation. */
-  private val dedupClustersSql: String =
+  /** Shared CTE chain for the cluster oracles: shingles → verified
+    * pairs → recursive label walk (ground truth for the pointer-jumping
+    * loop). */
+  private val dedupClusterCtes: String =
     """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
       |              FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(
@@ -814,10 +817,33 @@ object SparkEntry {
       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
       |  UNION
       |  SELECT e.u, w2.label FROM edges e JOIN walk w2 ON e.w = w2.u
-      |)
+      |)""".stripMargin
+
+  private val dedupClustersSql: String =
+    s"""$dedupClusterCtes
       |SELECT u AS doc_id, min(label) AS cluster,
       |       (u = min(label)) AS is_keeper
       |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin
+
+  private val dedupKeeperQualitySql: String =
+    s"""$dedupClusterCtes,
+      |cl AS (SELECT u AS doc_id, min(label) AS cluster FROM walk GROUP BY u),
+      |qx AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS nt,
+      |        CAST(len(list_distinct(t)) AS DOUBLE) AS nd,
+      |        CAST(len(list_filter(t, y -> y IN $stopSet)) AS DOUBLE) AS ns
+      |      FROM toks),
+      |q AS (SELECT doc_id,
+      |        round(least(nt / 100.0, 1.0) * 0.4 + (nd / nt) * 0.4
+      |              + (ns / nt) * 0.2, 6) AS quality
+      |      FROM qx),
+      |rk AS (SELECT cluster, doc_id, quality,
+      |         row_number() OVER (PARTITION BY cluster
+      |                            ORDER BY quality DESC, doc_id ASC) AS rn,
+      |         count(*) OVER (PARTITION BY cluster) AS n_docs,
+      |         max(quality) OVER (PARTITION BY cluster) AS maxq
+      |       FROM cl JOIN q USING (doc_id))
+      |SELECT cluster, n_docs, doc_id AS keeper, maxq AS keeper_quality
+      |FROM rk WHERE rn = 1 ORDER BY cluster""".stripMargin
 
   private val simBruteForceSql: String =
     """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
@@ -1144,7 +1170,8 @@ object SparkEntry {
     "sim_pq_topk" -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "sim_pq_exact" -> ((s, d) => SimilarityOps.pqExact(s, d)),
     "q_pagerank" -> ((s, d) => graft.operators.GraphOps.pageRank(s, d)),
-    "q_topk_native" -> ((s, d) => Relational.topOrdersPerSegmentNative(s, d))
+    "q_topk_native" -> ((s, d) => Relational.topOrdersPerSegmentNative(s, d)),
+    "dedup_keeper_quality" -> ((s, d) => DedupOps.keeperByQuality(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1249,6 +1276,7 @@ object SparkEntry {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_keeper_quality" -> dedupKeeperQualitySql,
     // dedup_minhash_lsh / dedup_simhash run in engine-neutral md5-60
     // mode, so the oracle replays the full pipeline (minhash) or the
     // exact Hamming self-join the exhaustive blocking equals (simhash);

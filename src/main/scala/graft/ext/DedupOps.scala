@@ -31,6 +31,7 @@ object DedupOps {
   def releaseShared(): Unit = sharedCaches.synchronized {
     sharedCaches.foreach(_.unpersist())
     sharedCaches.clear()
+    clusterCache.synchronized(clusterCache.clear())
   }
 
   /** Exact dedup groups: hash-groupBy on md5(text). At 100 TB the
@@ -274,8 +275,29 @@ object DedupOps {
     * nodes that appear in a duplicate pair), so the loop runs at a
     * handful of shuffle partitions — sized by the pair-node count, not
     * by the corpus-wide default. */
+  /** Converged CC label table memo: the cluster query faces
+    * (`dedupClusters`, `keeperByQuality`) share one loop run per
+    * (dir, n, threshold) — the labels are localCheckpoint'ed, so reuse
+    * is a cheap scan, and the loop is deterministic. */
+  private val clusterCache =
+    scala.collection.mutable.Map.empty[(String, Int, Double), DataFrame]
+
+  private def clusterLabels(spark: SparkSession, dir: String,
+                            n: Int, threshold: Double): DataFrame =
+    clusterCache.synchronized {
+      clusterCache.getOrElseUpdate((dir, n, threshold),
+        runClusterLoop(spark, dir, n, threshold))
+    }
+
   def dedupClusters(spark: SparkSession, dir: String,
-                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                    n: Int = 3, threshold: Double = 0.8): DataFrame =
+    clusterLabels(spark, dir, n, threshold)
+      .select(col("doc_id"), col("label").as("cluster"),
+        (col("doc_id") === col("label")).as("is_keeper"))
+      .orderBy(col("doc_id"))
+
+  private def runClusterLoop(spark: SparkSession, dir: String,
+                             n: Int, threshold: Double): DataFrame = {
     val pairs = ngramJaccardPairsUnsorted(spark, dir, n, threshold)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs
@@ -326,10 +348,26 @@ object DedupOps {
       }
       edges.unpersist()
       labels
-        .select(col("doc_id"), col("label").as("cluster"),
-          (col("doc_id") === col("label")).as("is_keeper"))
-        .orderBy(col("doc_id"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** Quality-aware keeper selection: among each near-dup cluster, keep
+    * the HIGHEST-quality document (ties → lowest doc_id) instead of the
+    * lowest id — what a real training-data pipeline does when collapsing
+    * duplicates. One broadcast-sized join of the (tiny) label table with
+    * per-doc quality, then a per-cluster argmax aggregate. */
+  def keeperByQuality(spark: SparkSession, dir: String,
+                      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val clusters = clusterLabels(spark, dir, n, threshold)
+      .select(col("doc_id"), col("label").as("cluster"))
+    val quality = graft.ext.TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    clusters.join(quality, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("keeper"),
+        max(col("quality")).as("keeper_quality"))
+      .orderBy(col("cluster"))
   }
 
   /** SimHash-64: per-token hash, bitwise majority vote → 64-bit
