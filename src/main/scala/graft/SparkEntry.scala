@@ -1171,7 +1171,8 @@ object SparkEntry {
     "sim_pq_exact" -> ((s, d) => SimilarityOps.pqExact(s, d)),
     "q_pagerank" -> ((s, d) => graft.operators.GraphOps.pageRank(s, d)),
     "q_topk_native" -> ((s, d) => Relational.topOrdersPerSegmentNative(s, d)),
-    "dedup_keeper_quality" -> ((s, d) => DedupOps.keeperByQuality(s, d))
+    "dedup_keeper_quality" -> ((s, d) => DedupOps.keeperByQuality(s, d)),
+    "dedup_curated" -> ((s, d) => DedupOps.curatedCorpus(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1198,6 +1199,44 @@ object SparkEntry {
        |$rounds
        |SELECT node, r FROM r3 ORDER BY node""".stripMargin
   }
+
+  /** Capstone curation oracle: quality gate + quality-keeper dedup +
+    * 5-gram decontamination, composed from the same CTE chains the
+    * individual oracles use. */
+  private val dedupCuratedSql: String =
+    s"""$dedupClusterCtes,
+      |cl AS (SELECT u AS doc_id, min(label) AS cluster FROM walk GROUP BY u),
+      |qx AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS nt,
+      |        CAST(len(list_distinct(t)) AS DOUBLE) AS nd,
+      |        CAST(len(list_filter(t, y -> y IN $stopSet)) AS DOUBLE) AS ns
+      |      FROM toks),
+      |q AS (SELECT doc_id,
+      |        round(least(nt / 100.0, 1.0) * 0.4 + (nd / nt) * 0.4
+      |              + (ns / nt) * 0.2, 6) AS quality
+      |      FROM qx),
+      |keepq AS (SELECT doc_id, quality FROM q WHERE quality >= 0.3),
+      |krk AS (SELECT cluster, doc_id,
+      |          row_number() OVER (PARTITION BY cluster
+      |                             ORDER BY quality DESC, doc_id ASC) AS rn
+      |        FROM cl JOIN q USING (doc_id)),
+      |duplosers AS (SELECT doc_id FROM krk WHERE rn > 1),
+      |toks5 AS (SELECT doc_id, source,
+      |                 string_split_regex(trim(text), '\\s+') AS t
+      |          FROM documents),
+      |sh5 AS (SELECT doc_id, source, list_distinct(list_transform(
+      |          range(0, greatest(len(t) - 5, 0) + 1),
+      |          i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))) AS s
+      |        FROM toks5),
+      |eg AS (SELECT DISTINCT unnest(s) AS gram FROM sh5 WHERE source = 'src0'),
+      |tg AS (SELECT doc_id, unnest(s) AS gram FROM sh5 WHERE source <> 'src0'),
+      |contam AS (SELECT DISTINCT tg.doc_id FROM tg
+      |           JOIN eg USING (gram) WHERE length(gram) > 0)
+      |SELECT d.doc_id, d.lang, keepq.quality
+      |FROM documents d JOIN keepq USING (doc_id)
+      |WHERE d.source <> 'src0'
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM duplosers)
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+      |ORDER BY d.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cp_oldest_ingest" -> cpOldestIngestSql,
@@ -1277,6 +1316,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keeper_quality" -> dedupKeeperQualitySql,
+    "dedup_curated" -> dedupCuratedSql,
     // dedup_minhash_lsh / dedup_simhash run in engine-neutral md5-60
     // mode, so the oracle replays the full pipeline (minhash) or the
     // exact Hamming self-join the exhaustive blocking equals (simhash);

@@ -489,4 +489,32 @@ object DedupOps {
     contamination(docs.filter(col("source") =!= "src0"),
       docs.filter(col("source") === "src0"), n = 5, hashed = false)
   }
+
+  /** Capstone curation pipeline — the end-to-end rule a training-data
+    * build applies, composed from this engine's own operators:
+    *   1. quality gate (TextOps.qualityScore keep flag),
+    *   2. near-dup collapse: a clustered doc survives only as its
+    *      cluster's QUALITY keeper ([[keeperByQuality]]); unclustered
+    *      docs pass,
+    *   3. benchmark decontamination vs the src0 holdout
+    *      ([[contamination]], 5-grams).
+    * Everything stays one declarative plan per stage: semi/anti joins
+    * against broadcast-sized keeper/contaminated sets — the 100 TB
+    * corpus never shuffles, only its id sets do. */
+  def curatedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("source") =!= "src0")
+    val keepQ = graft.ext.TextOps.qualityScore(spark, dir)
+      .filter(col("keep")).select(col("doc_id"), col("quality"))
+    val labels = clusterLabels(spark, dir, 3, 0.8).select(col("doc_id"))
+    val keepers = keeperByQuality(spark, dir)
+      .select(col("keeper").as("doc_id"))
+    val dupLosers = labels.join(keepers, Seq("doc_id"), "left_anti")
+    val contaminated = decontaminate(spark, dir)
+      .filter(col("contaminated")).select(col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(keepQ, "doc_id")
+      .join(broadcast(dupLosers), Seq("doc_id"), "left_anti")
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
 }
