@@ -111,6 +111,12 @@ object DedupOps {
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // materialize the shingle cache BEFORE the plan fans out: it feeds the
+    // prefix index and both verify sides, and inside one job the three
+    // subtrees each run the shingling loop before the cache fills
+    // (measured ~3 s of the sf0.1 pair-generation cost). One small eager
+    // job turns that into a single pass; repeat calls scan the cache.
+    docs.count()
     val hashed = docs.select(col("doc_id"),
       bc(graft.functions.HashStringArray(br(col("sh")))).as("hs"))
     val exploded = hashed.select(col("doc_id"), size(col("hs")).as("n_sh"),
@@ -216,6 +222,7 @@ object DedupOps {
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    docs.count() // materialize once before the plan fans out (see above)
     val sigs = docs.select(col("doc_id"),
       minhashSig("sh", numHashes, md5Mode).as("sig"))
     // band key = the band's slice of the signature (hashed to 8 bytes in
@@ -360,7 +367,7 @@ object DedupOps {
                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val clusters = clusterLabels(spark, dir, n, threshold)
       .select(col("doc_id"), col("label").as("cluster"))
-    val quality = graft.ext.TextOps.qualityScore(spark, dir)
+    val quality = graft.ext.TextOps.qualityCached(spark, dir)
       .select(col("doc_id"), col("quality"))
     clusters.join(quality, "doc_id")
       .groupBy(col("cluster"))
@@ -503,7 +510,7 @@ object DedupOps {
     * corpus never shuffles, only its id sets do. */
   def curatedCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("source") =!= "src0")
-    val keepQ = graft.ext.TextOps.qualityScore(spark, dir)
+    val keepQ = graft.ext.TextOps.qualityCached(spark, dir)
       .filter(col("keep")).select(col("doc_id"), col("quality"))
     val labels = clusterLabels(spark, dir, 3, 0.8).select(col("doc_id"))
     val keepers = keeperByQuality(spark, dir)

@@ -111,7 +111,10 @@ object TextOps {
   /** Quality score: a deterministic weighted combination of length,
     * lexical diversity and stopword presence — the shape of a real
     * heuristic quality filter (length/punct/stopword ratios). */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreUnsorted(spark, dir).orderBy(col("doc_id"))
+
+  private[graft] def qualityScoreUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
@@ -122,8 +125,18 @@ object TextOps {
     val score = round(lengthScore * lit(0.4) + diversity * lit(0.4) + stopRatio * lit(0.2), 6)
     docs.select(col("doc_id"), score.as("quality"),
         (score >= 0.3).as("keep"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Cached (doc_id, quality, keep) face for pipeline consumers: the
+    * curation capstone reads quality twice (keep gate + keeper argmax),
+    * and the table is 3 narrow columns — a classic materialize-once
+    * feature table. Unsorted on purpose (consumers join/aggregate, so a
+    * global sort here is wasted work); registered with the shared dedup
+    * cache registry so Verify/Bench release it with everything else. */
+  private[graft] def qualityCached(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.DedupOps.registerCache(
+      qualityScoreUnsorted(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Language-ID heuristic: score candidate languages by marker-token
     * hits, pick the argmax (deterministic tiebreak by language code).
