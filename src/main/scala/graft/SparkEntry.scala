@@ -862,6 +862,115 @@ object SparkEntry {
       |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
       |ORDER BY qid, rnk""".stripMargin
 
+  /** Brute force over the bounded `vec_id < 256` slice — the comparison
+    * surface of the capped lossless-PQ endpoint (see SimilarityOps
+    * .pqExact). */
+  private val simBruteForceCappedSql: String =
+    simBruteForceSql.replace("WHERE vec_id >= 5",
+      "WHERE vec_id >= 5 AND vec_id < 256")
+
+  /** In-order cosine over `d` dims — the numeric contract shared by the
+    * CosineSimilarity/TopCentroidIds kernels: separate in-order folds
+    * for the dot and both squared norms, then dot/(sqrt·sqrt). */
+  private def cosSql(a: String, b: String, d: Int = 64): String = {
+    def fold(x: String, y: String) =
+      s"list_sum(list_transform(range(1, ${d + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}))"
+  }
+
+  /** Full replay of the TRAINED IVF face (SimilarityOps.ivfTopK):
+    * 2 unrolled Lloyd's rounds — assignment by in-order cosine argmax
+    * (ties to the lowest cid, exactly the TopCentroidIds contract) and
+    * cluster means in 2⁻²⁰ fixed point with truncating integer division
+    * (DuckDB `//` ≡ Scala `Long./` toward zero; empty clusters keep
+    * their previous centroid) — then corpus assignment, 4-probe
+    * selection, and candidate ranking. Deterministic training is what
+    * makes an approximate TRAINED index hash-checkable at all. */
+  private val simIvfTopKSql: String = {
+    val rounds = (1 to 2).map { r =>
+      s"""s$r AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS cs
+         |  FROM e CROSS JOIN c${r - 1} c),
+         |a$r AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+         |  FROM s$r) z WHERE rn = 1),
+         |x$r AS (SELECT a.cid, t.i,
+         |    sum(CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1048576) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM e JOIN a$r a USING (vec_id) CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY a.cid, t.i),
+         |c$r AS (SELECT cid, list(CAST(CAST(CAST(s AS BIGINT) // n AS DOUBLE) / 1048576 AS REAL) ORDER BY i) AS cv
+         |    FROM x$r GROUP BY cid
+         |  UNION ALL SELECT c.cid, c.cv FROM c${r - 1} c
+         |    WHERE NOT EXISTS (SELECT 1 FROM x$r x WHERE x.cid = c.cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < 16),
+       |$rounds,
+       |fs AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS cs
+       |  FROM e CROSS JOIN c2 c),
+       |corp AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+       |  FROM fs WHERE vec_id >= 5) z WHERE rn = 1),
+       |prb AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+       |  FROM fs WHERE vec_id < 5) z WHERE rn <= 4),
+       |sims AS (SELECT p.qid, a.vec_id,
+       |    round(${cosSql("q.embedding", "v.embedding")}, 6) AS cos
+       |  FROM prb p JOIN corp a ON p.cid = a.cid
+       |  JOIN e q ON q.vec_id = p.qid JOIN e v ON v.vec_id = a.vec_id),
+       |ranked AS (SELECT qid, vec_id, cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+       |  FROM sims)
+       |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Full replay of the TRAINED PQ face (SimilarityOps.pqTopK): per
+    * subspace (m=8, dsub=8), 2 unrolled Lloyd's rounds with the same
+    * cosine-argmax assignment + fixed-point means as the IVF oracle,
+    * then encode (per-subspace nearest code), reconstruct (codebook
+    * concat in subspace order) and ADC-score every candidate. */
+  private val simPqTopKSql: String = {
+    val rounds = (1 to 2).map { r =>
+      s"""p$r AS (SELECT s.vec_id, s.si, k.cid, ${cosSql("s.sv", "k.cv", 8)} AS cs
+         |  FROM sub s JOIN k${r - 1} k ON s.si = k.si),
+         |b$r AS (SELECT vec_id, si, cid FROM (SELECT vec_id, si, cid,
+         |    row_number() OVER (PARTITION BY vec_id, si ORDER BY cs DESC, cid ASC) AS rn
+         |  FROM p$r) z WHERE rn = 1),
+         |y$r AS (SELECT b.si, b.cid, t.j,
+         |    sum(CAST(floor(CAST(s.sv[t.j] AS DOUBLE) * 1048576) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM sub s JOIN b$r b USING (vec_id, si) CROSS JOIN range(1, 9) t(j)
+         |  GROUP BY b.si, b.cid, t.j),
+         |k$r AS (SELECT si, cid, list(CAST(CAST(CAST(s AS BIGINT) // n AS DOUBLE) / 1048576 AS REAL) ORDER BY j) AS cv
+         |    FROM y$r GROUP BY si, cid
+         |  UNION ALL SELECT k.si, k.cid, k.cv FROM k${r - 1} k
+         |    WHERE NOT EXISTS (SELECT 1 FROM y$r y WHERE y.si = k.si AND y.cid = k.cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |sub AS (SELECT vec_id, t.si,
+       |    list_transform(range(1, 9), j -> embedding[t.si * 8 + j]) AS sv
+       |  FROM e CROSS JOIN range(0, 8) t(si)),
+       |k0 AS (SELECT vec_id AS cid, si, sv AS cv FROM sub WHERE vec_id < 16),
+       |$rounds,
+       |pe AS (SELECT s.vec_id, s.si, k.cid, ${cosSql("s.sv", "k.cv", 8)} AS cs
+       |  FROM sub s JOIN k2 k ON s.si = k.si WHERE s.vec_id >= 5),
+       |enc AS (SELECT vec_id, si, cid FROM (SELECT vec_id, si, cid,
+       |    row_number() OVER (PARTITION BY vec_id, si ORDER BY cs DESC, cid ASC) AS rn
+       |  FROM pe) z WHERE rn = 1),
+       |rec AS (SELECT n.vec_id, flatten(list(k.cv ORDER BY n.si)) AS rv
+       |  FROM enc n JOIN k2 k ON k.si = n.si AND k.cid = n.cid
+       |  GROUP BY n.vec_id),
+       |sims AS (SELECT q.vec_id AS qid, r.vec_id,
+       |    round(${cosSql("q.embedding", "r.rv")}, 6) AS cos
+       |  FROM e q CROSS JOIN rec r WHERE q.vec_id < 5),
+       |ranked AS (SELECT qid, vec_id, cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+       |  FROM sims)
+       |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Full replication of the multi-table hyperplane-LSH near-dup join:
     * the planes are integer-LCG literals (planeComponent — exact in any
     * engine: the 31-bit value is exactly representable, /2^31 and −0.5
@@ -936,10 +1045,13 @@ object SparkEntry {
       |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
       |ORDER BY qid, rnk""".stripMargin
 
+  /** Fixed-point replay of SimilarityOps.labelCentroids: floor(v·2^20)
+    * longs sum exactly in any order, then one int→double division —
+    * bit-identical across engines with no ordered fold. */
   private val simLabelCentroidsSql: String =
     """SELECT label, i AS pos,
-      |  list_sum(list_transform(list(CAST(embedding[i] AS DOUBLE) ORDER BY vec_id),
-      |           x -> x)) / count(*) AS centroid
+      |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+      |    / CAST(count(*) * 1048576 AS DOUBLE) AS centroid
       |FROM embeddings, range(1, 65) t(i)
       |GROUP BY label, i ORDER BY label, pos""".stripMargin
 
@@ -1326,15 +1438,18 @@ object SparkEntry {
     "sim_bruteforce_topk" -> simBruteForceSql,
     "sim_ivf_fullprobe" -> simBruteForceSql,
     // sim_pq_exact: lossless codebook (every subvector its own centroid)
-    // => reconstruction is bit-identical => PQ scoring ≡ brute force.
-    // sim_pq_topk (compressed codebook): no oracle — trained centroid
-    // means are partition-order floats; recall pinned by SimilaritySpec.
-    "sim_pq_exact" -> simBruteForceSql,
+    // => reconstruction is bit-identical => PQ scoring ≡ brute force —
+    // on the bounded vec_id < 256 slice (the lossless codebook is a copy
+    // of its corpus, so the exactness endpoint must not scale with it).
+    "sim_pq_exact" -> simBruteForceCappedSql,
+    // sim_ivf_topk / sim_pq_topk: the TRAINED faces are deterministic
+    // (fixed-point Lloyd's means, cosine-argmax assignment), so the
+    // oracle replays training end to end — see simIvfTopKSql/simPqTopKSql.
+    "sim_ivf_topk" -> simIvfTopKSql,
+    "sim_pq_topk" -> simPqTopKSql,
     // sim_lsh_topk / sim_near_dups: the LCG hyperplanes and in-order
     // dot folds are engine-exact, so the oracle replays bucketing,
     // probing, and verification bit-for-bit.
-    // sim_ivf_topk: no oracle — k-means means are partition-order-
-    // dependent doubles; its exactness endpoint is sim_ivf_fullprobe.
     "sim_near_dups" -> simNearDupsSql,
     "sim_lsh_topk" -> simLshTopKSql,
     "sim_embedding_stats" -> simEmbeddingStatsSql,

@@ -52,8 +52,10 @@ object SimilarityOps {
     * over the candidate scan is embarrassingly parallel); for large
     * query sets use `lshTopK`. */
   def bruteForceTopK(spark: SparkSession, dir: String,
-                     numQueries: Int = 5, k: Int = 5): DataFrame = {
+                     numQueries: Int = 5, k: Int = 5,
+                     maxVecId: Long = Long.MaxValue): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < maxVecId)
       .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
     val queries = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -169,16 +171,33 @@ object SimilarityOps {
     transform(slice(array_sort(scored), 1, keep), s => s.getField("cid"))
   }
 
+  /** One fixed-point cluster mean component: exact long sum of
+    * `floor(v·2²⁰)` quantizations, truncating integer division by the
+    * cluster size, back to the float grid. Every step is bit-exact in
+    * any engine (float→double widening, one IEEE multiply, floor, exact
+    * integer ops, IEEE round-to-nearest float cast; Scala `Long./` and
+    * DuckDB `//` both truncate toward zero) — so trained centroids are
+    * DETERMINISTIC, and the trained query faces become replayable by a
+    * SQL oracle. A float `avg()` here would depend on partition fold
+    * order. Quantization error ≤ 2⁻²⁰ per component — noise relative to
+    * k-means convergence itself. */
+  private val fpScale = 1L << 20
+  private def fpMeanCol(v: Column): Column =
+    sum(floor(v.cast("double") * fpScale.toDouble).cast("long"))
+  private def fpMean(sum: Long, n: Long): Float =
+    ((sum / n).toDouble / fpScale.toDouble).toFloat
+
   /** K-means (Lloyd's) centroid training, MLlib-shaped: the centroid
     * table lives on the driver (O(k·d) floats — bounded by construction,
     * the same driver sync Spark MLlib's KMeans performs each round),
     * ASSIGN is a map-side literal-array argmax (zero shuffle, zero
     * join), and UPDATE is ONE `groupBy(cid)` with d partially-aggregated
-    * means — so each Lloyd's round costs exactly one k×d-sized shuffle
-    * and one k-row collect. Seeds are the first `nCentroids` vectors
-    * (deterministic — no RNG, so every run trains the same index);
-    * clusters that go empty keep their previous centroid (the standard
-    * Lloyd's guard). */
+    * fixed-point sums — so each Lloyd's round costs exactly one
+    * k×d-sized shuffle and one k-row collect. Seeds are the first
+    * `nCentroids` vectors and means are fixed-point ([[fpMean]]) — no
+    * RNG and no order-dependent float folds, so every run (and a SQL
+    * oracle) trains the same index bit-for-bit; clusters that go empty
+    * keep their previous centroid (the standard Lloyd's guard). */
   private[graft] def trainCentroidsLocal(emb: DataFrame, nCentroids: Int,
                                          iters: Int = 2): Seq[(Int, Seq[Float])] = {
     // every Lloyd's round re-scans the corpus — pin it for the loop
@@ -193,15 +212,19 @@ object SimilarityOps {
           .sortBy(_._1).toSeq
       require(cents.nonEmpty, s"no seed vectors with vec_id < $nCentroids")
       val dim = cents.head._2.length
-      val meanCols = (0 until dim).map(j => avg(col("embedding").getItem(j)))
+      val aggCols = count(lit(1)).as("n") +:
+        (0 until dim).map(j => fpMeanCol(col("embedding").getItem(j)))
       for (_ <- 1 to iters) {
         val means = emb
           .select(element_at(topCentroids(col("embedding"), cents, 1), 1).as("cid"),
             col("embedding"))
           .groupBy(col("cid"))
-          .agg(meanCols.head, meanCols.tail: _*)
+          .agg(aggCols.head, aggCols.tail: _*)
           .collect()
-          .map(r => r.getInt(0) -> (0 until dim).map(j => r.getDouble(j + 1).toFloat))
+          .map { r =>
+            val n = r.getLong(1)
+            r.getInt(0) -> (0 until dim).map(j => fpMean(r.getLong(j + 2), n))
+          }
           .toMap
         cents = cents.map { case (cid, prev) => cid -> means.getOrElse(cid, prev) }
       }
@@ -268,24 +291,28 @@ object SimilarityOps {
 
   /** Per-label embedding centroids (the class-centroid aggregation a
     * labeling/clustering pipeline runs): one row per (label, dimension).
-    * Float summation is order-dependent, so each (label, dim) group
-    * folds its values IN vec_id ORDER (sorted collect_list + aggregate)
-    * — bit-identical to DuckDB's `list_sum(list(... ORDER BY vec_id))`.
-    * At 100 TB swap the in-order fold for a plain sum and accept ULP
-    * drift, or keep per-partition ordered folds and merge in key order;
-    * the oracle-parity version is the deterministic one. */
+    *
+    * Determinism WITHOUT ordered folds: each component is quantized to a
+    * 2⁻²⁰ fixed-point long (`floor(v · 2²⁰)` — float→double widening,
+    * one IEEE multiply and a floor are bit-identical in any engine), the
+    * group SUMS exact integers (associative ⇒ partial aggregation in any
+    * partition order gives the same bits), and one final int→double
+    * division yields the centroid. This replaces the earlier per-group
+    * `collect_list` + in-order fold, which was deterministic but held an
+    * entire label's values in one task — the fixed-point sum is a plain
+    * partial+final hash aggregate that never materializes a group, so it
+    * survives labels of any size. Quantization error is ≤ 2⁻²⁰ per
+    * element (the corpus' components are O(1)), far below any use of a
+    * class centroid. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val scale = 1L << 20
     val e = Tables.embeddings(spark, dir)
-      .select(col("label"), col("vec_id"), posexplode(col("embedding")))
-      .select(col("label"), col("vec_id"),
-        (col("pos") + 1).cast("long").as("pos"), col("col").as("v"))
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+        floor(col("col").cast("double") * scale).cast("long").as("q"))
     e.groupBy(col("label"), col("pos"))
-      .agg(
-        (aggregate(
-          transform(
-            array_sort(collect_list(struct(col("vec_id"), col("v")))),
-            s => s.getField("v").cast("double")),
-          lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("centroid"))
+      .agg((sum(col("q")).cast("double") /
+        (count(lit(1)) * scale).cast("double")).as("centroid"))
       .orderBy(col("label"), col("pos"))
   }
 
@@ -338,7 +365,9 @@ object SimilarityOps {
     * aggregate — one shuffle + one 128-row collect per round, instead
     * of m independent trainers (m× the driver-synchronized jobs, which
     * dominated wall time at local[32]). Deterministic seeds (the first
-    * `ksub` vectors' slices, no RNG); empty cells keep their previous
+    * `ksub` vectors' slices, no RNG) and fixed-point means ([[fpMean]] —
+    * no order-dependent float folds, so the codebook is bit-reproducible
+    * and SQL-oracle-replayable); empty cells keep their previous
     * centroid. */
   private[graft] def trainCodebook(emb: DataFrame, dim: Int, m: Int,
                                    ksub: Int, iters: Int): Seq[Seq[Seq[Float]]] = {
@@ -361,12 +390,16 @@ object SimilarityOps {
           }: _*)))
           .select(col("pos").as("sub_i"), col("col.cid").as("cid"),
             col("col.sub").as("sub"))
-        val meanCols = (0 until dsub).map(j => avg(col("sub").getItem(j)))
+        val aggCols = count(lit(1)).as("n") +:
+          (0 until dsub).map(j => fpMeanCol(col("sub").getItem(j)))
         val means = assigned.groupBy(col("sub_i"), col("cid"))
-          .agg(meanCols.head, meanCols.tail: _*)
+          .agg(aggCols.head, aggCols.tail: _*)
           .collect()
-          .map(r => (r.getInt(0), r.getInt(1)) ->
-            (0 until dsub).map(j => r.getDouble(j + 2).toFloat))
+          .map { r =>
+            val n = r.getLong(2)
+            (r.getInt(0), r.getInt(1)) ->
+              (0 until dsub).map(j => fpMean(r.getLong(j + 3), n))
+          }
           .toMap
         cents = (0 until m).map(i => cents(i).zipWithIndex.map {
           case (prev, c) => means.getOrElse((i, c), prev.toIndexedSeq)
@@ -407,21 +440,23 @@ object SimilarityOps {
     * per-query top-k. One pass over the encoded corpus per query batch —
     * same shape as `bruteForceTopK` but over 32×-smaller candidate
     * state; at 100 TB this is the difference between scanning floats
-    * from disk and scanning codes from memory. With `ksub` = corpus size
-    * and `iters` = 0 the codebook contains every corpus subvector, the
-    * reconstruction is lossless, and the result provably equals brute
-    * force — the `sim_pq_exact` oracle endpoint (same trick as
-    * `sim_ivf_fullprobe`). The compressed face (`sim_pq_topk`) is
-    * rows-only; SimilaritySpec pins its recall against brute force. */
+    * from disk and scanning codes from memory. With `ksub` = the corpus
+    * (slice) size and `iters` = 0 the codebook contains every subvector,
+    * the reconstruction is lossless, and the result provably equals
+    * brute force — the `sim_pq_exact` oracle endpoint (same trick as
+    * `sim_ivf_fullprobe`; see [[pqExact]] for why it runs capped). The
+    * compressed face (`sim_pq_topk`) is rows-only; SimilaritySpec pins
+    * its recall against brute force. */
   def pqTopK(spark: SparkSession, dir: String,
              numQueries: Int = 5, k: Int = 5,
-             m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+             m: Int = 8, ksub: Int = 16, iters: Int = 2,
+             maxVecId: Long = Long.MaxValue): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < maxVecId)
       .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    // memoize only real (compressed) codebooks: the lossless pqExact
-    // codebook is a full in-driver copy of the corpus and each test/SF
-    // dir would pin another one for the JVM lifetime
+    // memoize bounded codebooks only — a guard against a caller pinning
+    // an oversized codebook in the driver for the JVM lifetime
     val codebook =
       if (ksub > 1024) trainCodebook(emb, dim, m, ksub, iters)
       else codebookCache.synchronized {
@@ -443,11 +478,17 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Lossless-codebook endpoint: every corpus subvector is its own
-    * centroid, so PQ ≡ brute force (hash-checked against the brute-force
-    * oracle). */
-  def pqExact(spark: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count().toInt
-    pqTopK(spark, dir, ksub = n, iters = 0)
-  }
+  /** Lossless-codebook endpoint: every subvector is its own centroid, so
+    * PQ ≡ brute force (hash-checked against the brute-force oracle).
+    *
+    * Runs on a BOUNDED deterministic slice (`vec_id < cap`): the lossless
+    * codebook is by definition a copy of its corpus, so the exactness
+    * check must not scale with corpus size — capping keeps the driver
+    * copy and the plan-embedded codebook literal at O(cap·dim) no matter
+    * how big the table grows, and the PQ ≡ brute-force identity is just
+    * as binding on the slice (identical encode/reconstruct/score path).
+    * The compressed face (`pqTopK`) never collects more than its k·d
+    * codebook. */
+  def pqExact(spark: SparkSession, dir: String, cap: Int = 256): DataFrame =
+    pqTopK(spark, dir, ksub = cap, iters = 0, maxVecId = cap)
 }
