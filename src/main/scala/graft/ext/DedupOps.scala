@@ -506,8 +506,13 @@ object DedupOps {
     *   3. benchmark decontamination vs the src0 holdout
     *      ([[contamination]], 5-grams).
     * Everything stays one declarative plan per stage: semi/anti joins
-    * against broadcast-sized keeper/contaminated sets — the 100 TB
-    * corpus never shuffles, only its id sets do. */
+    * against keeper/contaminated id sets — the 100 TB corpus never
+    * shuffles its payloads, only id sets move. The anti-join sides are
+    * deliberately NOT broadcast-hinted: the dup-loser set is O(number
+    * of duplicates), which a skewed corpus can grow past any broadcast
+    * budget — AQE turns these joins into broadcasts at runtime when the
+    * measured size allows and keeps the shuffle anti-join when it
+    * doesn't, which is the safe default at scale. */
   def curatedCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("source") =!= "src0")
     val keepQ = graft.ext.TextOps.qualityCached(spark, dir)
@@ -520,8 +525,8 @@ object DedupOps {
       .filter(col("contaminated")).select(col("doc_id"))
     docs.select(col("doc_id"), col("lang"))
       .join(keepQ, "doc_id")
-      .join(broadcast(dupLosers), Seq("doc_id"), "left_anti")
-      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }
 }
