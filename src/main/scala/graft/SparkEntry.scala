@@ -869,6 +869,36 @@ object SparkEntry {
     simBruteForceSql.replace("WHERE vec_id >= 5",
       "WHERE vec_id >= 5 AND vec_id < 256")
 
+  /** Replay of Relational.hllNdv — the md5-60 hash, bucket/rank split,
+    * exact-integer register sum and the single float division. The α·m²
+    * ·2^52 numerator is inlined as one double literal (Double.toString
+    * round-trips, strtod is correctly rounded) so both engines divide
+    * the identical double. */
+  private val qSketchesSql: String = {
+    val m = graft.operators.Relational.hllM
+    val alphaNum = graft.operators.Relational.hllAlphaNum
+    s"""WITH t AS (
+       |  SELECT l_returnflag AS flag, 'orders' AS key_col,
+       |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT l_returnflag, 'parts',
+       |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)
+       |  FROM lineitem),
+       |r AS (SELECT flag, key_col, h % $m AS bucket,
+       |    CASE WHEN h // $m = 0 THEN 52 ELSE 52 - length(bin(h // $m)) END AS rank
+       |  FROM t),
+       |g AS (SELECT flag, key_col, bucket, max(rank) AS mr FROM r GROUP BY 1, 2, 3),
+       |s AS (SELECT flag, key_col,
+       |    CAST(sum(CAST(1 AS BIGINT) << (52 - mr)) +
+       |         ($m - count(*)) * (CAST(1 AS BIGINT) << 52) AS BIGINT) AS reg_sum,
+       |    $m - count(*) AS zeros
+       |  FROM g GROUP BY 1, 2)
+       |SELECT flag AS l_returnflag, key_col, reg_sum, zeros,
+       |  round($alphaNum / CAST(reg_sum AS DOUBLE), 4) AS raw_est
+       |FROM s ORDER BY l_returnflag, key_col""".stripMargin
+  }
+
   /** In-order cosine over `d` dims — the numeric contract shared by the
     * CosineSimilarity/TopCentroidIds kernels: separate in-order folds
     * for the dot and both squared norms, then dot/(sqrt·sqrt). */
@@ -1215,7 +1245,7 @@ object SparkEntry {
     "q_min_by" -> ((s, d) => Relational.oldestOrderPerCustomer(s, d)),
     "q_set_ops" -> ((s, d) => Relational.segmentSetOps(s, d)),
     "q_percentiles" -> ((s, d) => Relational.exactPercentiles(s, d)),
-    "q_sketches" -> ((s, d) => Relational.sketchSummary(s, d)),
+    "q_sketches" -> ((s, d) => Relational.hllNdv(s, d)),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_salted_join" -> (qSaltedJoin _),
     "ev_session_window" -> ((s, d) => EventOps.sessionWindowStats(s, d)),
@@ -1410,8 +1440,11 @@ object SparkEntry {
     "cp_readable_date" -> cpReadableDateSql,
     "cp_times_agg" -> cpTimesAggSql,
     "ev_user_stats" -> evUserStatsSql,
-    // q_sketches: intentionally no oracle — sketch internals are
-    // engine-specific; driver records a rows-only check.
+    // q_sketches: a from-first-principles HLL whose registers live in
+    // exact integer arithmetic — the oracle replays the sketch itself.
+    // (The engine-native HLL++/percentile_approx face stays test-pinned
+    // — ITS internals are engine-specific by design.)
+    "q_sketches" -> qSketchesSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangIdSql,

@@ -78,6 +78,24 @@ class RelationalSpec extends SparkSuite {
     assert(viaMinBy == viaWindow)
   }
 
+  test("from-first-principles HLL (q_sketches) is within 15% of exact NDV") {
+    // finalize the shipped mergeable state with the standard corrected
+    // estimator (raw harmonic / linear counting), then compare to exact
+    val approx = Relational.hllNdv(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Relational.hllEstimate(r.getLong(2), r.getLong(3))).toMap
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("o"), countDistinct("l_partkey").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (o, p)) =>
+      assert(math.abs(approx((k, "orders")) - o) / o < 0.15,
+        s"flag $k orders: approx=${approx((k, "orders"))} exact=$o")
+      assert(math.abs(approx((k, "parts")) - p) / p < 0.15,
+        s"flag $k parts: approx=${approx((k, "parts"))} exact=$p")
+    }
+  }
+
   test("sketch distinct counts are within 10% of exact") {
     val approx = Relational.sketchSummary(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
