@@ -33,18 +33,34 @@ object ProfStages {
       .withColumn("r", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
     val alpha = expr("(CAST(800000 AS BIGINT) * n_sh + 999999) DIV 1000000")
-    val prefix = ranked.filter(col("r") <= col("n_sh") - alpha + 1).select("doc_id", "shingle").persist()
+    val prefix = ranked.filter(col("r") <= col("n_sh") - alpha + 1)
+      .select("doc_id", "shingle", "r", "n_sh").persist()
     t("prefix_index")(prefix.count())
-    val candidates = prefix.as("a").join(prefix.as("b"),
+    val plain = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    t("candidates")(candidates.count())
+    t("candidates_nofilter")(plain.count())
+    val tN = 800000L
+    val lengthOk =
+      greatest(col("a.n_sh"), col("b.n_sh")).cast("long") * lit(tN) <=
+        least(col("a.n_sh"), col("b.n_sh")).cast("long") * lit(1000000L)
+    val positionOk =
+      (lit(1L) + least(col("a.n_sh") - col("a.r"), col("b.n_sh") - col("b.r"))
+        .cast("long")) * lit(1000000L + tN) >=
+        (col("a.n_sh") + col("b.n_sh")).cast("long") * lit(tN)
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          lengthOk && positionOk)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    t("candidates_ppjoin")(candidates.count())
+    val hsTab = hashed.persist()
     val verified = candidates
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(col("common").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+      .join(hsTab.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hsTab.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard", round(col("common").cast("double") / (size(col("hs_a")) + size(col("hs_b")) - col("common")), 6))
       .filter(col("jaccard") >= 0.8)
     t("verified")(verified.count())
     // minhash md5 mode signature cost

@@ -32,7 +32,42 @@ object DedupOps {
     sharedCaches.foreach(_.unpersist())
     sharedCaches.clear()
     clusterCache.synchronized(clusterCache.clear())
+    shingleCaches.synchronized(shingleCaches.clear())
   }
+
+  /** Memoized per-(dir, n) shingle tables shared by the whole dedup
+    * family: `docs` = (doc_id, sh: array<string>) — the string shingle
+    * sets MinHash signatures hash in md5 mode — and `hashed` =
+    * (doc_id, hs: array<long>) — the xxhash64 ids candidate generation
+    * and Jaccard VERIFICATION run on. Hashing the verify step too means
+    * the wide string arrays never travel through a join: a candidate
+    * pair carries two arrays of 8-byte longs instead of two ~1 KB
+    * string arrays (the sf0.1 verify stage dropped ~2.5× even before
+    * the PPJoin filters shrank its input ~9×).
+    * Both tables materialize once per session (eager count before the
+    * consuming plans fan out) and are released by [[releaseShared]]. */
+  private val shingleCaches =
+    scala.collection.mutable.Map.empty[(String, Int), (DataFrame, DataFrame)]
+
+  private[graft] def shingleTables(spark: SparkSession, dir: String,
+                                   n: Int): (DataFrame, DataFrame) =
+    shingleCaches.synchronized {
+      shingleCaches.getOrElseUpdate((dir, n), {
+        // single-file inputs arrive as one partition; spread the per-row
+        // shingle compute across cores before persisting
+        val docs = registerCache(Tables.documents(spark, dir)
+          .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
+          .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        docs.count()
+        val hashed = registerCache(docs.select(col("doc_id"),
+            bc(graft.functions.HashStringArray(br(col("sh")))).as("hs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        hashed.count()
+        (docs, hashed)
+      })
+    }
 
   /** Exact dedup groups: hash-groupBy on md5(text). At 100 TB the
     * 128-bit digest group key keeps shuffle rows narrow (no full text
@@ -98,27 +133,14 @@ object DedupOps {
   private[graft] def ngramJaccardPairsUnsorted(
       spark: SparkSession, dir: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // single-file inputs arrive as one partition; spread the per-row
-    // shingle compute across cores, and persist: the shingle table is
-    // read three times (prefix index + both verify sides) — at scale
-    // this is the materialized signature table of a similarity join
-    // candidate generation runs on 8-byte shingle HASH ids (see
-    // TextHashUtil.hashStringArray for the recall trade-off); hashes
-    // are derived from the PERSISTED string arrays, so the expensive
-    // shingling pass runs once and verification reads the same arrays
-    val docs = registerCache(Tables.documents(spark, dir)
-      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // materialize the shingle cache BEFORE the plan fans out: it feeds the
-    // prefix index and both verify sides, and inside one job the three
-    // subtrees each run the shingling loop before the cache fills
-    // (measured ~3 s of the sf0.1 pair-generation cost). One small eager
-    // job turns that into a single pass; repeat calls scan the cache.
-    docs.count()
-    val hashed = docs.select(col("doc_id"),
-      bc(graft.functions.HashStringArray(br(col("sh")))).as("hs"))
+    // candidate generation AND verification run on 8-byte shingle HASH
+    // ids (see shingleTables): Jaccard over the hashed sets equals
+    // Jaccard over the string sets unless two distinct shingles of the
+    // same document collide in 64 bits — ~n²/2⁶⁵ per doc, and even at
+    // 10¹⁰ corpus-wide distinct shingles the expected number of
+    // colliding PAIRS is single-digit, each shifting one intersection
+    // count by 1. The string arrays never enter a shuffle.
+    val (_, hashed) = shingleTables(spark, dir, n)
     val exploded = hashed.select(col("doc_id"), size(col("hs")).as("n_sh"),
       explode(col("hs")).as("shingle"))
     val df = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -141,19 +163,39 @@ object DedupOps {
     // distributed similarity join.
     val prefix = registerCache(ranked
       .filter(col("r") <= col("n_sh") - alpha + 1)
-      .select("doc_id", "shingle")
+      .select("doc_id", "shingle", "r", "n_sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // PPJoin-style pruning INSIDE the candidate join (Xiao et al.,
+    // WWW'08) — both are cheap integer predicates evaluated before any
+    // row leaves the join, and together they cut the sf0.1 candidate
+    // set ~9× (118 649 → 12 887 pairs for 256 true matches):
+    //  · length filter: J ≥ t ⇒ |A∩B| ≥ t·|A∪B|, and |A∩B| ≤ min,
+    //    |A∪B| ≥ max ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|);
+    //  · positional filter: at the FIRST shared prefix position
+    //    (r_a, r_b) under the global (df, shingle) order nothing common
+    //    precedes the match in either doc, so overlap ≤ 1 +
+    //    min(|A|−r_a, |B|−r_b); J ≥ t needs overlap ≥ t/(1+t)·(|A|+|B|).
+    //    Later shared positions may under-bound and drop their row, but
+    //    every true pair survives through its first-match row — compared
+    //    as exact integer cross-products, no division.
+    val lengthOk =
+      greatest(col("a.n_sh"), col("b.n_sh")).cast("long") * lit(tN) <=
+        least(col("a.n_sh"), col("b.n_sh")).cast("long") * lit(1000000L)
+    val positionOk =
+      (lit(1L) + least(col("a.n_sh") - col("a.r"), col("b.n_sh") - col("b.r"))
+        .cast("long")) * lit(1000000L + tN) >=
+        (col("a.n_sh") + col("b.n_sh")).cast("long") * lit(tN)
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && lengthOk && positionOk)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val verified = candidates
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(hashed.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hashed.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard", round(col("common").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+        (size(col("hs_a")) + size(col("hs_b")) - col("common")), 6))
     // persist the (tiny) verified pair set: the clustering query re-runs
     // this exact plan, and CacheManager plan-matching lets both read one
     // materialization — at scale this is the shared "duplicate pairs"
@@ -217,12 +259,7 @@ object DedupOps {
                       threshold: Double = 0.8,
                       md5Mode: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val docs = registerCache(Tables.documents(spark, dir)
-      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    docs.count() // materialize once before the plan fans out (see above)
+    val (docs, hashed) = shingleTables(spark, dir, n)
     val sigs = docs.select(col("doc_id"),
       minhashSig("sh", numHashes, md5Mode).as("sig"))
     // band key = the band's slice of the signature (hashed to 8 bytes in
@@ -245,13 +282,15 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // verify candidates with exact Jaccard (array intersection per pair)
+    // verify candidates with exact Jaccard — over the 8-byte hashed
+    // shingle ids (collision odds negligible; see ngramJaccardPairs),
+    // so the string arrays never enter the verify joins' shuffle
     candidates
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .join(hashed.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hashed.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
       .withColumn("jaccard", round(
-        col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+        col("common") / (size(col("hs_a")) + size(col("hs_b")) - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

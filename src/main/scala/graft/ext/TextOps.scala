@@ -27,18 +27,29 @@ object TextOps {
     * quality score and the language-ID heuristic. */
   val stopwords: Seq[String] = Seq("a", "the", "of", "and", "to", "in")
 
+  private def br(c: Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+  private def bc(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+
+  /** (n_tokens, n_distinct, n_stop) in one fused tokenize pass — the
+    * native kernel behind textStats/quality (graft.functions.TokenStats;
+    * value-identical to the HOF forms, TextOpsSpec parity test). */
+  private def tokenStats: Column =
+    bc(graft.functions.TokenStats(br(col("text")), stopwords))
+
   /** Per-document text statistics (token counts, lengths, ratios). */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = tokens(col("text"))
-    docs.select(
+    docs.select(col("doc_id"), length(col("text")).as("len"),
+        tokenStats.as("st"))
+      .select(
         col("doc_id"),
-        length(col("text")).cast("long").as("n_chars_actual"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
-        (length(col("text")).cast("double") / size(toks)).as("chars_per_token"),
-        (size(filter(toks, t => t.isin(stopwords.map(_.toString): _*)))
-          .cast("double") / size(toks)).as("stopword_ratio"))
+        col("len").cast("long").as("n_chars_actual"),
+        col("st.n_tokens").as("n_tokens"),
+        col("st.n_distinct").as("n_distinct_tokens"),
+        (col("len").cast("double") / col("st.n_tokens")).as("chars_per_token"),
+        (col("st.n_stop").cast("double") / col("st.n_tokens")).as("stopword_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -116,14 +127,13 @@ object TextOps {
 
   private[graft] def qualityScoreUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val diversity = size(array_distinct(toks)).cast("double") / nTok
-    val stopRatio = size(filter(toks, t => t.isin(stopwords.map(_.toString): _*)))
-      .cast("double") / nTok
+    val nTok = col("st.n_tokens").cast("double")
+    val diversity = col("st.n_distinct").cast("double") / nTok
+    val stopRatio = col("st.n_stop").cast("double") / nTok
     val lengthScore = least(nTok / lit(100.0), lit(1.0))
     val score = round(lengthScore * lit(0.4) + diversity * lit(0.4) + stopRatio * lit(0.2), 6)
-    docs.select(col("doc_id"), score.as("quality"),
+    docs.select(col("doc_id"), tokenStats.as("st"))
+      .select(col("doc_id"), score.as("quality"),
         (score >= 0.3).as("keep"))
   }
 
@@ -150,16 +160,19 @@ object TextOps {
 
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = tokens(col("text"))
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+    val ordered = langMarkers.toSeq.sortBy(_._1)
+    // all marker sets counted in ONE tokenize pass (token_hits kernel)
+    val hits = bc(graft.functions.TokenHits(br(col("text")), ordered.map(_._2)))
+    val scored = ordered.zipWithIndex.map { case ((lang, _), i) =>
       struct(
-        size(filter(toks, t => t.isin(markers.map(_.toString): _*))).as("hits"),
+        element_at(col("__hits"), i + 1).as("hits"),
         lit(lang).as("lang"))
     }
     // argmax by (hits, lang-code descending) => greatest struct; ties on
     // zero hits fall back to 'und'
     val best = greatest(scored: _*)
-    docs.select(
+    docs.select(col("doc_id"), col("lang"), hits.as("__hits"))
+      .select(
         col("doc_id"),
         when(best.getField("hits") > 0, best.getField("lang"))
           .otherwise(lit("und")).as("pred_lang"),

@@ -63,8 +63,10 @@ object TextHashUtil {
     * INTERSECTION collide in 64 bits (P ≈ n²/2^65 over the corpus
     * shingle count — ~1e-9 at 260k shingles), the standard trade every
     * production MinHash pipeline makes to avoid shuffling full strings.
-    * A collision can only DROP a candidate, never emit a wrong pair:
-    * verification runs on the exact string arrays. */
+    * Jaccard VERIFICATION also runs on these ids (DedupOps
+    * .shingleTables): a cross-document collision inflates one pair's
+    * intersection count by 1-in-|doc| — in expectation single-digit
+    * colliding pairs corpus-wide even at 10¹⁰ distinct shingles. */
   def hashStringArray(sh: ArrayData): ArrayData = {
     val m = sh.numElements()
     val seen = new java.util.LinkedHashSet[java.lang.Long](math.max(16, m))
@@ -167,6 +169,46 @@ object TextHashUtil {
   /** Binary-compat face for the xxhash64 default. */
   def minhashSig(shingleArr: ArrayData, k: Int): ArrayData =
     minhashSig(shingleArr, k, md5Mode = false)
+
+  /** Token statistics in ONE tokenize pass: (n_tokens, n_distinct,
+    * n_stop). Matches `size(split(trim(t),'\s+'))`,
+    * `size(array_distinct(...))` and `size(filter(..., isin(stop)))`
+    * exactly — including the empty-string edge where split yields [""]
+    * (n_tokens = 1). The interpreted HOF forms it replaces evaluate the
+    * split per consumer and never enter whole-stage codegen. */
+  def tokenStats(text: UTF8String,
+                 stop: java.util.HashSet[String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokenize(text)
+    val seen = new java.util.HashSet[String](math.max(16, toks.length))
+    var nStop = 0L
+    var i = 0
+    while (i < toks.length) {
+      seen.add(toks(i))
+      if (stop.contains(toks(i))) nStop += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length.toLong, seen.size.toLong, nStop))
+  }
+
+  /** Per-marker-set token hit counts in ONE tokenize pass: element i is
+    * the number of tokens (with repetition) contained in `sets(i)` —
+    * the language-ID scoring loop fused into a single traversal. */
+  def tokenHits(text: UTF8String,
+                sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val toks = tokenize(text)
+    val hits = new Array[Long](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(toks(i))) hits(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(hits)
+  }
 }
 
 /** `word_shingles(text, n)`: distinct word n-gram shingles. */
@@ -247,5 +289,65 @@ case class MinhashSignature(child: Expression, k: Int, md5Mode: Boolean = false)
       c => s"graft.functions.TextHashUtil.minhashSig($c, $k, $md5Mode)")
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
+/** `token_stats(text)`: (n_tokens, n_distinct, n_stop) in one tokenize
+  * pass — the fused form of the three HOF aggregates the quality score
+  * reads. The stopword set rides along as a codegen reference object. */
+case class TokenStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_stop", LongType, nullable = false)))
+  override def prettyName: String = "token_stats"
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.tokenStats(input.asInstanceOf[UTF8String], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.tokenStats($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
+/** `token_hits(text)`: per-marker-set token hit counts in one tokenize
+  * pass — the language-ID scoring loop as a single traversal. Element i
+  * counts tokens contained in `markerSets(i)`. */
+case class TokenHits(child: Expression, markerSets: Seq[Seq[String]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hits"
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    markerSets.map { ms =>
+      val s = new java.util.HashSet[String]()
+      ms.foreach(s.add)
+      s
+    }.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.tokenHits(input.asInstanceOf[UTF8String], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markerSets", sets, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.tokenHits($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHits =
     copy(child = newChild)
 }

@@ -77,6 +77,44 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("token_stats / token_hits kernels match the composable HOF forms") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, sf).select("doc_id", "text")
+    val toks = split(trim(col("text")), "\\s+")
+    val stop = TextOps.stopwords
+    val hof = docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      size(filter(toks, t => t.isin(stop.map(_.toString): _*)))
+        .cast("long").as("n_stop"))
+    val kern = docs.select(col("doc_id"),
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.TokenStats(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("text")),
+          stop)).as("st"))
+      .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+        col("st.n_distinct").as("n_distinct"), col("st.n_stop").as("n_stop"))
+    assert(hof.exceptAll(kern).isEmpty && kern.exceptAll(hof).isEmpty)
+    // token_hits: per-marker-set counts equal independent HOF counts,
+    // and the empty-string edge tokenizes to [""] in both forms
+    val markers = TextOps.langMarkers.toSeq.sortBy(_._1)
+    val edge = spark.createDataFrame(Seq((1L, ""), (2L, "the the le"),
+      (3L, " el  los "))).toDF("doc_id", "text")
+    val hofHits = edge.select(col("doc_id") +: markers.zipWithIndex.map {
+      case ((_, ms), i) =>
+        size(filter(split(trim(col("text")), "\\s+"),
+          t => t.isin(ms.map(_.toString): _*))).cast("long").as(s"h$i")
+    }: _*)
+    val kernHits = edge.select(col("doc_id"),
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.TokenHits(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("text")),
+          markers.map(_._2))).as("h"))
+      .select(col("doc_id") +: markers.indices.map(i =>
+        element_at(col("h"), i + 1).as(s"h$i")): _*)
+    assert(hofHits.exceptAll(kernHits).isEmpty && kernHits.exceptAll(hofHits).isEmpty)
+  }
+
   test("scrubIds masks every digit and counts them") {
     val names = graft.model.Tables.customer(spark, sf)
       .select("c_custkey", "c_name").collect()
