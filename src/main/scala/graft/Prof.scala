@@ -14,7 +14,12 @@ object Prof {
     spark.sparkContext.setLogLevel("WARN")
     import graft.ext.{DedupOps, TextOps}
     t("warmup")(spark.read.parquet(s"$dir/lineitem.parquet").limit(1000).count())
-    if (args.headOption.contains("cold")) {
+    if (args.headOption.contains("tri")) {
+      t("triangles_cold")(graft.operators.GraphOps.triangleCount(spark, dir)
+        .collect().toSeq)
+      t("triangles_warm")(graft.operators.GraphOps.triangleCount(spark, dir)
+        .collect().toSeq)
+    } else if (args.headOption.contains("cold")) {
       // the bench-order view: curated first absorbs the whole pipeline
       t("curated_cold")(DedupOps.curatedCorpus(spark, dir).count())
       t("clusters_warm")(DedupOps.dedupClusters(spark, dir).count())

@@ -1314,7 +1314,11 @@ object SparkEntry {
     "q_pagerank" -> ((s, d) => graft.operators.GraphOps.pageRank(s, d)),
     "q_topk_native" -> ((s, d) => Relational.topOrdersPerSegmentNative(s, d)),
     "dedup_keeper_quality" -> ((s, d) => DedupOps.keeperByQuality(s, d)),
-    "dedup_curated" -> ((s, d) => DedupOps.curatedCorpus(s, d))
+    "dedup_curated" -> ((s, d) => DedupOps.curatedCorpus(s, d)),
+    "q_cms" -> ((s, d) => graft.operators.SketchOps.cmsFrequency(s, d)),
+    "q_triangles" -> ((s, d) => graft.operators.GraphOps.triangleCount(s, d)),
+    "text_inverted" -> ((s, d) => TextOps.invertedIndex(s, d)),
+    "samp_quota" -> ((s, d) => SampleOps.quotaByLang(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1584,6 +1588,80 @@ object SparkEntry {
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,
          |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS ndv,
          |  CAST(min($c) AS DOUBLE) AS min_val, CAST(max($c) AS DOUBLE) AS max_val
-         |FROM orders""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+         |FROM orders""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // q_cms: first-principles Count-Min sketch — the same md5-60 buckets
+    // and counter minimum replayed exactly (SketchOps.cmsFrequency).
+    "q_cms" -> qCmsSql,
+    // q_triangles: degree-ordered orientation is integer arithmetic
+    // (ord = deg·2^32 + id), so the wedge join replays bit-for-bit.
+    "q_triangles" -> qTrianglesSql,
+    "text_inverted" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |              FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(0, greatest(len(t) - 3, 0) + 1),
+        |         i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))) AS phrase
+        |       FROM toks),
+        |g AS (SELECT phrase, count(*) AS df,
+        |        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |          AS postings
+        |      FROM sh WHERE length(phrase) > 0 GROUP BY phrase)
+        |SELECT phrase, df, postings FROM g
+        |WHERE df BETWEEN 3 AND 20 ORDER BY phrase""".stripMargin,
+    "samp_quota" ->
+      s"""WITH d AS (SELECT lang, doc_id, source,
+         |    md5('${SampleOps.quotaSeed}:' || CAST(doc_id AS VARCHAR)) AS pri
+         |  FROM documents),
+         |r AS (SELECT lang, doc_id, pri, source,
+         |        row_number() OVER (PARTITION BY lang
+         |                           ORDER BY pri, doc_id) AS rn FROM d)
+         |SELECT lang, doc_id, pri, source FROM r WHERE rn <= 25
+         |ORDER BY lang, pri, doc_id""".stripMargin
   )
+
+  private val qCmsSql: String = {
+    val d = graft.operators.SketchOps.cmsDepth
+    val w = graft.operators.SketchOps.cmsWidth
+    val k = graft.operators.SketchOps.cmsProbeK
+    s"""WITH keys AS (SELECT o_custkey AS k FROM orders),
+       |hx AS (SELECT k, i,
+       |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+       |      CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % $w AS bucket
+       |  FROM keys CROSS JOIN (SELECT unnest(range($d)) AS i)),
+       |counters AS (SELECT i, bucket, count(*) AS cnt FROM hx GROUP BY 1, 2),
+       |probes AS (SELECT k, count(*) AS exact_cnt FROM keys GROUP BY 1
+       |           ORDER BY exact_cnt DESC, k LIMIT $k),
+       |pb AS (SELECT p.k, p.exact_cnt, i,
+       |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+       |      CAST(p.k AS VARCHAR)), 1, 15)) AS BIGINT) % $w AS bucket
+       |  FROM probes p CROSS JOIN (SELECT unnest(range($d)) AS i))
+       |SELECT pb.k AS o_custkey, pb.exact_cnt, min(c.cnt) AS cms_est
+       |FROM pb JOIN counters c USING (i, bucket)
+       |GROUP BY 1, 2 ORDER BY o_custkey""".stripMargin
+  }
+
+  private val qTrianglesSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |edges AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+      |          FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      |deg AS (SELECT v, count(*) AS deg FROM (
+      |          SELECT a AS v FROM edges
+      |          UNION ALL SELECT b FROM edges) GROUP BY 1),
+      |wo AS (SELECT e.a, e.b,
+      |         da.deg * 4294967296 + e.a AS orda,
+      |         db.deg * 4294967296 + e.b AS ordb
+      |       FROM edges e JOIN deg da ON da.v = e.a
+      |                    JOIN deg db ON db.v = e.b),
+      |o AS (SELECT CASE WHEN orda < ordb THEN a ELSE b END AS src,
+      |             CASE WHEN orda < ordb THEN b ELSE a END AS dst,
+      |             greatest(orda, ordb) AS dord FROM wo),
+      |wdg AS (SELECT e1.dst AS u, e2.dst AS w FROM o e1 JOIN o e2
+      |        ON e1.src = e2.src AND e1.dord < e2.dord),
+      |t AS (SELECT count(*) AS n_triangles FROM wdg
+      |      WHERE EXISTS (SELECT 1 FROM o
+      |                    WHERE o.src = wdg.u AND o.dst = wdg.w))
+      |SELECT (SELECT count(*) FROM deg) AS n_vertices,
+      |       (SELECT count(*) FROM edges) AS n_edges,
+      |       n_triangles FROM t""".stripMargin
 }

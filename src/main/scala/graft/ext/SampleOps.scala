@@ -84,4 +84,36 @@ object SampleOps {
         (col("bin_first") =!= col("bin_last")).as("straddles"))
       .orderBy(col("doc_id"))
   }
+
+  val quotaSeed = "graft-quota-v1"
+
+  /** Exact-count quota sampling (`samp_quota`): exactly `min(k, |stratum|)`
+    * rows per stratum, chosen as the k SMALLEST seeded hashes — a
+    * deterministic uniform without-replacement sample per group. This is
+    * the "exactly 1M docs per language" rebalancing primitive that
+    * rate-based [[stratifiedSample]] can't give (rates only hit quotas in
+    * expectation).
+    *
+    * Runs on the custom TopKPerGroup physical operator
+    * (graft.plans.TopKPerGroup): one ClusteredDistribution exchange on
+    * the stratum and a k-bounded heap per group — no Sort, no Window,
+    * per-task memory O(k), which is the shape that survives a stratum
+    * with 10¹⁰ members. The md5 priority gives the same sample in any
+    * engine, so the DuckDB oracle replays it with a row_number window.
+    */
+  def quotaSample(df: DataFrame, strataCol: String, keyCol: String,
+      k: Int, seed: String): DataFrame = {
+    val pri = md5(concat(lit(seed + ":"), col(keyCol).cast("string")))
+    graft.plans.TopKPerGroup.topK(
+        df.withColumn("pri", pri), Seq(strataCol),
+        Seq(("pri", true), (keyCol, true)), k)
+      .drop("rank")
+  }
+
+  /** The `samp_quota` query face: 25 documents per language. */
+  def quotaByLang(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    quotaSample(Tables.documents(spark, dir), "lang", "doc_id", k, quotaSeed)
+      .select(col("lang"), col("doc_id"), col("pri"), col("source"))
+      .orderBy(col("lang"), col("pri"), col("doc_id"))
+  }
 }

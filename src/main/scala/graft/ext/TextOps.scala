@@ -273,4 +273,36 @@ object TextOps {
           .cast("long").as("n_masked"))
       .orderBy(col("c_custkey"))
   }
+
+  /** Inverted phrase-index build (`text_inverted`): word-trigram shingle
+    * → sorted posting list of the documents containing it, restricted to
+    * shingles whose document frequency lies in [dfMin, dfMax]. The df
+    * band is the scale guard: it drops boilerplate-grade phrases whose
+    * posting lists would be corpus-sized (the classic skew killer in
+    * index builds — at 100 TB a stock phrase's posting list is the whole
+    * corpus) while keeping the discriminative phrases a search or
+    * attribution index actually serves. (Unigrams are useless on this
+    * corpus — its generator draws from ~31 words, all stopword-grade;
+    * trigram phrases have a real Zipf tail.)
+    *
+    * Shape: per-doc DISTINCT shingles first (the fused native
+    * WordShingles kernel, no exchange), then ONE (shingle) hash
+    * aggregate that both counts df and folds the posting list; the
+    * df-band filter runs on the aggregate output, and the band bounds
+    * every posting list at dfMax entries. Posting lists are serialized
+    * to a canonical comma-joined string so the result is
+    * engine-hashable (same recipe as q_array_agg). */
+  def invertedIndex(spark: SparkSession, dir: String,
+      dfMin: Int = 3, dfMax: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(col("doc_id"),
+        explode(DedupOps.shingles(col("text"), 3)).as("phrase"))
+      .filter(length(col("phrase")) > 0)
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("df"),
+        expr("array_join(transform(array_sort(collect_list(doc_id))," +
+          " x -> CAST(x AS STRING)), ',')").as("postings"))
+      .filter(col("df").between(dfMin, dfMax))
+      .orderBy(col("phrase"))
+  }
 }

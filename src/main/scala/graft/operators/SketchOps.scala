@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Count-Min sketch frequency estimation, built from first principles so
+  * the sketch itself is oracle-checkable (same construction philosophy as
+  * [[Relational.hllNdv]]: engine-neutral md5-derived hashes, pure integer
+  * arithmetic, deterministic output in any engine).
+  *
+  * Cormode & Muthukrishnan, "An Improved Data Stream Summary: The
+  * Count-Min Sketch and its Applications", J. Algorithms 55(1), 2005.
+  * The estimate for a key is the MIN over `depth` hash rows of the
+  * counter its hash lands in — always an overestimate (collisions only
+  * add), within eN of truth w.h.p. for width w = e/ε.
+  *
+  * Scale notes (100 TB): the sketch is `depth × width` counters
+  * (4×512 = 2 048 rows) REGARDLESS of input size, built by one
+  * partial+final hash aggregate — map-side combine collapses each
+  * partition to ≤ 2 048 rows before the exchange, which is exactly the
+  * mergeability property that makes CMS the right shape for massive
+  * streams. The probe side is a top-k (TakeOrderedAndProject) and every
+  * join below it is sketch-sized, so AQE broadcasts them.
+  */
+object SketchOps {
+
+  val cmsDepth = 4
+  val cmsWidth = 512
+  val cmsProbeK = 20
+
+  /** Row-`i` bucket for a key: 60-bit integer from the md5 hex prefix of
+    * "i:key" (the same engine-neutral construction as hllNdv / the
+    * dedup md5-60 faces), reduced mod `cmsWidth`. */
+  private def bucket(i: Int, key: Column): Column =
+    pmod(
+      conv(substring(md5(concat(lit(s"$i:"), key.cast("string")).cast("binary")),
+        1, 15), 16, 10).cast("long"),
+      lit(cmsWidth))
+
+  private def bucketArray(key: Column): Column =
+    array((0 until cmsDepth).map(i =>
+      struct(lit(i).as("i"), bucket(i, key).as("bucket"))): _*)
+
+  /** `q_cms`: build a CMS over `orders.o_custkey`, then probe the
+    * `cmsProbeK` hottest customers (exact count desc, key asc — a total
+    * order, so LIMIT is deterministic) and report estimate vs truth.
+    * `cms_est >= exact_cnt` always, by the one-sided CMS guarantee. */
+  def cmsFrequency(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+    // the sketch: one pass, ≤ depth×width rows survive the map side
+    val counters = keys
+      .select(explode(bucketArray(col("k"))).as("x"))
+      .groupBy(col("x.i").as("i"), col("x.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // probe set: hottest keys with a deterministic tie-break
+    val probes = keys.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("k").asc).limit(cmsProbeK)
+    probes
+      .select(col("k"), col("exact_cnt"), explode(bucketArray(col("k"))).as("x"))
+      .select(col("k"), col("exact_cnt"), col("x.i").as("i"), col("x.bucket").as("bucket"))
+      .join(counters, Seq("i", "bucket"))
+      .groupBy(col("k"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("k").as("o_custkey"), col("exact_cnt"), col("cms_est"))
+      .orderBy(col("o_custkey"))
+  }
+}

@@ -37,4 +37,23 @@ class GraphOpsSpec extends SparkSuite {
     val b = GraphOps.pageRank(spark, sf).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("triangle count matches the naive three-way edge join") {
+    val row = GraphOps.triangleCount(spark, sf).collect().head
+    val nTri = row.getAs[Long]("n_triangles")
+    // naive reference: edges (a<b by id), triangles = (a,b),(b,c),(a,c)
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct().cache()
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .count()
+    e.unpersist()
+    assert(nTri == naive, s"oriented=$nTri naive=$naive")
+    assert(row.getAs[Long]("n_edges") > 0 && nTri > 0)
+  }
 }

@@ -75,4 +75,22 @@ class SampleOpsSpec extends SparkSuite {
     val rows = SampleOps.packSequences(spark, sf, budget = Int.MaxValue)
     assert(rows.filter(col("straddles")).count() == 0)
   }
+
+  test("quota sample takes exactly min(k, |stratum|) per stratum, deterministically") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = 25
+    val got = SampleOps.quotaByLang(spark, sf, k).collect()
+    val perLang = got.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    sizes.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0) == math.min(k.toLong, n),
+        s"$lang: quota ${perLang.get(lang)} vs |stratum| $n")
+    }
+    // the sample is a subset of the corpus and reruns agree exactly
+    val ids = got.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.size == got.length)
+    val again = SampleOps.quotaByLang(spark, sf, k).collect().map(_.toSeq).toSeq
+    assert(again == got.map(_.toSeq).toSeq)
+  }
 }

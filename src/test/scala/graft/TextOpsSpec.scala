@@ -127,4 +127,18 @@ class TextOpsSpec extends SparkSuite {
       assert(row.getAs[Long]("n_masked") == name.count(_.isDigit))
     }
   }
+
+  test("inverted index postings are sorted, de-duplicated, and df-banded") {
+    val rows = TextOps.invertedIndex(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length > 100, s"expected a real phrase vocabulary, got ${rows.length}")
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      assert(df >= 3 && df <= 20)
+      val ids = r.getAs[String]("postings").split(",").map(_.toLong)
+      // df counts exactly the documents in the posting list, which is
+      // strictly increasing (sorted + per-doc distinct shingles upstream)
+      assert(ids.length == df, s"${r.getAs[String]("phrase")}: $df vs ${ids.length}")
+      assert(ids.sameElements(ids.sorted) && ids.distinct.length == ids.length)
+    }
+  }
 }
