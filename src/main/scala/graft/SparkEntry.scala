@@ -1318,7 +1318,8 @@ object SparkEntry {
     "q_cms" -> ((s, d) => graft.operators.SketchOps.cmsFrequency(s, d)),
     "q_triangles" -> ((s, d) => graft.operators.GraphOps.triangleCount(s, d)),
     "text_inverted" -> ((s, d) => TextOps.invertedIndex(s, d)),
-    "samp_quota" -> ((s, d) => SampleOps.quotaByLang(s, d))
+    "samp_quota" -> ((s, d) => SampleOps.quotaByLang(s, d)),
+    "ev_ewma" -> ((s, d) => EventOps.ewmaFeatures(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1616,8 +1617,25 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY lang
          |                           ORDER BY pri, doc_id) AS rn FROM d)
          |SELECT lang, doc_id, pri, source FROM r WHERE rn <= 25
-         |ORDER BY lang, pri, doc_id""".stripMargin
+         |ORDER BY lang, pri, doc_id""".stripMargin,
+    // ev_ewma: integer fixed-point time-decayed sum — every lag-j term
+    // is cents >> j in both engines, so the feature replays exactly.
+    "ev_ewma" -> evEwmaSql
   )
+
+  private val evEwmaSql: String = {
+    val terms = (0 until 8).map(j =>
+      s"coalesce((lag(cents, $j) OVER w) >> $j, 0)").mkString("\n      + ")
+    s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       |             CAST(round(value * 100) AS BIGINT) AS cents
+       |           FROM events),
+       |l AS (SELECT event_id, user_id, cents,
+       |        row_number() OVER w AS seq,
+       |        $terms AS ewma_cents
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT event_id, user_id, seq, cents, ewma_cents FROM l
+       |ORDER BY user_id, seq""".stripMargin
+  }
 
   private val qCmsSql: String = {
     val d = graft.operators.SketchOps.cmsDepth

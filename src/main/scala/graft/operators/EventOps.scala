@@ -189,4 +189,39 @@ object EventOps {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
+
+  /** Time-decayed per-user activity feature (`ev_ewma`): an
+    * exponentially-weighted moving sum with half-life = 1 event,
+    * truncated at `depth` lags — the standard recency-weighted feature
+    * a ranking/feeds pipeline computes per entity. Arithmetic is ALL
+    * integer fixed-point: values become cents (round(value·100)) and
+    * each lag-j term contributes `cents DIV 2^j`, so any engine
+    * replays the feature bit-for-bit (a float alpha^j recursion
+    * diverges across engines at the ULP level; the deliberate
+    * truncation is deterministic and identical everywhere).
+    *
+    * Shape: one (user_id) exchange, in-partition sort by (ts,
+    * event_id), `depth` lag reads over the same window frame — a
+    * single Window node, no joins, no second shuffle. At 100 TB the
+    * per-user partition is the natural unit; a hot user with 10⁹
+    * events would need the range-partitioned two-pass recipe
+    * (balanceQuartiles) — noted, not needed for entity-keyed activity
+    * streams. */
+  def ewmaFeatures(spark: SparkSession, dir: String, depth: Int = 8): DataFrame = {
+    require(depth >= 1 && depth <= 62, s"depth must be in [1,62]: $depth")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // shiftright = floor division by 2^j; values are nonnegative cents,
+    // so this matches any engine's integer halving exactly
+    val terms = (0 until depth).map(j =>
+      coalesce(shiftright(lag(col("cents"), j).over(w), j), lit(0L)))
+    events(spark, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("cents"),
+        terms.reduce(_ + _).as("ewma_cents"),
+        row_number().over(w).cast("long").as("seq"))
+      .orderBy(col("user_id"), col("seq"))
+      .select(col("event_id"), col("user_id"), col("seq"),
+        col("cents"), col("ewma_cents"))
+  }
 }

@@ -85,4 +85,20 @@ class EventOpsSpec extends SparkSuite {
       assert(n <= clicksPerUser.getOrElse(r.getLong(1), 0L))
     }
   }
+
+  test("ewma features: depth-1 is the raw value, deeper terms only add") {
+    val d1 = EventOps.ewmaFeatures(spark, sf, depth = 1).collect()
+    d1.foreach { r =>
+      assert(r.getAs[Long]("ewma_cents") == r.getAs[Long]("cents"))
+    }
+    val d8 = EventOps.ewmaFeatures(spark, sf, depth = 8).collect()
+    val k1 = d1.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("seq")) ->
+      r.getAs[Long]("ewma_cents")).toMap
+    d8.foreach { r =>
+      val base = k1((r.getAs[Long]("user_id"), r.getAs[Long]("seq")))
+      val e = r.getAs[Long]("ewma_cents")
+      // lag terms are nonnegative, so deeper depth can only increase
+      assert(e >= base, s"$r vs depth-1 $base")
+    }
+  }
 }
