@@ -73,4 +73,38 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("simhash64"))
     assert(!p.toLowerCase.contains("aggregate(zip_with"))
   }
+
+  test("triangle closing join broadcasts the edge set (wedges stay map-side)") {
+    val p = plan("q_triangles")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(800))
+    // the only nested-loop joins are the final 1-row × 1-row stat
+    // combiners; the wedge/closing path must stay hash-based
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p.take(800))
+    // pair generation is the codegen'd kernel, not an interpreted HOF chain
+    assert(p.contains("packed_pairs"), "PackedPairs kernel missing from plan")
+  }
+
+  test("quota sampling runs on the bounded-heap TopKPerGroup exec, no Window") {
+    val p = plan("samp_quota")
+    assert(p.contains("TopKPerGroup"), p.take(800))
+    assert(!p.contains("Window"), "quota sample fell back to a window")
+  }
+
+  test("ewma is one window over one hash exchange, no joins") {
+    val p = plan("ev_ewma")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), p.take(800))
+    // exactly one hashpartitioning exchange (user_id); the only other
+    // exchange is the final presentation orderBy's rangepartitioning
+    assert("hashpartitioning".r.findAllIn(p).length <= 2, p.take(800))
+  }
+
+  test("CMS probe joins never shuffle the sketch (broadcast or tiny-side only)") {
+    val p = plan("q_cms")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the probe set is a fused top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
 }
