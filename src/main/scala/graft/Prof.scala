@@ -19,6 +19,11 @@ object Prof {
         .collect().toSeq)
       t("triangles_warm")(graft.operators.GraphOps.triangleCount(spark, dir)
         .collect().toSeq)
+    } else if (args.headOption.contains("kcore")) {
+      t("kcore_cold")(graft.operators.GraphOps.kCorePeel(spark, dir)
+        .collect().toSeq)
+      t("kcore_warm")(graft.operators.GraphOps.kCorePeel(spark, dir)
+        .collect().toSeq)
     } else if (args.headOption.contains("cold")) {
       // the bench-order view: curated first absorbs the whole pipeline
       t("curated_cold")(DedupOps.curatedCorpus(spark, dir).count())

@@ -1319,7 +1319,8 @@ object SparkEntry {
     "q_triangles" -> ((s, d) => graft.operators.GraphOps.triangleCount(s, d)),
     "text_inverted" -> ((s, d) => TextOps.invertedIndex(s, d)),
     "samp_quota" -> ((s, d) => SampleOps.quotaByLang(s, d)),
-    "ev_ewma" -> ((s, d) => EventOps.ewmaFeatures(s, d))
+    "ev_ewma" -> ((s, d) => EventOps.ewmaFeatures(s, d)),
+    "q_kcore" -> ((s, d) => graft.operators.GraphOps.kCorePeel(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1620,8 +1621,41 @@ object SparkEntry {
          |ORDER BY lang, pri, doc_id""".stripMargin,
     // ev_ewma: integer fixed-point time-decayed sum — every lag-j term
     // is cents >> j in both engines, so the feature replays exactly.
-    "ev_ewma" -> evEwmaSql
+    "ev_ewma" -> evEwmaSql,
+    // q_kcore: fixed unrolled synchronous peel — each round is a pure
+    // degree filter, so the oracle replays the trajectory CTE-for-CTE.
+    "q_kcore" -> qKcoreSql
   )
+
+  private val qKcoreSql: String = {
+    val k = graft.operators.GraphOps.kCoreK
+    val rounds = graft.operators.GraphOps.kCoreRounds
+    val sb = new StringBuilder
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references the previous one 3× — un-materialized, the
+    // 6-round unroll expands to 3^6 scans of the base tables.
+    sb.append(
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |       FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+         |d$r AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
+         |         SELECT a AS v FROM e${r - 1}
+         |         UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
+         |a$r AS MATERIALIZED (SELECT v FROM d$r WHERE deg >= $k),
+         |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+         |        WHERE a IN (SELECT v FROM a$r)
+         |          AND b IN (SELECT v FROM a$r))""".stripMargin)
+    }
+    val rows = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, " +
+        s"(SELECT count(*) FROM a$r) AS n_core, " +
+        s"(SELECT count(*) FROM e$r) AS n_edges_core")
+    sb.append("\n" + rows.mkString("\nUNION ALL\n") + "\nORDER BY round")
+    sb.toString
+  }
 
   private val evEwmaSql: String = {
     val terms = (0 until 8).map(j =>

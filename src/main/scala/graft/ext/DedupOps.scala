@@ -33,6 +33,7 @@ object DedupOps {
     sharedCaches.clear()
     clusterCache.synchronized(clusterCache.clear())
     shingleCaches.synchronized(shingleCaches.clear())
+    graft.operators.GraphOps.clearGraphCaches()
   }
 
   /** Memoized per-(dir, n) shingle tables shared by the whole dedup

@@ -56,4 +56,24 @@ class GraphOpsSpec extends SparkSuite {
     assert(nTri == naive, s"oriented=$nTri naive=$naive")
     assert(row.getAs[Long]("n_edges") > 0 && nTri > 0)
   }
+
+  test("k-core peel trajectory is monotone and matches a hand-built round 1") {
+    val rows = GraphOps.kCorePeel(spark, sf).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_core"),
+        r.getAs[Long]("n_edges_core")))
+    assert(rows.map(_._1).toSeq == (1L to GraphOps.kCoreRounds).toSeq)
+    // survivor and surviving-edge counts can only shrink round-over-round
+    rows.sliding(2).foreach { case Array((_, c1, e1), (_, c2, e2)) =>
+      assert(c2 <= c1 && e2 <= e1, s"peel grew: $c1->$c2 / $e1->$e2")
+    }
+    // round 1 = vertices of degree >= k in the full graph
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+    val expected = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").count().filter(col("count") >= GraphOps.kCoreK).count()
+    assert(rows.head._2 == expected, s"round 1: ${rows.head._2} vs $expected")
+  }
 }
