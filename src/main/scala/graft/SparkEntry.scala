@@ -1320,7 +1320,8 @@ object SparkEntry {
     "text_inverted" -> ((s, d) => TextOps.invertedIndex(s, d)),
     "samp_quota" -> ((s, d) => SampleOps.quotaByLang(s, d)),
     "ev_ewma" -> ((s, d) => EventOps.ewmaFeatures(s, d)),
-    "q_kcore" -> ((s, d) => graft.operators.GraphOps.kCorePeel(s, d))
+    "q_kcore" -> ((s, d) => graft.operators.GraphOps.kCorePeel(s, d)),
+    "q_triangles_approx" -> ((s, d) => graft.operators.GraphOps.triangleEstimate(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1624,7 +1625,11 @@ object SparkEntry {
     "ev_ewma" -> evEwmaSql,
     // q_kcore: fixed unrolled synchronous peel — each round is a pure
     // degree filter, so the oracle replays the trajectory CTE-for-CTE.
-    "q_kcore" -> qKcoreSql
+    "q_kcore" -> qKcoreSql,
+    // q_triangles_approx: DOULION edge sampling by a seeded md5
+    // threshold — the sampled graph, and hence the integer-scaled
+    // estimate, replays exactly.
+    "q_triangles_approx" -> qTrianglesApproxSql
   )
 
   private val qKcoreSql: String = {
@@ -1692,28 +1697,53 @@ object SparkEntry {
        |GROUP BY 1, 2 ORDER BY o_custkey""".stripMargin
   }
 
+  /** Shared CTE chain for the triangle oracles: degree-ordered
+    * orientation + wedge closing over an edge CTE named `edges`.
+    * MATERIALIZED throughout — DuckDB inlines plain CTEs and `o` is
+    * referenced three times. */
+  private def triangleCoreSql(edgesCte: String): String =
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+       |       FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+       |edges AS MATERIALIZED ($edgesCte),
+       |deg AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
+       |          SELECT a AS v FROM edges
+       |          UNION ALL SELECT b FROM edges) GROUP BY 1),
+       |wo AS MATERIALIZED (SELECT e.a, e.b,
+       |         da.deg * 4294967296 + e.a AS orda,
+       |         db.deg * 4294967296 + e.b AS ordb
+       |       FROM edges e JOIN deg da ON da.v = e.a
+       |                    JOIN deg db ON db.v = e.b),
+       |o AS MATERIALIZED (
+       |      SELECT CASE WHEN orda < ordb THEN a ELSE b END AS src,
+       |             CASE WHEN orda < ordb THEN b ELSE a END AS dst,
+       |             greatest(orda, ordb) AS dord FROM wo),
+       |wdg AS (SELECT e1.dst AS u, e2.dst AS w FROM o e1 JOIN o e2
+       |        ON e1.src = e2.src AND e1.dord < e2.dord),
+       |t AS MATERIALIZED (SELECT count(*) AS n_triangles FROM wdg
+       |      WHERE EXISTS (SELECT 1 FROM o
+       |                    WHERE o.src = wdg.u AND o.dst = wdg.w))""".stripMargin
+
   private val qTrianglesSql: String =
-    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-      |            FROM lineitem),
-      |edges AS (SELECT DISTINCT x.pk AS a, y.pk AS b
-      |          FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
-      |deg AS (SELECT v, count(*) AS deg FROM (
-      |          SELECT a AS v FROM edges
-      |          UNION ALL SELECT b FROM edges) GROUP BY 1),
-      |wo AS (SELECT e.a, e.b,
-      |         da.deg * 4294967296 + e.a AS orda,
-      |         db.deg * 4294967296 + e.b AS ordb
-      |       FROM edges e JOIN deg da ON da.v = e.a
-      |                    JOIN deg db ON db.v = e.b),
-      |o AS (SELECT CASE WHEN orda < ordb THEN a ELSE b END AS src,
-      |             CASE WHEN orda < ordb THEN b ELSE a END AS dst,
-      |             greatest(orda, ordb) AS dord FROM wo),
-      |wdg AS (SELECT e1.dst AS u, e2.dst AS w FROM o e1 JOIN o e2
-      |        ON e1.src = e2.src AND e1.dord < e2.dord),
-      |t AS (SELECT count(*) AS n_triangles FROM wdg
-      |      WHERE EXISTS (SELECT 1 FROM o
-      |                    WHERE o.src = wdg.u AND o.dst = wdg.w))
-      |SELECT (SELECT count(*) FROM deg) AS n_vertices,
-      |       (SELECT count(*) FROM edges) AS n_edges,
-      |       n_triangles FROM t""".stripMargin
+    triangleCoreSql("SELECT a, b FROM e0") +
+      """
+        |SELECT (SELECT count(*) FROM deg) AS n_vertices,
+        |       (SELECT count(*) FROM edges) AS n_edges,
+        |       n_triangles FROM t""".stripMargin
+
+  private val qTrianglesApproxSql: String = {
+    val seed = graft.operators.GraphOps.triSampleSeed
+    val den = graft.operators.GraphOps.triSampleDen
+    val thresh = f"${65536 / den}%04x"
+    triangleCoreSql(
+      s"""SELECT a, b FROM e0
+         |   WHERE substr(md5('$seed:' ||
+         |     CAST(a * 4294967296 + b AS VARCHAR)), 1, 4) < '$thresh'""".stripMargin) +
+      s"""
+         |SELECT (SELECT count(*) FROM edges) AS n_edges_sampled,
+         |       n_triangles AS tri_sampled,
+         |       n_triangles * ${den.toLong * den * den} AS tri_est
+         |FROM t""".stripMargin
+  }
 }

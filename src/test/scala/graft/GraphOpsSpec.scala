@@ -57,6 +57,21 @@ class GraphOpsSpec extends SparkSuite {
     assert(row.getAs[Long]("n_edges") > 0 && nTri > 0)
   }
 
+  test("DOULION estimate: sample rate near p, estimate within 2x of exact") {
+    val exact = GraphOps.triangleCount(spark, sf).collect().head
+      .getAs[Long]("n_triangles")
+    val est = GraphOps.triangleEstimate(spark, sf).collect().head
+    val nEdges = GraphOps.triangleCount(spark, sf).collect().head
+      .getAs[Long]("n_edges")
+    val p = 1.0 / GraphOps.triSampleDen
+    val frac = est.getAs[Long]("n_edges_sampled").toDouble / nEdges
+    // md5 is uniform: the deterministic sample keeps ~p of the edges
+    assert(math.abs(frac - p) < 0.02, s"sample fraction $frac vs p=$p")
+    // p³-scaling concentrates well at this density — generous 2x band
+    val ratio = est.getAs[Long]("tri_est").toDouble / exact
+    assert(ratio > 0.5 && ratio < 2.0, s"estimate off: $ratio")
+  }
+
   test("k-core peel trajectory is monotone and matches a hand-built round 1") {
     val rows = GraphOps.kCorePeel(spark, sf).collect()
       .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_core"),
