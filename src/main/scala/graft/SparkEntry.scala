@@ -1321,7 +1321,8 @@ object SparkEntry {
     "samp_quota" -> ((s, d) => SampleOps.quotaByLang(s, d)),
     "ev_ewma" -> ((s, d) => EventOps.ewmaFeatures(s, d)),
     "q_kcore" -> ((s, d) => graft.operators.GraphOps.kCorePeel(s, d)),
-    "q_triangles_approx" -> ((s, d) => graft.operators.GraphOps.triangleEstimate(s, d))
+    "q_triangles_approx" -> ((s, d) => graft.operators.GraphOps.triangleEstimate(s, d)),
+    "q_quantile_sketch" -> ((s, d) => graft.operators.SketchOps.bottomKQuantiles(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1629,8 +1630,42 @@ object SparkEntry {
     // q_triangles_approx: DOULION edge sampling by a seeded md5
     // threshold — the sampled graph, and hence the integer-scaled
     // estimate, replays exactly.
-    "q_triangles_approx" -> qTrianglesApproxSql
+    "q_triangles_approx" -> qTrianglesApproxSql,
+    // q_quantile_sketch: bottom-k hash sample + exact order statistics
+    // at dyadic quantiles — both engine-replayable by construction.
+    "q_quantile_sketch" -> qQuantileSketchSql
   )
+
+  private val qQuantileSketchSql: String = {
+    val k = graft.operators.SketchOps.bkSampleK
+    val seed = graft.operators.SketchOps.bkSeed
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT l_returnflag AS flag, l_extendedprice AS price,
+       |    l_orderkey, l_linenumber,
+       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM lineitem),
+       |h AS MATERIALIZED (
+       |  SELECT flag, price,
+       |    md5('$seed:' || CAST(l_orderkey AS VARCHAR) || ':' ||
+       |        CAST(l_linenumber AS VARCHAR) || ':' ||
+       |        CAST(cents AS VARCHAR)) AS pri,
+       |    row_number() OVER (PARTITION BY flag
+       |      ORDER BY md5('$seed:' || CAST(l_orderkey AS VARCHAR) || ':' ||
+       |                   CAST(l_linenumber AS VARCHAR) || ':' ||
+       |                   CAST(cents AS VARCHAR)),
+       |               l_orderkey, l_linenumber, cents) AS hrank
+       |  FROM b),
+       |samp AS MATERIALIZED (SELECT flag, price, pri FROM h WHERE hrank <= $k),
+       |r AS (SELECT flag, price,
+       |        row_number() OVER (PARTITION BY flag ORDER BY price, pri) AS r,
+       |        count(*) OVER (PARTITION BY flag) AS s
+       |      FROM samp)
+       |SELECT flag AS l_returnflag, CAST(max(s) AS BIGINT) AS n_sample,
+       |  max(CASE WHEN r = (s + 3) // 4 THEN price END) AS p25_est,
+       |  max(CASE WHEN r = (s + 1) // 2 THEN price END) AS p50_est,
+       |  max(CASE WHEN r = (3 * s + 3) // 4 THEN price END) AS p75_est
+       |FROM r GROUP BY flag ORDER BY l_returnflag""".stripMargin
+  }
 
   private val qKcoreSql: String = {
     val k = graft.operators.GraphOps.kCoreK

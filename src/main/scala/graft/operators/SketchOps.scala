@@ -66,4 +66,63 @@ object SketchOps {
       .select(col("k").as("o_custkey"), col("exact_cnt"), col("cms_est"))
       .orderBy(col("o_custkey"))
   }
+
+  val bkSampleK = 1024
+  val bkSeed = "bk-v1"
+
+  /** Bottom-k-sample quantile sketch (`q_quantile_sketch`): per group,
+    * keep the `bkSampleK` rows with the SMALLEST seeded hashes — a
+    * deterministic uniform without-replacement sample — and read
+    * quantiles off the sample's exact order statistics. Bottom-k
+    * sampling is the mergeable backbone (union two sketches, re-take
+    * the bottom k — the KMV construction, Bar-Yossef et al. 2002), so
+    * this is the fixed-memory quantile path when exact percentiles
+    * (one sort per group) are too expensive and the engine-native KLL/
+    * GK sketches can't be replayed by an external oracle. Accuracy is
+    * the sampling error O(1/√k) — test-pinned against exact medians.
+    *
+    * Shape: the sample selection runs on the custom TopKPerGroup
+    * bounded-heap exec (one ClusteredDistribution exchange, O(k) task
+    * memory — never a per-group sort of the full data); the order
+    * statistic is a row_number over the k-row sample. The estimate is
+    * an EXACT element of the input (index ⌈s·q⌉ of the sorted sample,
+    * the inverted-CDF definition), not an interpolation — which is
+    * what makes it bit-replayable in any engine. */
+  def bottomKQuantiles(spark: SparkSession, dir: String,
+      k: Int = bkSampleK): DataFrame = {
+    // The synthetic lineitem has duplicate (l_orderkey, l_linenumber)
+    // pairs with different prices, so the hash input must carry the
+    // price too — as exact integer cents (floor(x*100 + 0.5) is the
+    // same IEEE arithmetic in any engine) — or the boundary tie at
+    // rank k is broken arbitrarily per engine/run.
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("price"),
+        col("l_orderkey").as("okey"),
+        col("l_linenumber").cast("long").as("lnum"),
+        floor(col("l_extendedprice") * lit(100) + lit(0.5)).as("cents"))
+      .withColumn("pri", md5(concat(lit(bkSeed + ":"),
+        col("okey").cast("string"), lit(":"),
+        col("lnum").cast("string"), lit(":"),
+        col("cents").cast("string"))))
+    val sample = graft.plans.TopKPerGroup.topK(
+      base, Seq("flag"),
+      Seq(("pri", true), ("okey", true), ("lnum", true), ("cents", true)), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("flag")).orderBy(col("price"), col("pri"))
+    val ws = org.apache.spark.sql.expressions.Window.partitionBy(col("flag"))
+    // inverted-CDF order statistics at dyadic quantiles; ceil(a/b) as
+    // (a + b - 1) DIV b keeps the index selection pure integer math
+    sample
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("s", count(lit(1)).over(ws))
+      .groupBy(col("flag"))
+      .agg(max(col("s")).as("n_sample"),
+        max(when(col("r") === expr("(s + 3) DIV 4"), col("price"))).as("p25_est"),
+        max(when(col("r") === expr("(s + 1) DIV 2"), col("price"))).as("p50_est"),
+        max(when(col("r") === expr("(3 * s + 3) DIV 4"), col("price"))).as("p75_est"))
+      .select(col("flag").as("l_returnflag"), col("n_sample"),
+        col("p25_est"), col("p50_est"), col("p75_est"))
+      .orderBy(col("l_returnflag"))
+  }
 }

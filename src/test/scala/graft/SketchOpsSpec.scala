@@ -26,4 +26,27 @@ class SketchOpsSpec extends SparkSuite {
     val b = SketchOps.cmsFrequency(spark, sf).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("bottom-k quantile sketch: sample sizes exact, estimates near exact quantiles") {
+    import org.apache.spark.sql.functions._
+    val li = graft.model.Tables.lineitem(spark, sf)
+    val sizes = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = SketchOps.bottomKQuantiles(spark, sf).collect()
+    assert(rows.length == sizes.size)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      assert(r.getAs[Long]("n_sample") ==
+        math.min(SketchOps.bkSampleK.toLong, sizes(flag)))
+      val est = r.getAs[Double]("p50_est")
+      val m = exact(flag)
+      // k=1024 uniform sample: sampling error ~1/sqrt(k); generous 10%
+      assert(math.abs(est - m) / m < 0.10, s"$flag: est=$est exact=$m")
+      assert(r.getAs[Double]("p25_est") <= est &&
+        est <= r.getAs[Double]("p75_est"))
+    }
+  }
 }
