@@ -1322,7 +1322,11 @@ object SparkEntry {
     "ev_ewma" -> ((s, d) => EventOps.ewmaFeatures(s, d)),
     "q_kcore" -> ((s, d) => graft.operators.GraphOps.kCorePeel(s, d)),
     "q_triangles_approx" -> ((s, d) => graft.operators.GraphOps.triangleEstimate(s, d)),
-    "q_quantile_sketch" -> ((s, d) => graft.operators.SketchOps.bottomKQuantiles(s, d))
+    "q_quantile_sketch" -> ((s, d) => graft.operators.SketchOps.bottomKQuantiles(s, d)),
+    "samp_split" -> ((s, d) => SampleOps.corpusSplit(s, d)),
+    "q_window_range_frame" -> ((s, d) => Relational.trailingSpend(s, d)),
+    "q_kmv_distinct" -> ((s, d) => graft.operators.SketchOps.kmvDistinct(s, d)),
+    "q_skyline" -> ((s, d) => Relational.skylineParts(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1633,8 +1637,97 @@ object SparkEntry {
     "q_triangles_approx" -> qTrianglesApproxSql,
     // q_quantile_sketch: bottom-k hash sample + exact order statistics
     // at dyadic quantiles — both engine-replayable by construction.
-    "q_quantile_sketch" -> qQuantileSketchSql
+    "q_quantile_sketch" -> qQuantileSketchSql,
+    "samp_split" -> sampSplitSql,
+    "q_window_range_frame" -> qWindowRangeFrameSql,
+    "q_kmv_distinct" -> qKmvDistinctSql,
+    // q_skyline: the oracle states the DEFINITION (dominance NOT
+    // EXISTS); the engine runs the agg+broadcast rewrite — matching
+    // hashes prove the rewrite implements skyline semantics.
+    "q_skyline" -> qSkylineSql
   )
+
+  /** 80/10/10 hash split: same md5-prefix thresholds as the Spark side. */
+  private val sampSplitSql: String =
+    s"""SELECT CASE
+       |    WHEN substr(md5('${SampleOps.splitSeed}:' || CAST(doc_id AS VARCHAR)), 1, 4)
+       |         < '${SampleOps.splitTrainHex}' THEN 'train'
+       |    WHEN substr(md5('${SampleOps.splitSeed}:' || CAST(doc_id AS VARCHAR)), 1, 4)
+       |         < '${SampleOps.splitValHex}' THEN 'val'
+       |    ELSE 'test' END AS split,
+       |  lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+       |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  /** Trailing-30-day spend: integer day numbers + cents make the RANGE
+    * frame and its sums exact in both engines. */
+  private val qWindowRangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day_num,
+      |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+      |    PARTITION BY o_custkey ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS trailing_cents
+      |FROM orders ORDER BY o_custkey, day_num, o_orderkey""".stripMargin
+
+  /** KMV sketch replay: same md5-60 hash, same bottom-k, and the
+    * estimate written as the SAME double expression (one literal, one
+    * division) so even IEEE rounding matches. */
+  private val qKmvDistinctSql: String = {
+    val k = graft.operators.SketchOps.kmvK
+    val seed = graft.operators.SketchOps.kmvSeed
+    val num = s"(${(k - 1).toDouble * 1152921504606846976.0})"
+    s"""WITH o AS MATERIALIZED (
+       |  SELECT DISTINCT year(o_orderdate) AS y, o_custkey AS ck
+       |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+       |hh AS MATERIALIZED (
+       |  SELECT y, ck,
+       |    CAST(('0x' || substr(md5('$seed:' || CAST(ck AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM o),
+       |samp AS MATERIALIZED (
+       |  SELECT y, ck, h FROM (
+       |    SELECT y, ck, h,
+       |      row_number() OVER (PARTITION BY y ORDER BY h, ck) AS rn FROM hh)
+       |  WHERE rn <= $k),
+       |hk AS (SELECT max(CASE WHEN y = 1995 THEN hk END) AS hk95,
+       |              max(CASE WHEN y = 1995 THEN ns END) AS ns95,
+       |              max(CASE WHEN y = 1996 THEN hk END) AS hk96,
+       |              max(CASE WHEN y = 1996 THEN ns END) AS ns96
+       |       FROM (SELECT y, max(h) AS hk, count(*) AS ns FROM samp GROUP BY y)),
+       |hku AS (SELECT max(h) AS hk_u, count(*) AS ns_u FROM (
+       |  SELECT h, ck FROM (SELECT DISTINCT h, ck FROM samp)
+       |  ORDER BY h, ck LIMIT $k)),
+       |ex AS (SELECT
+       |    count(DISTINCT CASE WHEN y = 1995 THEN ck END) AS exact_1995,
+       |    count(DISTINCT CASE WHEN y = 1996 THEN ck END) AS exact_1996,
+       |    count(DISTINCT ck) AS exact_union
+       |  FROM hh),
+       |est AS (SELECT
+       |    CASE WHEN ns95 < $k THEN CAST(ns95 AS DOUBLE)
+       |         ELSE $num / CAST(hk95 AS DOUBLE) END AS est_1995,
+       |    CASE WHEN ns96 < $k THEN CAST(ns96 AS DOUBLE)
+       |         ELSE $num / CAST(hk96 AS DOUBLE) END AS est_1996,
+       |    CASE WHEN ns_u < $k THEN CAST(ns_u AS DOUBLE)
+       |         ELSE $num / CAST(hk_u AS DOUBLE) END AS est_union
+       |  FROM hk, hku)
+       |SELECT CAST($k AS BIGINT) AS k,
+       |  est_1995, exact_1995, est_1996, exact_1996, est_union, exact_union,
+       |  est_1995 + est_1996 - est_union AS est_intersect,
+       |  exact_1995 + exact_1996 - exact_union AS exact_intersect
+       |FROM est, ex""".stripMargin
+  }
+
+  /** Skyline by definition: p survives iff no q is ≥ in size, ≤ in
+    * price, and strictly better in one. */
+  private val qSkylineSql: String =
+    """WITH p AS MATERIALIZED (
+      |  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+      |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM part)
+      |SELECT p_partkey, p_size, cents FROM p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p q
+      |  WHERE q.p_size >= p.p_size AND q.cents <= p.cents
+      |    AND (q.p_size > p.p_size OR q.cents < p.cents))
+      |ORDER BY p_size, p_partkey""".stripMargin
 
   private val qQuantileSketchSql: String = {
     val k = graft.operators.SketchOps.bkSampleK

@@ -116,4 +116,42 @@ object SampleOps {
       .select(col("lang"), col("doc_id"), col("pri"), col("source"))
       .orderBy(col("lang"), col("pri"), col("doc_id"))
   }
+
+  val splitSeed = "graft-split-v1"
+  // hex thresholds on the first 16 bits of md5(seed ":" key):
+  // train < 0xcccc (52428/65536 ≈ 0.8), val < 0xe666 (≈ 0.9), else test
+  val splitTrainHex = f"${math.floor(0.8 * 65536).toInt}%04x"
+  val splitValHex = f"${math.floor(0.9 * 65536).toInt}%04x"
+
+  /** Deterministic train/val/test assignment (`samp_split`): the split
+    * is a pure function of the row KEY — md5(seed ":" key) bucketed
+    * 80/10/10 — never of position, partition, or time. That is the
+    * property a training pipeline actually needs: re-runs, backfills
+    * and incremental arrivals all land each document in the same split,
+    * so eval rows can never leak into training when the corpus is
+    * rebuilt. Changing the seed resplits; changing the rates moves only
+    * the boundary documents.
+    *
+    * Scale: zero shuffle — a per-row hash compare over the scan (the
+    * same narrow-map recipe as [[stratifiedSample]]), composing with
+    * pushdown and partitioned writes (`partitionBy("split")` gives the
+    * three corpora as separate file trees in the same pass). */
+  def trainValTestSplit(df: DataFrame, keyCol: String,
+      seed: String = splitSeed): DataFrame = {
+    val h = substring(md5(concat(lit(seed + ":"), col(keyCol).cast("string"))), 1, 4)
+    df.withColumn("split",
+      when(h < lit(splitTrainHex), "train")
+        .when(h < lit(splitValHex), "val")
+        .otherwise("test"))
+  }
+
+  /** The `samp_split` query face: per-(split, lang) corpus accounting —
+    * row counts and total characters, the sanity table checked before
+    * any training run. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    trainValTestSplit(Tables.documents(spark, dir), "doc_id")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"), col("lang"))
+  }
 }

@@ -219,6 +219,66 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** W3+: event-time RANGE frame (`q_window_range_frame`) — each
+    * order's trailing-30-day spend for its customer, a sliding window
+    * keyed by VALUE distance (days), not row count: quiet customers
+    * aggregate few rows, bursty ones many, which a rowsBetween frame
+    * cannot express. Sums run in integer cents so the trailing totals
+    * replay exactly in any engine; orders on the same day are frame
+    * peers (RANGE semantics) so ties cannot reorder the result.
+    *
+    * Scale: one (o_custkey) exchange + in-partition sort — the same
+    * shape as every keyed window here; the frame bound adds no join
+    * and no extra pass. */
+  def trailingSpend(spark: SparkSession, dir: String, days: Int = 30): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+      .rangeBetween(-days.toLong, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day_num"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).as("cents"))
+      .withColumn("trailing_cents", sum(col("cents")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_num"),
+        col("trailing_cents"))
+      .orderBy(col("o_custkey"), col("day_num"), col("o_orderkey"))
+  }
+
+  /** Skyline / Pareto frontier (`q_skyline`): parts not DOMINATED by
+    * any other part, where q dominates p iff q is no worse in both
+    * dimensions (size↑, retailprice↓) and strictly better in at least
+    * one. The classic multi-criteria "best trade-offs" operator —
+    * candidate selection over (quality↑, cost↓)-style axes — that SQL
+    * has no native node for.
+    *
+    * Shape: NOT the O(n²) dominance self-join and NOT a global sort.
+    * Dominance only depends on the best (min) price AT each size, so:
+    * (1) aggregate to the per-size price minimum — map-side combinable,
+    * output bounded by |distinct sizes|; (2) a suffix-min window over
+    * that tiny table gives "best price at any strictly larger size";
+    * (3) broadcast it back and filter the scan. One small aggregate +
+    * one broadcast join — survives 100 TB trivially (the window runs
+    * over ~dozens of rows; were the dimension continuous, range-
+    * partition the suffix-min like balanceQuartiles). Integer cents
+    * keep every comparison engine-exact; the oracle states the NOT
+    * EXISTS definition directly, pinning that this plan IS skyline. */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_size").cast("long").as("p_size"),
+        floor(col("p_retailprice") * lit(100) + lit(0.5)).as("cents"))
+    val bySize = p.groupBy(col("p_size")).agg(min(col("cents")).as("mc"))
+    // suffix minimum: best price among STRICTLY larger sizes (null at the top)
+    val wLarger = Window.orderBy(col("p_size")).rangeBetween(1, Window.unboundedFollowing)
+    val frontierBySize = bySize
+      .withColumn("min_larger", min(col("mc")).over(wLarger))
+    p.join(broadcast(frontierBySize), "p_size")
+      // not dominated by a larger size (needs price ≤ ours there), and
+      // not dominated at our own size (mc < cents ⇒ someone strictly cheaper)
+      .filter((col("min_larger").isNull || col("min_larger") > col("cents")) &&
+        col("mc") === col("cents"))
+      .select(col("p_partkey"), col("p_size"), col("cents"))
+      .orderBy(col("p_size"), col("p_partkey"))
+  }
+
   /** W2: lag/lead — gap in days between a customer's consecutive orders. */
   def orderGaps(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).filter(col("o_custkey") <= 50)

@@ -67,6 +67,76 @@ object SketchOps {
       .orderBy(col("o_custkey"))
   }
 
+  val kmvK = 256
+  val kmvSeed = "kmv-v1"
+
+  /** KMV (k-minimum-values) distinct-count sketch with SET OPERATIONS
+    * (`q_kmv_distinct`): hash every key with one shared seeded hash,
+    * keep the k smallest per set, and estimate |S| = (k−1)·2⁶⁰ / h₍ₖ₎
+    * (the k-th smallest 60-bit hash; Bar-Yossef et al. 2002). Because
+    * both sets use the SAME hash, the sketches compose: the union's
+    * sketch is the k smallest of the merged samples, and intersection
+    * follows by inclusion–exclusion — the cardinality algebra a planner
+    * needs ("how many NEW documents does this crawl add?") without ever
+    * comparing the sets themselves.
+    *
+    * Demonstrated on the 1995 vs 1996 active-customer sets (orders).
+    * Engine-exact: md5-60 hashing (TextHashUtil convention), bottom-k
+    * on the TopKPerGroup bounded-heap exec, and an estimate expression
+    * — (k−1)·2⁶⁰ and h₍ₖ₎ both exact in doubles — written identically
+    * in both engines, so even the IEEE division replays bit-for-bit.
+    * Exact counts ride along (cheap here) to exhibit the error, and the
+    * spec pins the ~1/√k relative-error band.
+    *
+    * Scale: per set, one distinct-style exchange collapsed by the
+    * bounded heap to k rows; the union/intersect algebra then runs on
+    * 2k-row inputs — at 100 TB the sketches are what you'd persist per
+    * partition/day and fold associatively, never rescanning history. */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = kmvK): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select(year(col("o_orderdate")).as("y"), col("o_custkey").as("ck"))
+      .distinct()
+      .withColumn("h", conv(substring(md5(concat(lit(kmvSeed + ":"),
+        col("ck").cast("string"))), 1, 15), 16, 10).cast("long"))
+    val samples = graft.ext.DedupOps.registerCache(graft.plans.TopKPerGroup.topK(
+      o, Seq("y"), Seq(("h", true), ("ck", true)), k).persist())
+    // h_(k) per set, and the union sketch's h_(k) from the merged
+    // samples (same hash ⇒ merged bottom-k IS the union's bottom-k;
+    // distinct first — a key present in both years must count once)
+    val hk = samples.groupBy(col("y"))
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("ns"))
+    val hkU = samples.select(col("h"), col("ck")).distinct()
+      .orderBy(col("h"), col("ck")).limit(k)
+      .agg(max(col("h")).as("hk_u"), count(lit(1)).as("ns_u"))
+    // the estimate, written the SAME way in the oracle SQL: (k-1) and
+    // 2^60 folded into one exact double literal, ONE division by h_(k).
+    // A sample smaller than k means the sketch SAW the whole set — the
+    // sample size is then the exact cardinality, not an extrapolation.
+    val num = lit((k - 1).toDouble * 1152921504606846976.0)
+    def estOf(ns: Column, hkc: Column): Column =
+      when(ns < k, ns.cast("double")).otherwise(num / hkc.cast("double"))
+    val est = hk.agg(
+        max(when(col("y") === 1995, col("hk"))).as("hk95"),
+        max(when(col("y") === 1995, col("ns"))).as("ns95"),
+        max(when(col("y") === 1996, col("hk"))).as("hk96"),
+        max(when(col("y") === 1996, col("ns"))).as("ns96"))
+      .select(estOf(col("ns95"), col("hk95")).as("est_1995"),
+        estOf(col("ns96"), col("hk96")).as("est_1996"))
+      .crossJoin(hkU.select(estOf(col("ns_u"), col("hk_u")).as("est_union")))
+    val exact = o.agg(
+      countDistinct(when(col("y") === 1995, col("ck"))).as("exact_1995"),
+      countDistinct(when(col("y") === 1996, col("ck"))).as("exact_1996"),
+      countDistinct(col("ck")).as("exact_union"))
+    est.crossJoin(exact)
+      .select(lit(k.toLong).as("k"),
+        col("est_1995"), col("exact_1995"),
+        col("est_1996"), col("exact_1996"),
+        col("est_union"), col("exact_union"),
+        (col("est_1995") + col("est_1996") - col("est_union")).as("est_intersect"),
+        (col("exact_1995") + col("exact_1996") - col("exact_union")).as("exact_intersect"))
+  }
+
   val bkSampleK = 1024
   val bkSeed = "bk-v1"
 

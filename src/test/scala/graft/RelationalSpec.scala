@@ -179,4 +179,42 @@ class RelationalSpec extends SparkSuite {
     assert(actual.length == expected.length)
     actual.zip(expected).foreach { case (a, e) => assert(a == e, s"$a != $e") }
   }
+
+  test("trailing-30-day range frame equals a brute-force per-row recompute") {
+    val rows = Relational.trailingSpend(spark, sf).collect()
+    val base = spark.read.parquet(s"$sf/orders.parquet").select(
+        col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCust = base.groupBy(_._1)
+    rows.foreach { r =>
+      val (ck, d, got) = (r.getAs[Long]("o_custkey"), r.getAs[Long]("day_num"),
+        r.getAs[Long]("trailing_cents"))
+      val want = byCust(ck).filter(t => t._2 >= d - 30 && t._2 <= d).map(_._3).sum
+      assert(got == want, s"cust $ck day $d: $got != $want")
+    }
+  }
+
+  test("skyline agg+broadcast rewrite equals the quadratic dominance definition") {
+    val p = spark.read.parquet(s"$sf/part.parquet").select(
+        col("p_partkey").as("id"), col("p_size").cast("long").as("s"),
+        floor(col("p_retailprice") * lit(100) + lit(0.5)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = p.filter { case (_, s0, c0) =>
+      !p.exists { case (_, s1, c1) =>
+        s1 >= s0 && c1 <= c0 && (s1 > s0 || c1 < c0) }
+    }.map(t => (t._1, t._2, t._3)).sortBy(t => (t._2, t._1)).toSeq
+    val got = Relational.skylineParts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // frontier sanity: one price per frontier size (ties are co-frontier
+    // duplicates), strictly INCREASING with size — a cheaper-or-equal
+    // larger point would dominate every smaller frontier point
+    val priceBySize = got.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+    priceBySize.values.foreach(v => assert(v.size == 1))
+    priceBySize.toSeq.sortBy(_._1).map(_._2.head).sliding(2).foreach {
+      case Seq(a, b) => assert(b > a); case _ => ()
+    }
+  }
 }

@@ -93,4 +93,24 @@ class SampleOpsSpec extends SparkSuite {
     val again = SampleOps.quotaByLang(spark, sf, k).collect().map(_.toSeq).toSeq
     assert(again == got.map(_.toSeq).toSeq)
   }
+
+  test("train/val/test split: ~80/10/10, deterministic, stable under corpus growth") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = graft.model.Tables.documents(spark, sf)
+    val split = SampleOps.trainValTestSplit(docs, "doc_id")
+    val n = docs.count().toDouble
+    val frac = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, s"train ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.05, s"val $frac")
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.05, s"test $frac")
+    // the leak-resistance property: the assignment is a pure function of
+    // the key, so splitting HALF the corpus gives the same label per doc
+    // as splitting all of it — incremental arrivals can't flip a split
+    val full = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val half = SampleOps.trainValTestSplit(docs.filter($"doc_id" % 2 === 0), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect()
+    half.foreach { case (id, s) => assert(full(id) == s, s"doc $id flipped") }
+  }
 }

@@ -49,4 +49,30 @@ class SketchOpsSpec extends SparkSuite {
         est <= r.getAs[Double]("p75_est"))
     }
   }
+
+  test("KMV estimates land in the ~1/sqrt(k) band; set algebra is consistent") {
+    // sf0.001 sets are smaller than k, so this exercises the exact-mode
+    // branch; the extrapolating branch is covered at sf0.01+ by the
+    // oracle gate (and by the relative-error assert when it applies
+    val r = SketchOps.kmvDistinct(spark, "/root/testdata/sf0.01").collect().head
+    val k = r.getAs[Long]("k").toDouble
+    val band = 3.0 / math.sqrt(k) // ~3 sigma
+    for (s <- Seq("1995", "1996", "union")) {
+      val est = r.getAs[Double](s"est_$s")
+      val exact = r.getAs[Long](s"exact_$s").toDouble
+      assert(math.abs(est - exact) / exact < band, s"$s: $est vs $exact")
+    }
+    // inclusion-exclusion consistency and sane bounds
+    val ei = r.getAs[Double]("est_intersect")
+    assert(ei == r.getAs[Double]("est_1995") + r.getAs[Double]("est_1996")
+      - r.getAs[Double]("est_union"))
+    assert(ei > 0 && ei <= math.min(r.getAs[Double]("est_1995"),
+      r.getAs[Double]("est_1996")) * (1 + band))
+    // small-set exact mode: sf0.001 populations are below k
+    val small = SketchOps.kmvDistinct(spark, sf).collect().head
+    for (s <- Seq("1995", "1996", "union")) {
+      assert(small.getAs[Double](s"est_$s") == small.getAs[Long](s"exact_$s").toDouble,
+        s"small-set $s should be exact")
+    }
+  }
 }
