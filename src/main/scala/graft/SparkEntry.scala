@@ -1326,7 +1326,8 @@ object SparkEntry {
     "samp_split" -> ((s, d) => SampleOps.corpusSplit(s, d)),
     "q_window_range_frame" -> ((s, d) => Relational.trailingSpend(s, d)),
     "q_kmv_distinct" -> ((s, d) => graft.operators.SketchOps.kmvDistinct(s, d)),
-    "q_skyline" -> ((s, d) => Relational.skylineParts(s, d))
+    "q_skyline" -> ((s, d) => Relational.skylineParts(s, d)),
+    "q_labelprop" -> ((s, d) => graft.operators.GraphOps.labelPropagation(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1644,8 +1645,40 @@ object SparkEntry {
     // q_skyline: the oracle states the DEFINITION (dominance NOT
     // EXISTS); the engine runs the agg+broadcast rewrite — matching
     // hashes prove the rewrite implements skyline semantics.
-    "q_skyline" -> qSkylineSql
+    "q_skyline" -> qSkylineSql,
+    // q_labelprop: unrolled synchronous rounds, integer-packed argmax —
+    // MATERIALIZED CTEs for the same reason as q_kcore.
+    "q_labelprop" -> qLabelpropSql
   )
+
+  private val qLabelpropSql: String = {
+    val rounds = graft.operators.GraphOps.lpaRounds
+    val sb = new StringBuilder
+    sb.append(
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |       FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |und AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+        |       UNION ALL SELECT b, a FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM und)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |l$r AS MATERIALIZED (
+        |  SELECT u AS node,
+        |    4294967295 - (max(cnt * 4294967296 + (4294967295 - label))
+        |                  % 4294967296) AS label
+        |  FROM (SELECT und.u, l.label, count(*) AS cnt
+        |        FROM und JOIN l${r - 1} l ON und.v = l.node GROUP BY 1, 2)
+        |  GROUP BY 1)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node, label, comm_size
+      |FROM l$rounds JOIN (SELECT label, count(*) AS comm_size
+      |                    FROM l$rounds GROUP BY 1) USING (label)
+      |ORDER BY node""".stripMargin)
+    sb.toString
+  }
 
   /** 80/10/10 hash split: same md5-prefix thresholds as the Spark side. */
   private val sampSplitSql: String =

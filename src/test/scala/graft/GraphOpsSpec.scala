@@ -91,4 +91,32 @@ class GraphOpsSpec extends SparkSuite {
       .groupBy("v").count().filter(col("count") >= GraphOps.kCoreK).count()
     assert(rows.head._2 == expected, s"round 1: ${rows.head._2} vs $expected")
   }
+
+  test("label propagation: disjoint cliques converge to min-id communities") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two disjoint triangles; by hand: round 1 sends each clique's
+    // labels to {min, min, min±}, round 2+ stabilizes on the min id
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val got = GraphOps.lpaCore(edges, 3).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("label"), r.getAs[Long]("comm_size"))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    Seq(1L, 2L, 3L).foreach(v => assert(got(v) == (1L, 3L), s"$v -> ${got(v)}"))
+    Seq(10L, 11L, 12L).foreach(v => assert(got(v) == (10L, 3L), s"$v -> ${got(v)}"))
+  }
+
+  test("label propagation on the co-occurrence graph: deterministic, labels are member ids") {
+    val a = GraphOps.labelPropagation(spark, sf).collect()
+    val b = GraphOps.labelPropagation(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.nonEmpty)
+    // community sizes are consistent with the label histogram
+    val byLabel = a.groupBy(_.getAs[Long]("label"))
+    a.foreach { r =>
+      assert(r.getAs[Long]("comm_size") ==
+        byLabel(r.getAs[Long]("label")).length.toLong)
+    }
+  }
 }
