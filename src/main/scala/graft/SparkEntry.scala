@@ -1327,7 +1327,9 @@ object SparkEntry {
     "q_window_range_frame" -> ((s, d) => Relational.trailingSpend(s, d)),
     "q_kmv_distinct" -> ((s, d) => graft.operators.SketchOps.kmvDistinct(s, d)),
     "q_skyline" -> ((s, d) => Relational.skylineParts(s, d)),
-    "q_labelprop" -> ((s, d) => graft.operators.GraphOps.labelPropagation(s, d))
+    "q_labelprop" -> ((s, d) => graft.operators.GraphOps.labelPropagation(s, d)),
+    "samp_pps" -> ((s, d) => SampleOps.ppsSample(s, d)),
+    "ev_rolling_distinct" -> ((s, d) => EventOps.rollingDistinctUsers(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1648,8 +1650,39 @@ object SparkEntry {
     "q_skyline" -> qSkylineSql,
     // q_labelprop: unrolled synchronous rounds, integer-packed argmax —
     // MATERIALIZED CTEs for the same reason as q_kcore.
-    "q_labelprop" -> qLabelpropSql
+    "q_labelprop" -> qLabelpropSql,
+    // samp_pps: exact integer prefix sums + DIV target counting — the
+    // oracle's global window IS the per-partition-offset computation.
+    "samp_pps" -> sampPpsSql,
+    // ev_rolling_distinct: the ×7 expand identity — the oracle states
+    // the trailing-window definition directly (self-join over the day
+    // range), proving the expand rewrite.
+    "ev_rolling_distinct" -> evRollingDistinctSql
   )
+
+  private val evRollingDistinctSql: String =
+    """WITH byday AS MATERIALIZED (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |days AS (SELECT DISTINCT d AS day FROM byday)
+      |SELECT days.day,
+      |  (SELECT count(DISTINCT b.user_id) FROM byday b
+      |   WHERE b.d <= days.day AND b.d >= days.day - 6) AS active_7d
+      |FROM days ORDER BY day""".stripMargin
+
+  private val sampPpsSql: String = {
+    val n = SampleOps.ppsN
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT doc_id, lang, n_chars,
+       |    sum(n_chars) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(n_chars) OVER () AS w_total
+       |  FROM documents)
+       |SELECT doc_id, lang, n_chars, cum,
+       |  ($n * cum) // w_total - ($n * (cum - n_chars)) // w_total AS hits
+       |FROM c
+       |WHERE ($n * cum) // w_total - ($n * (cum - n_chars)) // w_total > 0
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private val qLabelpropSql: String = {
     val rounds = graft.operators.GraphOps.lpaRounds

@@ -154,4 +154,58 @@ object SampleOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("split"), col("lang"))
   }
+
+  val ppsN = 100
+
+  /** Systematic probability-proportional-to-size sampling (`samp_pps`):
+    * lay the documents out on a line where each occupies a segment of
+    * length = its weight (n_chars), then take `n` equally spaced
+    * targets t_j = j·W/n — a document is drawn once per target inside
+    * its segment, so its expected draw count is exactly n·w/W (big
+    * documents can be drawn more than once; `hits` is the multiplicity
+    * and Σhits = n exactly). This is the weighted counterpart of the
+    * mixture/quota samplers: sampling ∝ size is how token-weighted
+    * corpus mixing is actually done.
+    *
+    * Everything is integer arithmetic — hits = ⌊n·cum/W⌋ −
+    * ⌊n·(cum−w)/W⌋ over exact char-count prefix sums — so the draw
+    * replays bit-for-bit in any engine (no float inverse-CDF anywhere).
+    *
+    * Scale shape: the global prefix sum does NOT use a global-window
+    * sort. repartitionByRange(doc_id) + in-partition sort, a
+    * mapPartitions running sum (genuinely per-partition-imperative —
+    * the one place the RDD-ish escape hatch is the right tool), then
+    * per-partition totals (P rows) broadcast back as offsets: zero
+    * exchanges beyond the range partitioning itself, the same recipe as
+    * Relational.withGlobalRank but carrying a SUM instead of a count. */
+  def ppsSample(spark: SparkSession, dir: String, n: Int = ppsN): DataFrame = {
+    import spark.implicits._
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism, 64))
+    val ranged = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartitionByRange(parts, col("doc_id").asc)
+      .sortWithinPartitions(col("doc_id").asc)
+      .withColumn("pid", spark_partition_id().cast("long"))
+      .as[(Long, String, Long, Long)]
+    val withLocal = ranged.mapPartitions { it =>
+      var s = 0L
+      it.map { case (id, lang, w, pid) => s += w; (id, lang, w, pid, s) }
+    }.toDF("doc_id", "lang", "n_chars", "pid", "local_cum")
+    // per-partition totals -> exclusive offsets (P rows; the only
+    // single-partition step in the plan) and the grand total W
+    val cumW = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withLocal.groupBy(col("pid")).agg(sum(col("n_chars")).as("t"))
+      .withColumn("off", coalesce(sum(col("t")).over(cumW), lit(0L)))
+      .withColumn("w_total", sum(col("t")).over(Window.partitionBy()))
+      .select(col("pid"), col("off"), col("w_total"))
+    withLocal.join(broadcast(offs), "pid")
+      .withColumn("cum", col("off") + col("local_cum"))
+      // DIV, not `/`: float division + truncation can round a just-below-
+      // integer quotient up; DIV is exact long arithmetic in both engines
+      .withColumn("hits", expr(
+        s"(${n}L * cum) DIV w_total - (${n}L * (cum - n_chars)) DIV w_total"))
+      .filter(col("hits") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("cum"), col("hits"))
+      .orderBy(col("doc_id"))
+  }
 }

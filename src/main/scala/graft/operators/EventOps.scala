@@ -224,4 +224,35 @@ object EventOps {
       .select(col("event_id"), col("user_id"), col("seq"),
         col("cents"), col("ewma_cents"))
   }
+
+  /** Rolling EXACT distinct actives (`ev_rolling_distinct`): per day,
+    * how many distinct users were active in the trailing 7 days — the
+    * DAU/WAU-style metric. Rolling COUNT DISTINCT cannot ride a window
+    * frame (distinctness doesn't decompose over frames), and the naive
+    * form rescans 7 days of data per output day. The scalable identity:
+    * an activity on day d is visible to target days d..d+6, so expand
+    * each DISTINCT (user, day) row ×7 with its target day and count
+    * distinct users per target — bounded fan-out, never a rescan.
+    *
+    * Shape: (1) distinct (user, day) — map-side combinable, collapses
+    * each user's same-day events before the exchange; (2) explode ×7 —
+    * narrow; (3) per-day distinct count (two-phase); (4) semi-join to
+    * days that actually occur (the calendar tail past max(day) would
+    * otherwise report phantom windows). Dates and counts are integers —
+    * replays exactly anywhere. */
+  def rollingDistinctUsers(spark: SparkSession, dir: String,
+      days: Int = 7): DataFrame = {
+    val byDay = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val realDays = byDay.select(col("d").as("day")).distinct()
+    byDay
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(days - 1))).as("i"), col("d"))
+      .select(col("user_id"), expr("date_add(d, i)").as("day"))
+      .join(realDays, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as(s"active_${days}d"))
+      .orderBy(col("day"))
+  }
 }

@@ -101,4 +101,21 @@ class EventOpsSpec extends SparkSuite {
       assert(e >= base, s"$r vs depth-1 $base")
     }
   }
+
+  test("rolling 7-day distinct actives: expand rewrite equals per-day brute force") {
+    val byDay = EventOps.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = byDay.map(_._2).distinct
+    val want = days.map { day =>
+      day -> byDay.filter { case (_, d) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6)) }.map(_._1).distinct.length.toLong
+    }.toMap
+    val got = EventOps.rollingDistinctUsers(spark, sf).collect()
+    assert(got.length == days.length)
+    got.foreach { r =>
+      val day = r.getDate(0).toLocalDate
+      assert(r.getAs[Long]("active_7d") == want(day), s"$day")
+    }
+  }
 }

@@ -113,4 +113,31 @@ class SampleOpsSpec extends SparkSuite {
       .select("doc_id", "split").as[(Long, String)].collect()
     half.foreach { case (id, s) => assert(full(id) == s, s"doc $id flipped") }
   }
+
+  test("PPS sample: exactly n draws, ~proportional to weight, equals the global-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val n = SampleOps.ppsN
+    val got = SampleOps.ppsSample(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("hits")).sum == n.toLong)
+    // multiplicity bound: a doc of weight w gets floor-counted targets,
+    // at most floor(n*w/W) + 1
+    val w_total = graft.model.Tables.documents(spark, sf)
+      .agg(sum(col("n_chars"))).collect().head.getLong(0)
+    got.foreach { r =>
+      val w = r.getAs[Long]("n_chars")
+      assert(r.getAs[Long]("hits") <= n * w / w_total + 1)
+    }
+    // the two-pass offset formulation equals the naive global window
+    val naive = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(
+        Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("w_total", sum(col("n_chars")).over(Window.partitionBy()))
+      .withColumn("hits", expr(
+        s"(${n}L * cum) DIV w_total - (${n}L * (cum - n_chars)) DIV w_total"))
+      .filter(col("hits") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("cum"), col("hits"))
+      .orderBy(col("doc_id")).collect()
+    assert(got.map(_.toSeq).toSeq == naive.map(_.toSeq).toSeq)
+  }
 }
