@@ -1329,7 +1329,8 @@ object SparkEntry {
     "q_skyline" -> ((s, d) => Relational.skylineParts(s, d)),
     "q_labelprop" -> ((s, d) => graft.operators.GraphOps.labelPropagation(s, d)),
     "samp_pps" -> ((s, d) => SampleOps.ppsSample(s, d)),
-    "ev_rolling_distinct" -> ((s, d) => EventOps.rollingDistinctUsers(s, d))
+    "ev_rolling_distinct" -> ((s, d) => EventOps.rollingDistinctUsers(s, d)),
+    "q_histogram" -> ((s, d) => graft.operators.StatsOps.priceHistograms(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1657,8 +1658,37 @@ object SparkEntry {
     // ev_rolling_distinct: the ×7 expand identity — the oracle states
     // the trailing-window definition directly (self-join over the day
     // range), proving the expand rewrite.
-    "ev_rolling_distinct" -> evRollingDistinctSql
+    "ev_rolling_distinct" -> evRollingDistinctSql,
+    // q_histogram: pure integer bucket arithmetic; the depth face's
+    // global rank replays as a row_number window.
+    "q_histogram" -> qHistogramSql
   )
+
+  private val qHistogramSql: String = {
+    val k = graft.operators.StatsOps.histBuckets
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT o_orderkey AS okey,
+       |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM orders),
+       |mm AS (SELECT min(cents) AS lo_all,
+       |              max(cents) - min(cents) + 1 AS span FROM base),
+       |w AS (SELECT 'width' AS kind,
+       |        ((cents - lo_all) * $k) // span AS bucket,
+       |        min(cents) AS lo, max(cents) AS hi, count(*) AS n
+       |      FROM base, mm GROUP BY 2),
+       |rk AS (SELECT cents,
+       |         row_number() OVER (ORDER BY cents, okey) AS rn,
+       |         count(*) OVER () AS n FROM base),
+       |d AS (SELECT 'depth' AS kind,
+       |        CASE WHEN rn <= (n % $k) * (n // $k + 1)
+       |          THEN (rn - 1) // (n // $k + 1)
+       |          ELSE (n % $k) + (rn - (n % $k) * (n // $k + 1) - 1) // (n // $k)
+       |        END AS bucket,
+       |        min(cents) AS lo, max(cents) AS hi, count(*) AS n
+       |      FROM rk GROUP BY 2)
+       |SELECT * FROM w UNION ALL SELECT * FROM d
+       |ORDER BY kind, bucket""".stripMargin
+  }
 
   private val evRollingDistinctSql: String =
     """WITH byday AS MATERIALIZED (

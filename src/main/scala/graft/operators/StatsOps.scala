@@ -44,4 +44,49 @@ object StatsOps {
   def orderStats(spark: SparkSession, dir: String): DataFrame =
     columnStats(Tables.orders(spark, dir),
       Seq("o_orderkey", "o_custkey", "o_totalprice"))
+
+  val histBuckets = 16
+
+  /** ANALYZE histograms (`q_histogram`), both flavors over order price
+    * cents, k buckets each:
+    *
+    * - `width`: fixed value ranges — bucket = (v−min)·k DIV span. One
+    *   min/max pre-agg broadcast into a second single-scan aggregate;
+    *   the shape selectivity estimators use for uniform-ish columns.
+    * - `depth`: equal row counts (the equi-height histogram optimizers
+    *   prefer under skew) — bucket from the GLOBAL rank via the same
+    *   closed-form ntile arithmetic as Relational.balanceQuartiles,
+    *   riding its range-partitioned two-pass rank (no one-task window).
+    *   Rank ties are impossible: the sort key carries the row identity
+    *   (cents, orderkey), so bucket contents — hence each bucket's
+    *   lo/hi/n — are engine-exact.
+    *
+    * Output: (kind, bucket, lo, hi, n) — lo/hi are ACTUAL data values
+    * (integer cents), not interpolated edges, so the whole table
+    * replays bit-for-bit in the oracle. */
+  def priceHistograms(spark: SparkSession, dir: String,
+      k: Int = histBuckets): DataFrame = {
+    val base = Tables.orders(spark, dir).select(col("o_orderkey").as("okey"),
+      floor(col("o_totalprice") * lit(100) + lit(0.5)).as("cents"))
+    val mm = base.agg(min(col("cents")).as("lo_all"),
+      (max(col("cents")) - min(col("cents")) + 1).as("span"))
+    val width = base.crossJoin(broadcast(mm))
+      .withColumn("bucket", expr(s"((cents - lo_all) * $k) DIV span"))
+      .groupBy(col("bucket"))
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+        count(lit(1)).as("n"))
+      .select(lit("width").as("kind"), col("bucket"), col("lo"), col("hi"), col("n"))
+    val depth = Relational
+      .withGlobalRank(base, Seq(col("cents").asc, col("okey").asc))
+      .withColumn("bucket", expr(
+        s"""CASE WHEN rn <= (n % $k) * (n DIV $k + 1)
+           |  THEN (rn - 1) DIV (n DIV $k + 1)
+           |  ELSE (n % $k) + (rn - (n % $k) * (n DIV $k + 1) - 1) DIV (n DIV $k)
+           |END""".stripMargin))
+      .groupBy(col("bucket"))
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+        count(lit(1)).as("n"))
+      .select(lit("depth").as("kind"), col("bucket"), col("lo"), col("hi"), col("n"))
+    width.unionByName(depth).orderBy(col("kind"), col("bucket"))
+  }
 }

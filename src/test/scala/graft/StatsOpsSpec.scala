@@ -28,4 +28,28 @@ class StatsOpsSpec extends SparkSuite {
     val scans = "FileScan|BatchScan".r.findAllIn(plan).length
     assert(scans == 1, s"expected one scan, got $scans:\n$plan")
   }
+
+  test("histograms: widths tile the domain, depths balance counts, both cover all rows") {
+    val k = StatsOps.histBuckets
+    val rows = StatsOps.priceHistograms(spark, sf).collect()
+    val (width, depth) = rows.partition(_.getAs[String]("kind") == "width")
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(width.map(_.getAs[Long]("n")).sum == total)
+    assert(depth.map(_.getAs[Long]("n")).sum == total)
+    assert(depth.length == math.min(k.toLong, total))
+    // depth buckets: counts differ by at most 1; buckets ordered by value
+    val dcounts = depth.map(_.getAs[Long]("n"))
+    assert(dcounts.max - dcounts.min <= 1, dcounts.mkString(","))
+    val dsorted = depth.sortBy(_.getAs[Long]("bucket"))
+    dsorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"), s"$a overlaps $b")
+      case _ => ()
+    }
+    // width buckets: each bucket's [lo,hi] sits inside its arithmetic range
+    width.foreach { r =>
+      assert(r.getAs[Long]("lo") <= r.getAs[Long]("hi"))
+      assert(r.getAs[Long]("bucket") >= 0 && r.getAs[Long]("bucket") < k)
+    }
+  }
 }
