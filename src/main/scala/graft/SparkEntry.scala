@@ -1330,7 +1330,8 @@ object SparkEntry {
     "q_labelprop" -> ((s, d) => graft.operators.GraphOps.labelPropagation(s, d)),
     "samp_pps" -> ((s, d) => SampleOps.ppsSample(s, d)),
     "ev_rolling_distinct" -> ((s, d) => EventOps.rollingDistinctUsers(s, d)),
-    "q_histogram" -> ((s, d) => graft.operators.StatsOps.priceHistograms(s, d))
+    "q_histogram" -> ((s, d) => graft.operators.StatsOps.priceHistograms(s, d)),
+    "q_asof_native" -> ((s, d) => EventOps.lastViewBeforePurchaseNative(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1661,7 +1662,10 @@ object SparkEntry {
     "ev_rolling_distinct" -> evRollingDistinctSql,
     // q_histogram: pure integer bucket arithmetic; the depth face's
     // global rank replays as a row_number window.
-    "q_histogram" -> qHistogramSql
+    "q_histogram" -> qHistogramSql,
+    // q_asof_native: the custom AsOfJoinExec against the SAME oracle as
+    // the window-based ev_asof — hash-equal results prove the operator.
+    "q_asof_native" -> evAsofSql
   )
 
   private val qHistogramSql: String = {

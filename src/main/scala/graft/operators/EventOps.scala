@@ -114,6 +114,28 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** The SAME as-of query on the NATIVE AsOfJoinExec
+    * (`q_asof_native`; plans/AsOfJoin.scala): purchases and views stay
+    * separate relations — each shuffles once on user_id, sorts only
+    * itself, and a forward merge scan pairs them with O(1) state per
+    * key. Hash-equal to `ev_asof`'s oracle, proving the operator. */
+  def lastViewBeforePurchaseNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), expr("unix_micros(ts)").as("v_us"),
+        col("event_id").as("v_event_id"))
+    graft.plans.AsOfJoin.asOf(purchases, views,
+        Seq("user_id"), Seq("v_user"),
+        Seq("us", "event_id"), Seq("v_us", "v_event_id"))
+      .select(col("event_id"), col("user_id"),
+        expr("us DIV 1000000").as("purchase_epoch"),
+        expr("v_us DIV 1000000").as("last_view_epoch"))
+      .orderBy(col("event_id"))
+  }
+
   /** J5 bucketed range join: for each error event, how many clicks the
     * same user made in the preceding 5 minutes. The click side is
     * exploded to its bucket and the next (5-minute buckets), the join

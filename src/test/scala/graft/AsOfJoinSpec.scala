@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventOps
+import graft.plans.AsOfJoin
+
+class AsOfJoinSpec extends SparkSuite {
+
+  test("native as-of join equals the window formulation bit-for-bit") {
+    val native = EventOps.lastViewBeforePurchaseNative(spark, sf).collect()
+    val window = EventOps.lastViewBeforePurchase(spark, sf).collect()
+    assert(native.length == window.length && native.nonEmpty)
+    native.zip(window).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("hand-built cases: no prior match -> null, ties absorbed by <=, latest wins") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid").repartition(4)
+    val right = Seq((1L, 10L, 900L), (1L, 15L, 901L), (1L, 25L, 902L),
+      (3L, 1L, 903L)).toDF("rk", "rt", "rid").repartition(4)
+    val got = AsOfJoin.asOf(left, right, Seq("k"), Seq("rk"),
+        Seq("t"), Seq("rt"))
+      .select(col("lid"), col("rid")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // lid 100 (k=1, t=10): rt=10 qualifies via <=
+    assert(got(100L) == 900L)
+    // lid 101 (k=1, t=20): latest of rt in {10, 15}
+    assert(got(101L) == 901L)
+    // lid 102 (k=2): no right rows for the key
+    assert(got(102L) == -1L)
+  }
+
+  test("plan shape: AsOfJoinExec present, no Window, each side sorted after one exchange") {
+    val plan = EventOps.lastViewBeforePurchaseNative(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.toLowerCase.contains("window"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 key exchanges, got $exchanges:\n$plan")
+  }
+
+  test("as-of state stays O(1) per key under many same-key right rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one hot key with 10k right rows; every left row still picks the
+    // correct latest <= match
+    val left = (1L to 100L).map(i => (7L, i * 100L, i)).toDF("k", "t", "lid")
+    val right = (0L until 10000L).map(i => (7L, i, i)).toDF("rk", "rt", "rid")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), Seq("rk"), Seq("t"), Seq("rt"))
+      .select(col("lid"), col("rid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 100L).foreach { i =>
+      val want = math.min(i * 100L, 9999L)
+      assert(got(i) == want, s"left $i: ${got(i)} != $want")
+    }
+  }
+}
