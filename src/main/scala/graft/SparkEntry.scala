@@ -1331,7 +1331,8 @@ object SparkEntry {
     "samp_pps" -> ((s, d) => SampleOps.ppsSample(s, d)),
     "ev_rolling_distinct" -> ((s, d) => EventOps.rollingDistinctUsers(s, d)),
     "q_histogram" -> ((s, d) => graft.operators.StatsOps.priceHistograms(s, d)),
-    "q_asof_native" -> ((s, d) => EventOps.lastViewBeforePurchaseNative(s, d))
+    "q_asof_native" -> ((s, d) => EventOps.lastViewBeforePurchaseNative(s, d)),
+    "q_dq_report" -> ((s, d) => graft.operators.StatsOps.dqReport(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1665,8 +1666,28 @@ object SparkEntry {
     "q_histogram" -> qHistogramSql,
     // q_asof_native: the custom AsOfJoinExec against the SAME oracle as
     // the window-based ev_asof — hash-equal results prove the operator.
-    "q_asof_native" -> evAsofSql
+    "q_asof_native" -> evAsofSql,
+    "q_dq_report" -> qDqReportSql
   )
+
+  private val qDqReportSql: String =
+    """SELECT 'documents_empty_text' AS rule,
+      |  (SELECT count(*) FROM documents
+      |   WHERE text IS NULL OR length(text) = 0) AS n
+      |UNION ALL SELECT 'lineitem_orderkey_fk',
+      |  (SELECT count(*) FROM lineitem l
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                     WHERE o.o_orderkey = l.l_orderkey))
+      |UNION ALL SELECT 'lineitem_pk_dup_rows',
+      |  (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+      |   FROM lineitem)
+      |UNION ALL SELECT 'orders_custkey_fk',
+      |  (SELECT count(*) FROM orders o
+      |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                     WHERE c.c_custkey = o.o_custkey))
+      |UNION ALL SELECT 'orders_nonpositive_total',
+      |  (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+      |ORDER BY rule""".stripMargin
 
   private val qHistogramSql: String = {
     val k = graft.operators.StatsOps.histBuckets

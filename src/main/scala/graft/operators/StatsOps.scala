@@ -45,6 +45,41 @@ object StatsOps {
     columnStats(Tables.orders(spark, dir),
       Seq("o_orderkey", "o_custkey", "o_totalprice"))
 
+  /** Data-quality constraint report (`q_dq_report`): the dbt/deequ-style
+    * audit a pipeline runs before publishing a table — uniqueness, FK
+    * integrity, null and range rules, one row per rule with its
+    * violation count. Notably NONZERO here: the synthetic lineitem
+    * really does carry duplicate (l_orderkey, l_linenumber) pairs, which
+    * is exactly the kind of fact a DQ gate exists to surface (it broke
+    * an early q_quantile_sketch draft that assumed PK uniqueness).
+    *
+    * Scale: uniqueness/null/range rules are single-scan aggregates with
+    * map-side combine; FK rules are keyed anti-joins (AQE picks
+    * broadcast when the parent's key projection is small). Nothing
+    * collects to the driver beyond the per-rule counts. */
+  def dqReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    def face(rule: String, n: org.apache.spark.sql.DataFrame): DataFrame =
+      n.select(lit(rule).as("rule"), col("n"))
+    val rows = Seq(
+      face("lineitem_pk_dup_rows", li.agg((count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber"))).as("n"))),
+      face("lineitem_orderkey_fk", li.join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))),
+      face("orders_custkey_fk", o.join(c.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))),
+      face("orders_nonpositive_total",
+        o.agg(count(when(col("o_totalprice") <= 0, 1)).as("n"))),
+      face("documents_empty_text",
+        docs.agg(count(when(col("text").isNull || length(col("text")) === 0, 1)).as("n"))))
+    rows.reduce(_ unionByName _).orderBy(col("rule"))
+  }
+
   val histBuckets = 16
 
   /** ANALYZE histograms (`q_histogram`), both flavors over order price

@@ -52,4 +52,20 @@ class StatsOpsSpec extends SparkSuite {
       assert(r.getAs[Long]("bucket") >= 0 && r.getAs[Long]("bucket") < k)
     }
   }
+
+  test("DQ report: one row per rule; dup-row rule equals a direct group count") {
+    val got = StatsOps.dqReport(spark, sf).collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n")).toMap
+    assert(got.size == 5)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val wantDups = li.groupBy("l_orderkey", "l_linenumber").count()
+      .filter(col("count") > 1)
+      .agg(sum(col("count") - 1)).collect().head.get(0) match {
+        case null => 0L
+        case v: Long => v
+      }
+    assert(got("lineitem_pk_dup_rows") == wantDups)
+    // every count is a valid (nonnegative) violation tally
+    got.values.foreach(n => assert(n >= 0))
+  }
 }
