@@ -62,6 +62,9 @@ case class TopKPerGroupExec(keys: Seq[Expression], order: Seq[SortOrder],
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
+  private val rankAttrIsInt: Boolean =
+    rankAttr.dataType == org.apache.spark.sql.types.IntegerType
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val childOutput = child.output
@@ -94,11 +97,14 @@ case class TopKPerGroupExec(keys: Seq[Expression], order: Seq[SortOrder],
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
+      // the rank attr is LongType from the DataFrame face but
+      // IntegerType when WindowTopKRule reuses a row_number() output
+      val rankIsInt = rankAttrIsInt
       heaps.valuesIterator.flatMap { heap =>
         // dequeueAll yields worst-first; reverse to rank 1..size
         val best = heap.dequeueAll.reverse
         best.iterator.zipWithIndex.map { case (row, i) =>
-          rankRow.update(0, (i + 1).toLong)
+          rankRow.update(0, if (rankIsInt) i + 1 else (i + 1).toLong)
           outProj(joined(row, rankRow))
         }
       }
