@@ -107,4 +107,46 @@ class PlanShapeSpec extends SparkSuite {
     // the probe set is a fused top-k, not a global sort
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
+
+  test("skyline: tiny per-size aggregate broadcast back — no quadratic join, no big sort") {
+    val p = plan("q_skyline")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "skyline degenerated to a dominance self-join")
+    assert(!p.contains("SortMergeJoin"), "per-size min table should broadcast")
+  }
+
+  test("hash split is a zero-shuffle narrow map before its one aggregate exchange") {
+    val p = plan("samp_split")
+    assert(!p.contains("Join"), p.take(800))
+    // the only hash exchange is the (split, lang) aggregate's
+    assert("hashpartitioning".r.findAllIn(p).length <= 1, p.take(800))
+  }
+
+  test("PPS sampling: one range partition, offsets broadcast, no global window") {
+    val p = plan("samp_pps")
+    assert(p.contains("rangepartitioning"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), "offsets not broadcast back")
+  }
+
+  test("KMV sketch sides collapse on the bounded-heap exec before any set algebra") {
+    val p = plan("q_kmv_distinct")
+    assert(p.contains("TopKPerGroup"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("trailing-spend RANGE frame is one keyed window, no self-join expansion") {
+    val p = plan("q_window_range_frame")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), p.take(800))
+    assert("hashpartitioning".r.findAllIn(p).length <= 1, p.take(800))
+  }
+
+  test("rolling distinct actives: bounded expand, no per-day rescan joins") {
+    val p = plan("ev_rolling_distinct")
+    // one semi-join against the day table; no nested-loop/self range join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert("Scan parquet".r.findAllIn(p).length <= 2, "events scanned repeatedly")
+  }
 }
