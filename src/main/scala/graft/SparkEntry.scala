@@ -1332,7 +1332,8 @@ object SparkEntry {
     "ev_rolling_distinct" -> ((s, d) => EventOps.rollingDistinctUsers(s, d)),
     "q_histogram" -> ((s, d) => graft.operators.StatsOps.priceHistograms(s, d)),
     "q_asof_native" -> ((s, d) => EventOps.lastViewBeforePurchaseNative(s, d)),
-    "q_dq_report" -> ((s, d) => graft.operators.StatsOps.dqReport(s, d))
+    "q_dq_report" -> ((s, d) => graft.operators.StatsOps.dqReport(s, d)),
+    "q_asof_forward" -> ((s, d) => EventOps.nextViewAfterPurchase(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1667,8 +1668,23 @@ object SparkEntry {
     // q_asof_native: the custom AsOfJoinExec against the SAME oracle as
     // the window-based ev_asof — hash-equal results prove the operator.
     "q_asof_native" -> evAsofSql,
-    "q_dq_report" -> qDqReportSql
+    "q_dq_report" -> qDqReportSql,
+    // q_asof_forward: the forward direction of the custom exec; oracle
+    // is the mirrored FOLLOWING-window form over the same union.
+    "q_asof_forward" -> qAsofForwardSql
   )
+
+  private val qAsofForwardSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events WHERE event_type IN ('view', 'purchase')),
+      |w AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END) OVER
+      |        (PARTITION BY user_id ORDER BY us, event_id
+      |         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_view_us
+      |      FROM e)
+      |SELECT event_id, user_id, us // 1000000 AS purchase_epoch,
+      |       next_view_us // 1000000 AS next_view_epoch
+      |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
   private val qDqReportSql: String =
     """SELECT 'documents_empty_text' AS rule,

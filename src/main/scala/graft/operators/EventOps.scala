@@ -136,6 +136,27 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of on the native exec (`q_asof_forward`): for each
+    * purchase, the next view strictly after it in (ts, event_id) order —
+    * the "what did they do next" lookup. Same merge scan as the
+    * backward face; the oracle is the mirrored following-window form. */
+  def nextViewAfterPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), expr("unix_micros(ts)").as("v_us"),
+        col("event_id").as("v_event_id"))
+    graft.plans.AsOfJoin.asOf(purchases, views,
+        Seq("user_id"), Seq("v_user"),
+        Seq("us", "event_id"), Seq("v_us", "v_event_id"), forward = true)
+      .select(col("event_id"), col("user_id"),
+        expr("us DIV 1000000").as("purchase_epoch"),
+        expr("v_us DIV 1000000").as("next_view_epoch"))
+      .orderBy(col("event_id"))
+  }
+
   /** J5 bucketed range join: for each error event, how many clicks the
     * same user made in the preceding 5 minutes. The click side is
     * exploded to its bucket and the next (5-minute buckets), the join

@@ -10,11 +10,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Whole-operator Catalyst extension #2: AS-OF JOIN as a native
-  * physical operator (left-outer, backward-looking) — for each left
-  * row, the LAST right row with the same key whose ordering tuple is
-  * `<=` the left row's, per the reference's "most recent prior event"
-  * semantics (J5; window formulation in EventOps.lastViewBeforePurchase,
-  * reference behavior at consumer/kubejob.js-style last-status lookups).
+  * physical operator (left-outer) — for each left row, the LAST right
+  * row with the same key whose ordering tuple is `<=` the left row's
+  * (backward mode, the reference's "most recent prior event" semantics;
+  * J5, window formulation in EventOps.lastViewBeforePurchase), or with
+  * `forward = true` the FIRST right row strictly after it (next-event
+  * lookups). Both directions are the same single forward merge scan —
+  * forward mode PEEKS its match instead of consuming it.
   *
   * Why a custom operator: Spark has no as-of join node. The window
   * rewrite UNIONs both sides so the right side's columns ride along as
@@ -33,6 +35,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 case class AsOfJoin(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                     leftOrd: Seq[Expression], rightOrd: Seq[Expression],
+                    forward: Boolean,
                     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -43,14 +46,15 @@ case class AsOfJoin(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(lk, rk, lo, ro, l, r) =>
-      AsOfJoinExec(lk, rk, lo, ro, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(lk, rk, lo, ro, fwd, l, r) =>
+      AsOfJoinExec(lk, rk, lo, ro, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftOrd: Seq[Expression], rightOrd: Seq[Expression],
+                        forward: Boolean,
                         left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -93,24 +97,39 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       var rHead: InternalRow = if (rIt.hasNext) rIt.next().copy() else null
       var candidate: InternalRow = null
       var candidateKey: UnsafeRow = null
+      val fwd = forward
       lIt.map { l =>
         val key = lKeyProj(l)
-        if (candidateKey != null && candidateKey != key) {
-          candidate = null; candidateKey = null
-        }
-        // discard right runs for keys before this left key
-        while (rHead != null && keyOrd.compare(rKeyProj(rHead), key) < 0)
-          rHead = if (rIt.hasNext) rIt.next().copy() else null
-        // absorb same-key right rows up to (<=) the left ordering tuple;
-        // the last absorbed is the as-of match (right sorted ascending)
         val lt = lOrdProj(l)
-        while (rHead != null && rKeyProj(rHead) == key &&
-            ordOrd.compare(rOrdProj(rHead), lt) <= 0) {
-          candidate = rHead
-          if (candidateKey == null) candidateKey = key.copy()
-          rHead = if (rIt.hasNext) rIt.next().copy() else null
+        if (fwd) {
+          // FORWARD: the first right row strictly after the left tuple.
+          // Skipped rows (key behind, or same-key ord <= lt) can never
+          // match a later left row either (left is ascending), so the
+          // scan never backs up; the match is PEEKED, not consumed —
+          // the same right row can serve several left rows.
+          while (rHead != null && {
+            val kc = keyOrd.compare(rKeyProj(rHead), key)
+            kc < 0 || (kc == 0 && ordOrd.compare(rOrdProj(rHead), lt) <= 0)
+          }) rHead = if (rIt.hasNext) rIt.next().copy() else null
+          val m = if (rHead != null && rKeyProj(rHead) == key) rHead else nullRight
+          outProj(joined(l, m))
+        } else {
+          if (candidateKey != null && candidateKey != key) {
+            candidate = null; candidateKey = null
+          }
+          // discard right runs for keys before this left key
+          while (rHead != null && keyOrd.compare(rKeyProj(rHead), key) < 0)
+            rHead = if (rIt.hasNext) rIt.next().copy() else null
+          // absorb same-key right rows up to (<=) the left ordering tuple;
+          // the last absorbed is the as-of match (right sorted ascending)
+          while (rHead != null && rKeyProj(rHead) == key &&
+              ordOrd.compare(rOrdProj(rHead), lt) <= 0) {
+            candidate = rHead
+            if (candidateKey == null) candidateKey = key.copy()
+            rHead = if (rIt.hasNext) rIt.next().copy() else null
+          }
+          outProj(joined(l, if (candidate != null) candidate else nullRight))
         }
-        outProj(joined(l, if (candidate != null) candidate else nullRight))
       }
     }
   }
@@ -125,7 +144,8 @@ object AsOfJoin {
     * two inputs (alias before joining, as with any join). */
   def asOf(leftDf: DataFrame, rightDf: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
-           leftOrd: Seq[String], rightOrd: Seq[String]): DataFrame = {
+           leftOrd: Seq[String], rightOrd: Seq[String],
+           forward: Boolean = false): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       "as-of join needs matching non-empty key lists")
     require(leftOrd.nonEmpty && leftOrd.length == rightOrd.length,
@@ -142,7 +162,7 @@ object AsOfJoin {
       }
     val plan = AsOfJoin(
       leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
-      leftOrd.map(attr(lp, _)), rightOrd.map(attr(rp, _)), lp, rp)
+      leftOrd.map(attr(lp, _)), rightOrd.map(attr(rp, _)), forward, lp, rp)
     ColumnBridge.ofRows(leftDf.sparkSession, plan)
   }
 }

@@ -42,6 +42,43 @@ class AsOfJoinSpec extends SparkSuite {
     assert(exchanges == 2, s"expected 2 key exchanges, got $exchanges:\n$plan")
   }
 
+  test("forward as-of equals the FOLLOWING-window formulation bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    val native = EventOps.nextViewAfterPurchase(spark, sf).collect()
+    val ev = EventOps.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val reference = ev
+      .withColumn("nv", min(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("us DIV 1000000").as("purchase_epoch"),
+        expr("nv DIV 1000000").as("next_view_epoch"))
+      .orderBy(col("event_id")).collect()
+    assert(native.length == reference.length && native.nonEmpty)
+    native.zip(reference).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("forward hand-built: strictly-after match, same right row serves several lefts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 12L, 101L), (1L, 30L, 102L))
+      .toDF("k", "t", "lid").repartition(3)
+    val right = Seq((1L, 10L, 900L), (1L, 20L, 901L)).toDF("rk", "rt", "rid")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), Seq("rk"),
+        Seq("t"), Seq("rt"), forward = true)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // t=10: rt=10 is NOT strictly after; rt=20 is. t=12: rt=20 again.
+    assert(got(100L) == 901L && got(101L) == 901L)
+    // t=30: nothing after
+    assert(got(102L) == -1L)
+  }
+
   test("as-of state stays O(1) per key under many same-key right rows") {
     val spark2 = spark
     import spark2.implicits._
