@@ -1333,7 +1333,8 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => graft.operators.StatsOps.priceHistograms(s, d)),
     "q_asof_native" -> ((s, d) => EventOps.lastViewBeforePurchaseNative(s, d)),
     "q_dq_report" -> ((s, d) => graft.operators.StatsOps.dqReport(s, d)),
-    "q_asof_forward" -> ((s, d) => EventOps.nextViewAfterPurchase(s, d))
+    "q_asof_forward" -> ((s, d) => EventOps.nextViewAfterPurchase(s, d)),
+    "ev_gapfill" -> ((s, d) => EventOps.gapFill(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1671,8 +1672,38 @@ object SparkEntry {
     "q_dq_report" -> qDqReportSql,
     // q_asof_forward: the forward direction of the custom exec; oracle
     // is the mirrored FOLLOWING-window form over the same union.
-    "q_asof_forward" -> qAsofForwardSql
+    "q_asof_forward" -> qAsofForwardSql,
+    // ev_gapfill: explode-from-observed densification; integer
+    // fixed-point lerp with explicit pmod floor-division replays
+    // bit-for-bit in both engines.
+    "ev_gapfill" -> evGapfillSql
   )
+
+  private val evGapfillSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |         SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |l AS (SELECT *,
+      |        lead(day) OVER w AS nday,
+      |        lead(cents) OVER w AS ncents
+      |      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |g AS (SELECT user_id, day, cents, nday, ncents,
+      |        CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+      |          CAST(coalesce(nday - 1, day) AS TIMESTAMP),
+      |          INTERVAL 1 DAY)) AS DATE) AS d
+      |      FROM l)
+      |SELECT user_id, d, cents AS locf_cents,
+      |  CASE WHEN nday IS NULL THEN cents
+      |       ELSE cents + ((ncents - cents) * date_diff('day', day, d)
+      |         - ((((ncents - cents) * date_diff('day', day, d))
+      |              % date_diff('day', day, nday)
+      |            + date_diff('day', day, nday))
+      |           % date_diff('day', day, nday)))
+      |         // date_diff('day', day, nday)
+      |  END AS lerp_cents,
+      |  (d = day) AS is_observed
+      |FROM g ORDER BY user_id, d""".stripMargin
 
   private val qAsofForwardSql: String =
     """WITH e AS (SELECT event_id, user_id, event_type,

@@ -298,4 +298,55 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as(s"active_${days}d"))
       .orderBy(col("day"))
   }
+
+  /** Time-series gap fill (`ev_gapfill`): densify each user's daily
+    * spend series to one row per calendar day between their first and
+    * last active day, with BOTH standard imputations — LOCF
+    * (last-observation-carried-forward) and exact linear
+    * interpolation toward the next observation.
+    *
+    * The scalable identity: no calendar spine table and no join. Each
+    * OBSERVED row knows its successor via one `lead` window read, and
+    * emits itself plus the gap days up to (not including) that
+    * successor via `sequence`+`explode` — a narrow map whose fan-out
+    * is the gap length. The join formulation (spine LEFT JOIN
+    * observed + an IGNORE NULLS window) shuffles the dense spine;
+    * this shuffles only the observed rows. Interpolation is integer
+    * fixed-point: cents + floordiv((next−cur)·offset, gap) with an
+    * explicit pmod-based floor division, so any engine replays the
+    * fill bit-for-bit (float lerp diverges at the ULP level).
+    *
+    * Shape: one exchange total — an explicit repartition(user_id)
+    * that satisfies BOTH the (user_id, day) hash aggregate (subset
+    * clustering) and the lead window (in-partition sort only); the
+    * explode is stage-local. At 100 TB the fan-out bound is the max
+    * per-key gap in days — bounded by retention policy, not by data
+    * volume. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("c")).as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    daily
+      .withColumn("nday", lead(col("day"), 1).over(w))
+      .withColumn("ncents", lead(col("cents"), 1).over(w))
+      .select(col("user_id"), col("day"), col("cents"), col("nday"),
+        col("ncents"),
+        explode(sequence(col("day"),
+          coalesce(expr("date_sub(nday, 1)"), col("day")))).as("d"))
+      .select(col("user_id"), col("d"),
+        col("cents").as("locf_cents"),
+        when(col("nday").isNull, col("cents")).otherwise(
+          col("cents") + expr(
+            """((ncents - cents) * datediff(d, day)
+              |  - pmod((ncents - cents) * datediff(d, day),
+              |         datediff(nday, day)))
+              | DIV datediff(nday, day)""".stripMargin))
+          .as("lerp_cents"),
+        (col("d") === col("day")).as("is_observed"))
+      .orderBy(col("user_id"), col("d"))
+  }
 }

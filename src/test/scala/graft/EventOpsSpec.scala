@@ -118,4 +118,50 @@ class EventOpsSpec extends SparkSuite {
       assert(r.getAs[Long]("active_7d") == want(day), s"$day")
     }
   }
+
+  test("gap fill densifies each user's span, LOCF holds, lerp is bounded and exact at endpoints") {
+    val rows = EventOps.gapFill(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rs) =>
+      val days = rs.map(_.getDate(1).toLocalDate).sorted
+      // contiguous: exactly one row per day between first and last
+      assert(days.distinct.length == days.length, s"user $u dup days")
+      assert(
+        java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last)
+          == days.length - 1, s"user $u has holes")
+      val sortedRs = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      // between two observations, locf is constant (= previous observed)
+      // and lerp moves monotonically between the two observed values
+      var lastObserved = 0L
+      sortedRs.foreach { r =>
+        val locf = r.getAs[Long]("locf_cents")
+        val lerp = r.getAs[Long]("lerp_cents")
+        if (r.getAs[Boolean]("is_observed")) {
+          assert(locf == lerp, s"user $u observed row locf != lerp")
+          lastObserved = locf
+        } else {
+          assert(locf == lastObserved, s"user $u LOCF drifted")
+        }
+      }
+      // lerp endpoints: strictly within [min, max] of the two bracketing
+      // observations (integer floor keeps it in range)
+      val observed = sortedRs.filter(_.getAs[Boolean]("is_observed"))
+        .map(r => r.getDate(1).toLocalDate -> r.getAs[Long]("locf_cents"))
+      sortedRs.filterNot(_.getAs[Boolean]("is_observed")).foreach { r =>
+        val d = r.getDate(1).toLocalDate
+        val prev = observed.filter(_._1.isBefore(d)).last
+        val next = observed.find(_._1.isAfter(d)).get
+        val lo = math.min(prev._2, next._2)
+        val hi = math.max(prev._2, next._2)
+        val lerp = r.getAs[Long]("lerp_cents")
+        assert(lerp >= lo && lerp <= hi, s"user $u lerp out of range")
+        // exact: floor(prev + (next-prev)*offset/gap)
+        val gap = java.time.temporal.ChronoUnit.DAYS.between(prev._1, next._1)
+        val off = java.time.temporal.ChronoUnit.DAYS.between(prev._1, d)
+        val want = prev._2 + Math.floorDiv((next._2 - prev._2) * off, gap)
+        assert(lerp == want, s"user $u lerp mismatch")
+      }
+    }
+    assert(rows.nonEmpty)
+  }
 }
