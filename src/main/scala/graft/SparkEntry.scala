@@ -1334,7 +1334,8 @@ object SparkEntry {
     "q_asof_native" -> ((s, d) => EventOps.lastViewBeforePurchaseNative(s, d)),
     "q_dq_report" -> ((s, d) => graft.operators.StatsOps.dqReport(s, d)),
     "q_asof_forward" -> ((s, d) => EventOps.nextViewAfterPurchase(s, d)),
-    "ev_gapfill" -> ((s, d) => EventOps.gapFill(s, d))
+    "ev_gapfill" -> ((s, d) => EventOps.gapFill(s, d)),
+    "q_fuzzy_join" -> ((s, d) => graft.ext.DedupOps.editDistanceNeighbors(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1676,8 +1677,32 @@ object SparkEntry {
     // ev_gapfill: explode-from-observed densification; integer
     // fixed-point lerp with explicit pmod floor-division replays
     // bit-for-bit in both engines.
-    "ev_gapfill" -> evGapfillSql
+    "ev_gapfill" -> evGapfillSql,
+    // q_fuzzy_join: the oracle replays the FastSS deletion-neighborhood
+    // blocking with STRING keys (hashing is a Spark-side narrowing that
+    // provably cannot change the verified output) and the levenshtein
+    // verify that defines the relation.
+    "q_fuzzy_join" -> qFuzzyJoinSql
   )
+
+  private val qFuzzyJoinSql: String =
+    """WITH c AS MATERIALIZED (SELECT c_custkey AS id, c_name AS name
+      |                        FROM customer),
+      |k AS MATERIALIZED (
+      |  SELECT id, name,
+      |    CASE WHEN i = 0 THEN name
+      |         ELSE substr(name, 1, i - 1) || substr(name, i + 1) END AS key
+      |  FROM c, LATERAL (SELECT unnest(generate_series(0, length(name)))
+      |                   AS i) t),
+      |cand AS (SELECT DISTINCT a.id AS a, b.id AS b
+      |         FROM k a JOIN k b ON a.key = b.key AND a.id < b.id),
+      |p AS MATERIALIZED (
+      |  SELECT cand.a, cand.b FROM cand
+      |  JOIN c ca ON ca.id = cand.a JOIN c cb ON cb.id = cand.b
+      |  WHERE levenshtein(ca.name, cb.name) <= 1),
+      |s AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p)
+      |SELECT a AS c_custkey, count(*) AS n_neighbors, min(b) AS nearest_key
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val evGapfillSql: String =
     """WITH daily AS MATERIALIZED (

@@ -569,4 +569,53 @@ object DedupOps {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }
+
+  /** Edit-distance similarity self-join (`q_fuzzy_join`): for every
+    * customer, the number of OTHER customers whose name is within
+    * Levenshtein distance 1, plus the smallest such neighbor key — the
+    * record-linkage primitive (typo-tolerant entity matching).
+    *
+    * Blocking is the FastSS deletion neighborhood (Bocek et al. 2007,
+    * "Fast Similarity Search in Large Dictionaries"): each string
+    * emits itself plus every single-character deletion as candidate
+    * keys. Any pair at edit distance ≤ 1 (one substitution, insertion,
+    * or deletion) provably shares a key, so the equi-join on keys is
+    * COMPLETE at d=1; `levenshtein` verifies candidates, so hash
+    * collisions and d=2 shapes that happen to share a key are dropped.
+    * This blocks correctly where q-gram/length blocking degenerates:
+    * these names share a constant 13-char prefix, so any prefix- or
+    * length-based block is one giant bucket, while a deletion key
+    * still carries the discriminating suffix.
+    *
+    * Scale (100 TB): keys travel as xxhash64 longs (8 bytes, not the
+    * 17-char string); hashing cannot change the result — every true
+    * pair still collides (string-equal ⇒ hash-equal) and false
+    * collisions die in the verify. Key-group sizes are bounded by the
+    * number of near-identical names (real candidates), not by data
+    * layout; the candidate distinct + verify run at pair cardinality,
+    * which the verified output also has. len+1 keys per row is the
+    * d=1 cost; d=2 needs the quadratic 2-deletion neighborhood —
+    * documented, not built. */
+  def editDistanceNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val keyed = c.select(col("id"), col("name"), explode(expr(
+      """transform(sequence(0, length(name)),
+        |  i -> xxhash64(CASE WHEN i = 0 THEN name
+        |    ELSE concat(substring(name, 1, i - 1),
+        |                substring(name, i + 1)) END))""".stripMargin)).as("k"))
+    val cand = keyed.as("a")
+      .join(keyed.as("b"), col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("a.name").as("an"),
+        col("b.id").as("b"), col("b.name").as("bn"))
+      .distinct()
+    val pairs = cand
+      .filter(levenshtein(col("an"), col("bn")) <= 1)
+      .select(col("a"), col("b"))
+    val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    sym.groupBy(col("a"))
+      .agg(count(lit(1)).as("n_neighbors"), min(col("b")).as("nearest_key"))
+      .select(col("a").as("c_custkey"), col("n_neighbors"), col("nearest_key"))
+      .orderBy(col("c_custkey"))
+  }
 }

@@ -185,4 +185,33 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(hashed == strings)
   }
+
+  test("fuzzy join equals the brute-force edit-distance definition") {
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val names = graft.model.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val want = names.map { case (id, n) =>
+      val nbrs = names.filter { case (oid, on) => oid != id && lev(n, on) <= 1 }
+      id -> nbrs
+    }.filter(_._2.nonEmpty)
+      .map { case (id, nbrs) => id -> ((nbrs.length.toLong, nbrs.map(_._1).min)) }
+      .toMap
+    val got = DedupOps.editDistanceNeighbors(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
 }
