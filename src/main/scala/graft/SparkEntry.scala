@@ -1335,7 +1335,8 @@ object SparkEntry {
     "q_dq_report" -> ((s, d) => graft.operators.StatsOps.dqReport(s, d)),
     "q_asof_forward" -> ((s, d) => EventOps.nextViewAfterPurchase(s, d)),
     "ev_gapfill" -> ((s, d) => EventOps.gapFill(s, d)),
-    "q_fuzzy_join" -> ((s, d) => graft.ext.DedupOps.editDistanceNeighbors(s, d))
+    "q_fuzzy_join" -> ((s, d) => graft.ext.DedupOps.editDistanceNeighbors(s, d)),
+    "q_compaction_plan" -> ((s, d) => graft.sources.LayoutOps.compactionPlan(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1682,8 +1683,25 @@ object SparkEntry {
     // blocking with STRING keys (hashing is a Spark-side narrowing that
     // provably cannot change the verified output) and the levenshtein
     // verify that defines the relation.
-    "q_fuzzy_join" -> qFuzzyJoinSql
+    "q_fuzzy_join" -> qFuzzyJoinSql,
+    // q_compaction_plan: next-fit bin packing on the file listing —
+    // pure integer running-sum arithmetic, exact in any engine.
+    "q_compaction_plan" -> qCompactionPlanSql
   )
+
+  private val qCompactionPlanSql: String =
+    """WITH f AS MATERIALIZED (
+      |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+      |         CAST(o_orderdate AS DATE) AS day,
+      |         count(*) * 128 AS bytes
+      |  FROM orders GROUP BY 1, 2),
+      |b AS (SELECT *, sum(bytes) OVER (PARTITION BY month ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM f)
+      |SELECT month, (cum - bytes) // 4096 AS bin, count(*) AS n_files,
+      |  sum(bytes) AS total_bytes, min(day) AS first_day,
+      |  max(day) AS last_day
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private val qFuzzyJoinSql: String =
     """WITH c AS MATERIALIZED (SELECT c_custkey AS id, c_name AS name

@@ -78,4 +78,46 @@ object LayoutOps {
         min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
       .orderBy(col("bucket"))
   }
+
+  /** Small-file compaction planner (`q_compaction_plan`): the
+    * metadata-only pass a lakehouse OPTIMIZE/compaction job runs before
+    * moving any data. Input is the file listing (here: one "delta file"
+    * per order day, sized at a fixed row estimate); output is the bin
+    * manifest — per table partition (month), contiguous runs of small
+    * files greedily packed toward `targetBytes`.
+    *
+    * Bin assignment is the next-fit rule: a file joins the bin its
+    * EXCLUSIVE running total falls in (`(cum − bytes) DIV target`), so
+    * every bin except a partition's last holds ≥ target bytes once its
+    * straddling file closes it — the standard bin-packing approximation
+    * compaction services use (optimal packing is NP-hard and
+    * order-destroying; next-fit preserves the day ordering, which keeps
+    * time-range data-skipping effective after the rewrite).
+    *
+    * Scale (100 TB): the plan runs on the LISTING, ~#files rows, not on
+    * file contents. One exchange total: the explicit repartition(month)
+    * satisfies the (month, day) file aggregate (subset clustering), the
+    * per-month running-sum window (in-partition sort only), and the
+    * final (month, bin) roll-up — three stages, zero further shuffles.
+    * All arithmetic is integer, so the manifest replays bit-for-bit in
+    * any engine. */
+  def compactionPlan(spark: SparkSession, dir: String,
+      rowBytes: Int = 128, targetBytes: Long = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"))
+      .withColumn("month", trunc(col("day"), "month"))
+      .repartition(col("month"))
+      .groupBy(col("month"), col("day"))
+      .agg((count(lit(1)) * rowBytes).as("bytes"))
+    val w = Window.partitionBy(col("month")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("bin", expr(s"(cum - bytes) DIV ${targetBytes}L"))
+      .groupBy(col("month"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .orderBy(col("month"), col("bin"))
+  }
 }

@@ -56,4 +56,36 @@ class LayoutOpsSpec extends SparkSuite {
       }.collect()
     assert(ok.forall(identity), "z-values not sorted within a partition")
   }
+
+  test("compaction plan: one exchange, consecutive bins, closed bins reach the target") {
+    val target = 4096L
+    val plan = LayoutOps.compactionPlan(spark, sf)
+    val pstr = plan.queryExecution.executedPlan.toString
+    // the explicit repartition(month) is the ONLY hash exchange: the
+    // file agg, the running-sum window, and the bin roll-up all reuse
+    // it (the remaining range exchange is the presentation orderBy)
+    assert("(?i)hashpartitioning".r.findAllIn(pstr).size == 1, s"plan:\n$pstr")
+    val rows = plan.collect()
+    rows.groupBy(_.getDate(0)).foreach { case (month, bins) =>
+      val sorted = bins.sortBy(_.getLong(1))
+      // bin ids are consecutive from 0
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length).toSeq,
+        s"$month bins not consecutive")
+      // day ranges ascend without overlap
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDate(5).before(b.getDate(4)),
+            s"$month bins overlap: $a vs $b")
+        case _ =>
+      }
+      // every bin except the month's last closed at >= target bytes
+      // (next-fit: the straddling file lands in the bin it closes)
+      var cum = 0L
+      sorted.dropRight(1).zipWithIndex.foreach { case (r, i) =>
+        cum += r.getLong(3)
+        assert(cum >= (i + 1) * target, s"$month bin $i closed under target")
+      }
+    }
+    assert(rows.nonEmpty)
+  }
 }
