@@ -1336,7 +1336,8 @@ object SparkEntry {
     "q_asof_forward" -> ((s, d) => EventOps.nextViewAfterPurchase(s, d)),
     "ev_gapfill" -> ((s, d) => EventOps.gapFill(s, d)),
     "q_fuzzy_join" -> ((s, d) => graft.ext.DedupOps.editDistanceNeighbors(s, d)),
-    "q_compaction_plan" -> ((s, d) => graft.sources.LayoutOps.compactionPlan(s, d))
+    "q_compaction_plan" -> ((s, d) => graft.sources.LayoutOps.compactionPlan(s, d)),
+    "q_outliers_mad" -> ((s, d) => graft.operators.StatsOps.madOutliers(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1686,8 +1687,49 @@ object SparkEntry {
     "q_fuzzy_join" -> qFuzzyJoinSql,
     // q_compaction_plan: next-fit bin packing on the file listing —
     // pure integer running-sum arithmetic, exact in any engine.
-    "q_compaction_plan" -> qCompactionPlanSql
+    "q_compaction_plan" -> qCompactionPlanSql,
+    // q_outliers_mad: doubled/quadrupled integer medians — no division,
+    // no floats, so median, MAD, and the 3×MAD fence replay exactly.
+    "q_outliers_mad" -> qOutliersMadSql
   )
+
+  private val qOutliersMadSql: String =
+    """WITH base AS MATERIALIZED (
+      |  SELECT o_orderpriority AS grp,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      |vc AS MATERIALIZED (SELECT grp, c, count(*) AS cnt
+      |                    FROM base GROUP BY 1, 2),
+      |r AS (SELECT *,
+      |        sum(cnt) OVER (PARTITION BY grp ORDER BY c
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        sum(cnt) OVER (PARTITION BY grp) AS n FROM vc),
+      |med AS MATERIALIZED (
+      |  SELECT grp, max(n) AS n,
+      |    min(CASE WHEN cum >= (n + 1) // 2 THEN c END)
+      |      + min(CASE WHEN cum >= n // 2 + 1 THEN c END) AS m2
+      |  FROM r GROUP BY 1),
+      |dv AS MATERIALIZED (
+      |  SELECT vc.grp, abs(vc.c * 2 - med.m2) AS d, sum(cnt) AS cnt
+      |  FROM vc JOIN med ON vc.grp = med.grp GROUP BY 1, 2),
+      |r2 AS (SELECT *,
+      |        sum(cnt) OVER (PARTITION BY grp ORDER BY d
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        sum(cnt) OVER (PARTITION BY grp) AS n FROM dv),
+      |mad AS MATERIALIZED (
+      |  SELECT grp,
+      |    min(CASE WHEN cum >= (n + 1) // 2 THEN d END)
+      |      + min(CASE WHEN cum >= n // 2 + 1 THEN d END) AS mad4
+      |  FROM r2 GROUP BY 1),
+      |outl AS (
+      |  SELECT dv.grp,
+      |    sum(CASE WHEN dv.d * 2 > mad.mad4 * 3 THEN dv.cnt ELSE 0 END)
+      |      AS n_outliers
+      |  FROM dv JOIN mad ON dv.grp = mad.grp GROUP BY 1)
+      |SELECT med.grp, med.n, med.m2 AS median_x2, mad.mad4 AS mad_x4,
+      |       outl.n_outliers
+      |FROM med JOIN mad ON med.grp = mad.grp
+      |JOIN outl ON med.grp = outl.grp
+      |ORDER BY 1""".stripMargin
 
   private val qCompactionPlanSql: String =
     """WITH f AS MATERIALIZED (

@@ -124,4 +124,65 @@ object StatsOps {
       .select(lit("depth").as("kind"), col("bucket"), col("lo"), col("hi"), col("n"))
     width.unionByName(depth).orderBy(col("kind"), col("bucket"))
   }
+
+  /** Robust outlier report (`q_outliers_mad`): per order priority, the
+    * exact median, the exact MAD (median absolute deviation), and the
+    * count of rows beyond the 3×MAD fence — the standard
+    * robust-statistics screen (mean/stddev fences are dragged by the
+    * very outliers they hunt; median/MAD have a 50 % breakdown point).
+    *
+    * All integer fixed-point: cents, doubled medians (`median_x2` =
+    * lower+upper middle, exact for even counts without fractions),
+    * quadrupled MAD (`mad_x4` = doubled median of doubled deviations),
+    * and the fence test `2·dev > 3·mad_x4` ⇔ |x − med| > 3·MAD — no
+    * division anywhere, so any engine replays the report bit-for-bit.
+    *
+    * Scale (100 TB): the raw table is scanned ONCE, into per-(group,
+    * value) counts — map-side combinable, output bounded by the value
+    * domain, and persisted for the later stages. Medians come from a
+    * running-count window over that VALUE table (not the rows), the
+    * deviation table derives from the same counts without touching the
+    * base again, and group medians/MADs travel by broadcast. A
+    * low-cardinality group key means few window partitions, but each
+    * holds distinct VALUES, not rows — the balanceQuartiles
+    * range-partition recipe applies only if the value domain itself
+    * explodes. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def median2(counts: DataFrame, v: String): DataFrame = {
+      val wOrd = Window.partitionBy(col("grp")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("grp"))
+      counts
+        .withColumn("cum", sum(col("cnt")).over(wOrd))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .groupBy(col("grp"))
+        .agg(max(col("n")).as("n"),
+          (min(when(col("cum") >= expr("(n + 1) DIV 2"), col(v)))
+            + min(when(col("cum") >= expr("n DIV 2 + 1"), col(v))))
+            .as("m2"))
+    }
+    val vc = graft.ext.DedupOps.registerCache(
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority").as("grp"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+        .groupBy(col("grp"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist())
+    val med = median2(vc, "c")
+    val dv = graft.ext.DedupOps.registerCache(
+      vc.join(broadcast(med.select(col("grp"), col("m2"))), "grp")
+        .select(col("grp"), abs(col("c") * 2 - col("m2")).as("d"), col("cnt"))
+        .groupBy(col("grp"), col("d")).agg(sum(col("cnt")).as("cnt"))
+        .persist())
+    val mad = median2(dv, "d").select(col("grp"), col("m2").as("mad4"))
+    val out = dv.join(broadcast(mad), "grp")
+      .groupBy(col("grp"))
+      .agg(sum(when(col("d") * 2 > col("mad4") * 3, col("cnt"))
+        .otherwise(0L)).as("n_outliers"))
+    med.join(mad, "grp").join(out, "grp")
+      .select(col("grp"), col("n"), col("m2").as("median_x2"),
+        col("mad4").as("mad_x4"), col("n_outliers"))
+      .orderBy(col("grp"))
+  }
 }

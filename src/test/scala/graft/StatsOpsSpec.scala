@@ -68,4 +68,28 @@ class StatsOpsSpec extends SparkSuite {
     // every count is a valid (nonnegative) violation tally
     got.values.foreach(n => assert(n >= 0))
   }
+
+  test("MAD outliers: value-count rewrite equals the brute-force median/MAD definition") {
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val n = s.length
+      s((n - 1) / 2) + s(n / 2)
+    }
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val cs = rs.map(_._2).toSeq
+      val m2 = med2(cs)
+      val devs = cs.map(c => math.abs(2 * c - m2))
+      val mad4 = med2(devs)
+      g -> ((cs.length.toLong, m2, mad4,
+        devs.count(d => 2 * d > 3 * mad4).toLong))
+    }
+    val got = StatsOps.madOutliers(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }.toMap
+    assert(got == want)
+  }
 }
