@@ -1337,7 +1337,8 @@ object SparkEntry {
     "ev_gapfill" -> ((s, d) => EventOps.gapFill(s, d)),
     "q_fuzzy_join" -> ((s, d) => graft.ext.DedupOps.editDistanceNeighbors(s, d)),
     "q_compaction_plan" -> ((s, d) => graft.sources.LayoutOps.compactionPlan(s, d)),
-    "q_outliers_mad" -> ((s, d) => graft.operators.StatsOps.madOutliers(s, d))
+    "q_outliers_mad" -> ((s, d) => graft.operators.StatsOps.madOutliers(s, d)),
+    "q_bfs" -> ((s, d) => graft.operators.GraphOps.bfsHops(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1690,8 +1691,41 @@ object SparkEntry {
     "q_compaction_plan" -> qCompactionPlanSql,
     // q_outliers_mad: doubled/quadrupled integer medians — no division,
     // no floats, so median, MAD, and the 3×MAD fence replay exactly.
-    "q_outliers_mad" -> qOutliersMadSql
+    "q_outliers_mad" -> qOutliersMadSql,
+    // q_bfs: fixed unrolled frontier rounds over the same co-occurrence
+    // edge CTE as the other graph oracles — min-distance union per
+    // round, MATERIALIZED for the q_kcore reason.
+    "q_bfs" -> qBfsSql
   )
+
+  private val qBfsSql: String = {
+    val rounds = graft.operators.GraphOps.bfsRounds
+    val sb = new StringBuilder
+    sb.append(
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |       FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |und AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+        |       UNION ALL SELECT b, a FROM e0),
+        |d0 AS MATERIALIZED (
+        |  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM und WHERE u % 100 = 0)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+         |d$r AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT DISTINCT und.u AS node, CAST($r AS BIGINT) AS dist
+         |    FROM und JOIN d${r - 1} f ON und.v = f.node
+         |    WHERE f.dist = ${r - 1}) GROUP BY 1)""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT dist, count(*) AS n_nodes, sum(node) AS sum_node
+       |FROM d$rounds GROUP BY 1 ORDER BY 1""".stripMargin)
+    sb.toString
+  }
 
   private val qOutliersMadSql: String =
     """WITH base AS MATERIALIZED (

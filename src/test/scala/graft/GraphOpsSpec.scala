@@ -119,4 +119,31 @@ class GraphOpsSpec extends SparkSuite {
         byLabel(r.getAs[Long]("label")).length.toLong)
     }
   }
+
+  test("BFS on a path graph: hop distances and undiscovered cutoff by hand") {
+    val spark2 = spark
+    import spark2.implicits._
+    // path 100-1-2-3-4 plus isolated-from-seed pair 7-8; seed = {100}
+    // (the mod-100 rule). With rounds=3: 4 is beyond the horizon and
+    // 7,8 are unreachable — both must be absent from the output.
+    val edges = Seq((100L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
+      .toDF("a", "b")
+    val got = GraphOps.bfsCore(edges, 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(got == Map(100L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("BFS census: dist 0 equals the seed count, levels partition nodes") {
+    val census = GraphOps.bfsHops(spark, sf).collect()
+      .map(r => r.getAs[Long]("dist") -> r.getAs[Long]("n_nodes")).toMap
+    val seeds = GraphOps.undGraph(spark, sf)
+      .select(col("u")).distinct()
+      .filter(pmod(col("u"), lit(100)) === 0).count()
+    assert(census(0L) == seeds, s"dist-0 ${census(0L)} vs seeds $seeds")
+    assert(census.keySet.forall(d => d >= 0L && d <= GraphOps.bfsRounds))
+    // deterministic across runs
+    val again = GraphOps.bfsHops(spark, sf).collect()
+      .map(r => r.getAs[Long]("dist") -> r.getAs[Long]("n_nodes")).toMap
+    assert(census == again)
+  }
 }
