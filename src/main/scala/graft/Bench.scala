@@ -16,10 +16,21 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .limit(1000).groupBy("l_returnflag").count().collect()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // local-iteration subset (driver never sets this): comma-separated
+    // query names; each runs REPEAT times (cold + warm timings printed)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (repeat > 1)
+        System.err.println(f"[bench] $name: ${times.map(t => f"$t%.2f").mkString(" ")}")
+      name -> times.head
     }
     // The driver records only the last 2000 chars of output (plus sbt's
     // trailing [success] line), and a line whose head falls outside that

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSelfSimilarityRule, CosineSimilarity, DotProduct, MinhashSignature, Simhash64, WordShingles}
+import graft.functions.{CosineSelfSimilarityRule, CosineSimilarity, DotProduct, EditWithin1, MinhashSignature, Simhash64, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions. Enable with
@@ -50,6 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.nonEmpty, "minhash_sig takes at least 1 argument")
         MinhashSignature(children(0), literalInt(children, 1, default = 32))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("edit_within1"),
+      new ExpressionInfo(classOf[EditWithin1].getName, "edit_within1"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"edit_within1 takes 2 arguments, got ${children.length}")
+        EditWithin1(children(0), children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("zvalue"),

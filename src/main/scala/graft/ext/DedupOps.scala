@@ -580,8 +580,9 @@ object DedupOps {
     * emits itself plus every single-character deletion as candidate
     * keys. Any pair at edit distance ≤ 1 (one substitution, insertion,
     * or deletion) provably shares a key, so the equi-join on keys is
-    * COMPLETE at d=1; `levenshtein` verifies candidates, so hash
-    * collisions and d=2 shapes that happen to share a key are dropped.
+    * COMPLETE at d=1; the `edit_within1` prefix/suffix kernel verifies
+    * candidates exactly, so hash collisions and d=2 shapes that happen
+    * to share a key are dropped.
     * This blocks correctly where q-gram/length blocking degenerates:
     * these names share a constant 13-char prefix, so any prefix- or
     * length-based block is one giant bucket, while a deletion key
@@ -599,20 +600,36 @@ object DedupOps {
   def editDistanceNeighbors(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // array_distinct: a run of j equal chars yields the same deletion
+    // string j times — without it every candidate pair is emitted up to
+    // j_a×j_b times into the join (64× on zero-padded keys) before the
+    // distinct can collapse it. Dedup per-row, pre-explode, pre-shuffle.
     val keyed = c.select(col("id"), col("name"), explode(expr(
-      """transform(sequence(0, length(name)),
+      """array_distinct(transform(sequence(0, length(name)),
         |  i -> xxhash64(CASE WHEN i = 0 THEN name
         |    ELSE concat(substring(name, 1, i - 1),
-        |                substring(name, i + 1)) END))""".stripMargin)).as("k"))
-    val cand = keyed.as("a")
+        |                substring(name, i + 1)) END)))""".stripMargin)).as("k"))
+    // verify BEFORE distinct: candidate multiplicity is ≤2 keys per true
+    // pair after the per-row key dedup, so verifying on the raw join
+    // output is cheaper than shuffling name strings through a distinct —
+    // the distinct then dedups bare 16-byte id pairs. edit_within1 is
+    // the fused prefix/suffix scan (exact d<=1, TextHash.scala) — the
+    // general banded-DP levenshtein cost ~7µs/pair and dominated the
+    // whole join.
+    val pairs = keyed.as("a")
       .join(keyed.as("b"), col("a.k") === col("b.k") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a"), col("a.name").as("an"),
-        col("b.id").as("b"), col("b.name").as("bn"))
+      .filter(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.EditWithin1(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("a.name")),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("b.name")))))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
       .distinct()
-    val pairs = cand
-      .filter(levenshtein(col("an"), col("bn")) <= 1)
-      .select(col("a"), col("b"))
-    val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    // symmetrize by exploding each verified pair into both directions —
+    // a self-union would re-execute the whole candidate join twice
+    val sym = pairs.select(explode(array(
+        struct(col("a").as("a"), col("b").as("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
     sym.groupBy(col("a"))
       .agg(count(lit(1)).as("n_neighbors"), min(col("b")).as("nearest_key"))
       .select(col("a").as("c_custkey"), col("n_neighbors"), col("nearest_key"))

@@ -53,6 +53,37 @@ class PropertySpec extends SparkSuite {
       .filter(not(col("a") === col("b"))).count() == 0)
   }
 
+  test("edit_within1 equals levenshtein<=1 on arbitrary near and far pairs") {
+    import org.apache.spark.sql.functions._
+    // pairs biased toward the interesting band: equal, d=1 shapes
+    // (substitute/insert/delete), d=2 shapes, unicode, empty strings
+    val baseGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("", "a", "ab", "Customer#000014999", "héllo wörld", "日本語abc"))
+    val pairGen = for {
+      s <- baseGen
+      op <- Gen.choose(0, 5)
+      i <- Gen.choose(0, math.max(s.length - 1, 0))
+      c <- Gen.alphaNumChar
+    } yield op match {
+      case 0 => (s, s)
+      case 1 if s.nonEmpty => (s, s.updated(i, c))                 // substitute
+      case 2 => (s, s.patch(i, c.toString, 0))                     // insert
+      case 3 if s.nonEmpty => (s, s.patch(i, "", 1))               // delete
+      case 4 if s.length > 1 => (s, s.patch(0, "", 1).updated(0, c)) // d~2
+      case _ => (s, sample(baseGen, i + 7L))                       // unrelated
+    }
+    val pairs = (1L to 300L).map(i => sample(pairGen, i)) ++ Seq(
+      ("", ""), ("", "x"), ("", "xy"), ("ab", "ba"), ("日本", "日木"),
+      ("aab", "ab"), ("x00y", "x01y"), ("🙂ab", "ab"), ("🙂ab", "🙃ab"))
+    val spark0 = spark
+    import spark0.implicits._
+    val df = pairs.toDF("a", "b")
+    val diff = df.filter(
+      expr("edit_within1(a, b)") =!= (levenshtein(col("a"), col("b")) <= 1))
+    assert(diff.count() == 0, diff.collect().mkString(", "))
+  }
+
   test("oldestPendingIngest selects the numeric argmin for arbitrary folder sets") {
     (1L to 20L).foreach { i =>
       val folders = sample(Gen.nonEmptyListOf(folderGen), i)
