@@ -1338,7 +1338,11 @@ object SparkEntry {
     "q_fuzzy_join" -> ((s, d) => graft.ext.DedupOps.editDistanceNeighbors(s, d)),
     "q_compaction_plan" -> ((s, d) => graft.sources.LayoutOps.compactionPlan(s, d)),
     "q_outliers_mad" -> ((s, d) => graft.operators.StatsOps.madOutliers(s, d)),
-    "q_bfs" -> ((s, d) => graft.operators.GraphOps.bfsHops(s, d))
+    "q_bfs" -> ((s, d) => graft.operators.GraphOps.bfsHops(s, d)),
+    "ev_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
+    "ev_markov" -> ((s, d) => EventOps.eventTransitions(s, d)),
+    "q_assoc_rules" -> ((s, d) => graft.operators.BasketOps.associationRules(s, d)),
+    "ev_interval_overlap" -> ((s, d) => EventOps.intervalOverlap(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1695,8 +1699,85 @@ object SparkEntry {
     // q_bfs: fixed unrolled frontier rounds over the same co-occurrence
     // edge CTE as the other graph oracles — min-distance union per
     // round, MATERIALIZED for the q_kcore reason.
-    "q_bfs" -> qBfsSql
+    "q_bfs" -> qBfsSql,
+    // ev_retention: Monday-truncated weeks in both engines; offsets are
+    // exact integer week counts, n_users exact distinct counts.
+    "ev_retention" -> evRetentionSql,
+    // ev_markov: identical windows (ts, event_id tie-break); p is the
+    // IEEE division of two exact integer counts.
+    "ev_markov" -> evMarkovSql,
+    // q_assoc_rules: all supports are exact integer counts; conf/lift
+    // are IEEE divisions of exact integer products, and the top-100
+    // order is total (lift DESC, a, b) so the cut is deterministic.
+    "q_assoc_rules" -> qAssocRulesSql,
+    // ev_interval_overlap: pure integer epoch-microsecond arithmetic;
+    // the oracle runs the θ-join directly (DuckDB IEJoin), the Spark
+    // side the bucketed equi decomposition — same pair set.
+    "ev_interval_overlap" -> evIntervalOverlapSql
   )
+
+  private val evIntervalOverlapSql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |             CAST(round(value * 100) AS BIGINT) AS cv,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |             CAST(ts AS DATE) AS day FROM events),
+      |act AS MATERIALIZED (
+      |  SELECT user_id, day, min(us) AS a_start, max(us) AS a_end
+      |  FROM e GROUP BY 1, 2),
+      |inc AS MATERIALIZED (
+      |  SELECT us - 300000000 AS b_start, us + 300000000 AS b_end
+      |  FROM e WHERE event_type = 'error' AND cv % 97 = 0)
+      |SELECT user_id, day, count(*) AS n_incidents,
+      |  sum(least(a_end, b_end) - greatest(a_start, b_start)) AS overlap_us
+      |FROM act JOIN inc ON a_start <= b_end AND b_start <= a_end
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val qAssocRulesSql: String = {
+    val ms = graft.operators.BasketOps.minSupport
+    val k = graft.operators.BasketOps.topK
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |p AS MATERIALIZED (
+       |  SELECT x.pk AS a, y.pk AS b, count(*) AS n_ab
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $ms),
+       |items AS (SELECT pk, count(*) AS n_item FROM li GROUP BY 1),
+       |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li)
+       |SELECT p.a, p.b, p.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+       |  CAST(p.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS conf,
+       |  CAST(p.n_ab * n.n_orders AS DOUBLE) /
+       |    CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+       |FROM p JOIN items ia ON p.a = ia.pk JOIN items ib ON p.b = ib.pk
+       |CROSS JOIN n
+       |ORDER BY lift DESC, p.a, p.b LIMIT $k""".stripMargin
+  }
+
+  private val evRetentionSql: String =
+    """WITH uw AS MATERIALIZED (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+      |  FROM events),
+      |coh AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+      |SELECT cohort_week,
+      |  CAST((uw.week - coh.cohort_week) // 7 AS BIGINT) AS week_offset,
+      |  count(*) AS n_users
+      |FROM uw JOIN coh USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val evMarkovSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |                  CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |seq AS MATERIALIZED (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS to_type
+      |  FROM e),
+      |c AS (SELECT from_type, to_type, count(*) AS n
+      |      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type)
+      |                           AS DOUBLE) AS p
+      |FROM c ORDER BY 1, 2""".stripMargin
 
   private val qBfsSql: String = {
     val rounds = graft.operators.GraphOps.bfsRounds

@@ -349,4 +349,98 @@ object EventOps {
         (col("d") === col("day")).as("is_observed"))
       .orderBy(col("user_id"), col("d"))
   }
+
+  /** Weekly cohort retention (`ev_retention`): users are assigned to
+    * the ISO week of their first activity; the output is the cohort
+    * triangle (cohort_week, week_offset, n_users) every retention
+    * dashboard draws.
+    *
+    * One data-sized shuffle: per-user week sets are built with a
+    * map-side-combining collect_set keyed on user_id, the cohort is the
+    * set's min, and offsets explode from the same row — no second
+    * events scan and no users⋈events join. The final aggregate is
+    * cohort×offset-sized (weeks², tiny at any corpus size). Exact
+    * integer arithmetic: Monday-truncated dates make every offset a
+    * whole number of weeks. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("week")).as("weeks"))
+      .select(array_min(col("weeks")).as("cohort_week"),
+        explode(col("weeks")).as("week"))
+      .select(col("cohort_week"),
+        expr("datediff(week, cohort_week) DIV 7").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Interval-overlap join (`ev_interval_overlap`): per-user daily
+    * activity intervals [first event, last event] joined against global
+    * incident windows (a deterministic sparse subset of error events,
+    * ±5 minutes) on interval OVERLAP — the interval×interval face of
+    * the range-join family (ev_range_clicks is its point×interval
+    * sibling).
+    *
+    * Scale: the θ-join (a_start ≤ b_end AND b_start ≤ a_end) would be
+    * a broadcast-nested-loop at any size; instead both interval sets
+    * are exploded onto fixed UTC-day buckets and the join becomes
+    * bucket-equi + residual exactness filter — the standard banded
+    * decomposition. Activity intervals sit in exactly one bucket by
+    * construction and an incident's 1–2 bucket copies carry distinct
+    * bucket ids, so a pair can match at most once and needs no
+    * post-join dedup. All arithmetic is integer epoch-microseconds —
+    * exact in any engine. */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = events(spark, dir).withColumn("us", unix_micros(col("ts")))
+    val act = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("us")).as("a_start"), max(col("us")).as("a_end"))
+      .withColumn("bucket", expr(s"a_start DIV $dayUs"))
+    val inc = ev
+      .filter(col("event_type") === "error" &&
+        pmod(expr("CAST(round(value * 100) AS BIGINT)"), lit(97)) === 0)
+      .select((col("us") - 300000000L).as("b_start"),
+        (col("us") + 300000000L).as("b_end"))
+      .select(col("b_start"), col("b_end"),
+        explode(sequence(expr(s"b_start DIV $dayUs"),
+          expr(s"b_end DIV $dayUs"))).as("bucket"))
+    act.join(inc, Seq("bucket"))
+      .filter(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_incidents"),
+        sum(least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** First-order Markov transition matrix over per-user event streams
+    * (`ev_markov`): counts and conditional probabilities of event_type →
+    * next event_type, the session-flow / next-action primitive.
+    *
+    * The only data-sized work is the per-user ordered window (shuffle
+    * on user_id, sort by ts within — the sessionize shape); transition
+    * counts then collapse to |types|² rows, and the per-source
+    * normalization runs on that tiny table. p is an IEEE division of
+    * two exact counts — bit-identical in any engine. Ordering ties are
+    * impossible: event_id breaks ts ties deterministically. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(byUser).as("next_type"))
+      .filter(col("next_type").isNotNull)
+    val counts = pairs
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val perSource = Window.partitionBy(col("from_type"))
+    counts.select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") /
+          sum(col("n")).over(perSource).cast("double")).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

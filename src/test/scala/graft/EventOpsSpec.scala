@@ -164,4 +164,54 @@ class EventOpsSpec extends SparkSuite {
     }
     assert(rows.nonEmpty)
   }
+
+  test("cohort retention: offset-0 rows cover every user exactly once") {
+    val rows = EventOps.cohortRetention(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_week"),
+        r.getAs[Long]("week_offset"), r.getAs[Long]("n_users")))
+    assert(rows.forall(_._2 >= 0) && rows.forall(_._3 > 0))
+    val nUsers = EventOps.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    // every user appears in their own cohort's offset-0 cell
+    assert(rows.filter(_._2 == 0).map(_._3).sum == nUsers)
+    // a cohort's later cells never exceed its offset-0 size
+    val at0 = rows.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    rows.foreach { case (c, _, n) => assert(n <= at0(c)) }
+  }
+
+  test("markov transitions: rows per source sum to 1.0 and count all steps") {
+    val rows = EventOps.eventTransitions(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("from_type"))
+    bySrc.foreach { case (src, rs) =>
+      val p = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"$src sums to $p")
+    }
+    val nTransitions = rows.map(_.getAs[Long]("n")).sum
+    val ev = EventOps.events(spark, sf)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(nTransitions == expected)
+  }
+
+  test("interval overlap equals the naive theta join") {
+    val got = EventOps.intervalOverlap(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("n_incidents"), r.getAs[Long]("overlap_us")))
+    val ev = EventOps.events(spark, sf).withColumn("us", unix_micros(col("ts")))
+    val act = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("us")).as("a_start"), max(col("us")).as("a_end"))
+    val inc = ev.filter(col("event_type") === "error" &&
+        pmod(expr("CAST(round(value * 100) AS BIGINT)"), lit(97)) === 0)
+      .select((col("us") - 300000000L).as("b_start"),
+        (col("us") + 300000000L).as("b_end"))
+    val naive = act.crossJoin(inc)
+      .filter(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(least(col("a_end"), col("b_end")) -
+        greatest(col("a_start"), col("b_start"))).as("ov"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("n"), r.getAs[Long]("ov")))
+    assert(got.toSet == naive.toSet)
+    assert(got.nonEmpty && got.forall(_._4 >= 0))
+  }
 }
