@@ -1342,7 +1342,10 @@ object SparkEntry {
     "ev_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
     "ev_markov" -> ((s, d) => EventOps.eventTransitions(s, d)),
     "q_assoc_rules" -> ((s, d) => graft.operators.BasketOps.associationRules(s, d)),
-    "ev_interval_overlap" -> ((s, d) => EventOps.intervalOverlap(s, d))
+    "ev_interval_overlap" -> ((s, d) => EventOps.intervalOverlap(s, d)),
+    "q_sssp" -> ((s, d) => graft.operators.GraphOps.ssspCosts(s, d)),
+    "ev_rfm" -> ((s, d) => EventOps.rfmScores(s, d)),
+    "q_linreg" -> ((s, d) => graft.operators.StatsOps.linregByBrand(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1713,8 +1716,86 @@ object SparkEntry {
     // ev_interval_overlap: pure integer epoch-microsecond arithmetic;
     // the oracle runs the θ-join directly (DuckDB IEJoin), the Spark
     // side the bucketed equi decomposition — same pair set.
-    "ev_interval_overlap" -> evIntervalOverlapSql
+    "ev_interval_overlap" -> evIntervalOverlapSql,
+    // q_sssp: integer weights (1 + 100 DIV support) and integer cost
+    // sums; fixed Bellman-Ford rounds unroll to min-union CTEs.
+    "q_sssp" -> qSsspSql,
+    // ev_rfm: quintiles replay as plain ntile(5) because every ordering
+    // includes user_id (total order); metrics are exact integers/dates.
+    "ev_rfm" -> evRfmSql,
+    // q_linreg: sufficient statistics are exact BIGINT sums; slope/
+    // intercept/r2 replay as the SAME IEEE operation tree over them.
+    "q_linreg" -> qLinregSql
   )
+
+  private val qLinregSql: String =
+    """WITH d AS (SELECT p_brand,
+      |    CAST(round(l_quantity) AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice) AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |s AS MATERIALIZED (SELECT p_brand, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM d GROUP BY 1)
+      |SELECT p_brand, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+      |  (CAST(sy AS DOUBLE) -
+      |    (CAST(n * sxy - sx * sy AS DOUBLE) /
+      |     CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
+      |    CAST(n AS DOUBLE) AS intercept,
+      |  (CAST(n * sxy - sx * sy AS DOUBLE) *
+      |   CAST(n * sxy - sx * sy AS DOUBLE)) /
+      |  (CAST(n * sxx - sx * sx AS DOUBLE) *
+      |   CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+      |FROM s ORDER BY p_brand""".stripMargin
+
+  private val evRfmSql: String =
+    """WITH u AS MATERIALIZED (
+      |  SELECT user_id, max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_day,
+      |    count(*) AS n_events,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1),
+      |s AS (SELECT user_id, last_day, n_events, cents,
+      |  CAST(ntile(5) OVER (ORDER BY last_day, user_id) AS BIGINT) AS r,
+      |  CAST(ntile(5) OVER (ORDER BY n_events, user_id) AS BIGINT) AS f,
+      |  CAST(ntile(5) OVER (ORDER BY cents, user_id) AS BIGINT) AS m
+      |  FROM u)
+      |SELECT user_id, last_day, n_events, cents, r, f, m,
+      |  r * 100 + f * 10 + m AS rfm
+      |FROM s ORDER BY user_id""".stripMargin
+
+  private val qSsspSql: String = {
+    val rounds = graft.operators.GraphOps.ssspRounds
+    val sb = new StringBuilder
+    sb.append(
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b, count(*) AS n
+        |       FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |       GROUP BY 1, 2),
+        |w0 AS MATERIALIZED (SELECT a, b, 1 + 100 // n AS w FROM e0),
+        |und AS MATERIALIZED (SELECT a AS u, b AS v, w FROM w0
+        |       UNION ALL SELECT b, a, w FROM w0),
+        |d0 AS MATERIALIZED (
+        |  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS cost
+        |  FROM und WHERE u % 100 = 0)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+         |d$r AS MATERIALIZED (
+         |  SELECT node, min(cost) AS cost FROM (
+         |    SELECT node, cost FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT und.u AS node, f.cost + und.w AS cost
+         |    FROM und JOIN d${r - 1} f ON und.v = f.node) GROUP BY 1)""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT node, CAST(cost AS BIGINT) AS cost
+       |FROM d$rounds ORDER BY 1""".stripMargin)
+    sb.toString
+  }
 
   private val evIntervalOverlapSql: String =
     """WITH e AS (SELECT user_id, event_type,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -415,6 +415,37 @@ object EventOps {
         sum(least(col("a_end"), col("b_end")) -
           greatest(col("a_start"), col("b_start"))).as("overlap_us"))
       .orderBy(col("user_id"), col("day"))
+  }
+
+  /** RFM (recency / frequency / monetary) customer scoring
+    * (`ev_rfm`): per-user quintile scores on last-active day, event
+    * count, and integer-cents spend — the classic segmentation
+    * primitive. Each quintile rides [[Relational.withGlobalRank]]'s
+    * scale-safe two-pass global rank (range exchange + broadcast
+    * per-partition offsets — no one-task window) over the USER-sized
+    * aggregate, with user_id breaking metric ties so the bucketing is
+    * total-ordered and engine-replayable via plain ntile. */
+  def rfmScores(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    def ntileOf(df: DataFrame, metric: Column, name: String): DataFrame =
+      Relational.withGlobalRank(df, Seq(metric.asc, col("user_id").asc))
+        .withColumn(name, expr(
+          s"""CASE WHEN rn <= (n % $k) * (n DIV $k + 1)
+             |  THEN (rn - 1) DIV (n DIV $k + 1) + 1
+             |  ELSE (n % $k) + (rn - (n % $k) * (n DIV $k + 1) - 1) DIV (n DIV $k) + 1
+             |END""".stripMargin).cast("long"))
+        .drop("rn", "n")
+    val u = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val scored = ntileOf(ntileOf(ntileOf(u,
+        col("last_day"), "r"), col("n_events"), "f"), col("cents"), "m")
+    scored.select(col("user_id"), col("last_day"), col("n_events"),
+        col("cents"), col("r"), col("f"), col("m"),
+        (col("r") * 100 + col("f") * 10 + col("m")).as("rfm"))
+      .orderBy(col("user_id"))
   }
 
   /** First-order Markov transition matrix over per-user event streams

@@ -185,4 +185,41 @@ object StatsOps {
         col("mad4").as("mad_x4"), col("n_outliers"))
       .orderBy(col("grp"))
   }
+
+  /** Per-brand ordinary least squares of price on quantity
+    * (`q_linreg`): slope/intercept/R² of extendedprice-dollars vs
+    * quantity — the feature-vs-target fit a profiling pass runs per
+    * segment.
+    *
+    * One aggregation pass accumulates the five classic sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx²) plus Σy² as EXACT integer sums
+    * with map-side combine — the closed-form coefficients are then
+    * IEEE divisions of exact BIGINT terms, identical in any engine
+    * (long→double conversion is correctly rounded everywhere). Bounds:
+    * the cross terms n·Σxy and Σx·Σy stay under 2^63 up to ~10⁹ rows
+    * per group at these magnitudes; past that the sums move to
+    * DECIMAL(38,0) with the same shape (ANSI mode faults loudly, not
+    * silently, if the bound is ever crossed). R²'s total-sum-of-squares
+    * denominator reuses the same trick: n·Σy² − (Σy)². */
+  def linregByBrand(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+        expr("CAST(round(l_extendedprice) AS BIGINT)").as("y"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val s = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    s.select(col("p_brand"), col("n"),
+        (num / den).as("slope"),
+        ((col("sy").cast("double") - (num / den) * col("sx").cast("double")) /
+          col("n").cast("double")).as("intercept"),
+        ((num * num) / (den * deny)).as("r2"))
+      .orderBy(col("p_brand"))
+  }
 }

@@ -192,6 +192,26 @@ class EventOpsSpec extends SparkSuite {
     assert(nTransitions == expected)
   }
 
+  test("rfm: quintiles are balanced, code composes digits, scores rank correctly") {
+    val rows = EventOps.rfmScores(spark, sf).collect()
+    val n = rows.length
+    assert(n > 0)
+    for (dim <- Seq("r", "f", "m")) {
+      val sizes = rows.groupBy(_.getAs[Long](dim)).view.mapValues(_.length)
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+      sizes.values.foreach(s =>
+        assert(s == n / 5 || s == n / 5 + 1, s"$dim bucket size $s"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rfm") ==
+        r.getAs[Long]("r") * 100 + r.getAs[Long]("f") * 10 + r.getAs[Long]("m"))
+    }
+    // m is monotone in (cents, user_id) order
+    val byCents = rows.sortBy(r => (r.getAs[Long]("cents"), r.getAs[Long]("user_id")))
+      .map(_.getAs[Long]("m"))
+    assert(byCents.zip(byCents.tail).forall { case (a, b) => a <= b })
+  }
+
   test("interval overlap equals the naive theta join") {
     val got = EventOps.intervalOverlap(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toString,

@@ -133,6 +133,22 @@ class GraphOpsSpec extends SparkSuite {
     assert(got == Map(100L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("SSSP: seeds cost 0, reach equals BFS reach, cost dominates hops") {
+    val sssp = GraphOps.ssspCosts(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cost")).toMap
+    val hops = GraphOps.bfsCore(GraphOps.coGraph(spark, sf)._1,
+        GraphOps.ssspRounds).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    // same rounds, same seeds ⇒ identical reachable set
+    assert(sssp.keySet == hops.keySet)
+    sssp.foreach { case (n, c) =>
+      if (n % 100 == 0) assert(c == 0L, s"seed $n cost $c")
+      // every edge weight is >= 1, so cost >= hop count
+      assert(c >= hops(n), s"node $n cost $c < hops ${hops(n)}")
+    }
+    assert(sssp.nonEmpty)
+  }
+
   test("BFS census: dist 0 equals the seed count, levels partition nodes") {
     val census = GraphOps.bfsHops(spark, sf).collect()
       .map(r => r.getAs[Long]("dist") -> r.getAs[Long]("n_nodes")).toMap

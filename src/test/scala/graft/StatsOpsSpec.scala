@@ -92,4 +92,37 @@ class StatsOpsSpec extends SparkSuite {
     }.toMap
     assert(got == want)
   }
+
+  test("linreg matches a BigInt-exact recomputation of the closed form") {
+    val data = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+        expr("CAST(round(l_extendedprice) AS BIGINT)").as("y"))
+      .collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Long]("x"), r.getAs[Long]("y")))
+    val want = data.groupBy(_._1).map { case (b, rs) =>
+      val n = BigInt(rs.length)
+      val sx = rs.map(r => BigInt(r._2)).sum; val sy = rs.map(r => BigInt(r._3)).sum
+      val sxy = rs.map(r => BigInt(r._2) * r._3).sum
+      val sxx = rs.map(r => BigInt(r._2) * r._2).sum
+      val syy = rs.map(r => BigInt(r._3) * r._3).sum
+      // exact sufficient statistics, then the same IEEE tree as the op
+      val num = (n * sxy - sx * sy).toDouble; val den = (n * sxx - sx * sx).toDouble
+      val slope = num / den
+      b -> ((rs.length.toLong, slope,
+        (sy.toDouble - slope * sx.toDouble) / n.toDouble,
+        (num * num) / (den * (n * syy - sy * sy).toDouble)))
+    }
+    val got = graft.operators.StatsOps.linregByBrand(spark, sf).collect().map { r =>
+      r.getAs[String]("p_brand") -> ((r.getAs[Long]("n"), r.getAs[Double]("slope"),
+        r.getAs[Double]("intercept"), r.getAs[Double]("r2")))
+    }.toMap
+    assert(got == want)
+    // r2 is a ratio of squares: always within [0, 1]
+    got.values.foreach { case (_, _, _, r2) =>
+      assert(r2 >= 0 && r2 <= 1.0)
+    }
+  }
 }
