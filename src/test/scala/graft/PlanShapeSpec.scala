@@ -149,4 +149,54 @@ class PlanShapeSpec extends SparkSuite {
       p.take(800))
     assert("Scan parquet".r.findAllIn(p).length <= 2, "events scanned repeatedly")
   }
+
+  test("fuzzy join verifies with the codegen'd edit kernel, not DP levenshtein") {
+    val p = plan("q_fuzzy_join")
+    assert(p.contains("edit_within1"), p.take(800))
+    assert(!p.toLowerCase.contains("levenshtein"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("cohort retention is one user-keyed exchange, no users-to-events join") {
+    val p = plan("ev_retention")
+    assert(!p.contains("Join"), p.take(800))
+    assert("Scan parquet".r.findAllIn(p).length == 1, "events scanned repeatedly")
+  }
+
+  test("association rules: support filter precedes the item joins") {
+    val p = plan("q_assoc_rules")
+    // the n_ab >= minSupport filter must sit under the joins (candidate-
+    // sized rule table), and the basket total arrives by broadcast
+    assert(p.contains("n_ab"), p.take(800))
+    val filterIdx = p.indexOf("Filter (n_ab")
+    val joinIdx = p.indexOf("Join")
+    assert(filterIdx > joinIdx && joinIdx >= 0,
+      s"support filter not below the joins: filter@$filterIdx join@$joinIdx")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("interval overlap plans as a bucket equi-join, never a nested loop") {
+    val p = plan("ev_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(p.contains("bucket"), p.take(800))
+  }
+
+  test("rfm has no single-partition exchange over the data") {
+    val p = plan("ev_rfm")
+    // the user-sized data rides one range exchange per quintile metric
+    // (plus the final orderBy); single-partition windows exist only over
+    // the P-row offset tables, which the broadcast joins prove (the
+    // offsets come back via BroadcastHashJoin, never a data reshuffle)
+    assert("Exchange rangepartitioning".r.findAllIn(p).length >= 3, p.take(1200))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("linreg is one scan, one aggregate exchange, broadcast dimension join") {
+    val p = plan("q_linreg")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).isEmpty)
+    assert("Scan parquet".r.findAllIn(p).length == 2, "tables scanned repeatedly")
+  }
 }
