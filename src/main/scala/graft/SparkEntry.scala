@@ -1345,7 +1345,9 @@ object SparkEntry {
     "ev_interval_overlap" -> ((s, d) => EventOps.intervalOverlap(s, d)),
     "q_sssp" -> ((s, d) => graft.operators.GraphOps.ssspCosts(s, d)),
     "ev_rfm" -> ((s, d) => EventOps.rfmScores(s, d)),
-    "q_linreg" -> ((s, d) => graft.operators.StatsOps.linregByBrand(s, d))
+    "q_linreg" -> ((s, d) => graft.operators.StatsOps.linregByBrand(s, d)),
+    "dedup_passages" -> ((s, d) => graft.ext.DedupOps.passageDuplication(s, d)),
+    "samp_temperature" -> ((s, d) => graft.ext.SampleOps.temperatureSample(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1725,8 +1727,53 @@ object SparkEntry {
     "ev_rfm" -> evRfmSql,
     // q_linreg: sufficient statistics are exact BIGINT sums; slope/
     // intercept/r2 replay as the SAME IEEE operation tree over them.
-    "q_linreg" -> qLinregSql
+    "q_linreg" -> qLinregSql,
+    // dedup_passages: shingle strings replay verbatim (the dedup_ngram
+    // tokenizer CTE with n=8); counts exact, frac one IEEE division.
+    "dedup_passages" -> dedupPassagesSql,
+    // samp_temperature: ⌊√n·2²⁰⌋ keeps the normalizer an exact integer
+    // sum; rate is one IEEE division and md5-60 replays in DuckDB.
+    "samp_temperature" -> sampTemperatureSql
   )
+
+  private val dedupPassagesSql: String = {
+    val n = graft.ext.DedupOps.passageN
+    val t = graft.ext.DedupOps.passageDfMin
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |         range(0, greatest(len(t) - $n, 0) + 1),
+       |         i -> array_to_string(list_slice(t, i + 1, i + $n), ' '))) AS s
+       |       FROM toks),
+       |ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS sh FROM sh),
+       |d AS (SELECT sh, count(*) AS df FROM ex GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_passages,
+       |  sum(CASE WHEN d.df >= $t THEN 1 ELSE 0 END) AS n_shared,
+       |  CAST(sum(CASE WHEN d.df >= $t THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE) AS shared_frac
+       |FROM ex JOIN d USING (sh)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  private val sampTemperatureSql: String = {
+    val b = graft.ext.SampleOps.temperatureBudget
+    val seed = graft.ext.SampleOps.temperatureSeed
+    s"""WITH strata AS MATERIALIZED (
+       |  SELECT lang, count(*) AS n,
+       |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1048576) AS BIGINT) AS isq
+       |  FROM documents GROUP BY 1),
+       |norm AS (SELECT CAST(sum(isq) AS BIGINT) AS s FROM strata),
+       |rates AS (SELECT lang, n AS n_lang,
+       |    CAST(floor(least(1.0, CAST($b * isq AS DOUBLE) /
+       |                          CAST(s * n AS DOUBLE)) *
+       |               1152921504606846976) AS BIGINT) AS thresh
+       |  FROM strata CROSS JOIN norm)
+       |SELECT doc_id, documents.lang, source, n_lang
+       |FROM documents JOIN rates ON documents.lang = rates.lang
+       |WHERE CAST(('0x' || substr(md5('$seed:' || CAST(doc_id AS VARCHAR)),
+       |                           1, 15)) AS BIGINT) < thresh
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private val qLinregSql: String =
     """WITH d AS (SELECT p_brand,

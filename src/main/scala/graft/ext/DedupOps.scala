@@ -635,4 +635,38 @@ object DedupOps {
       .select(col("a").as("c_custkey"), col("n_neighbors"), col("nearest_key"))
       .orderBy(col("c_custkey"))
   }
+
+  val passageN = 8
+  val passageDfMin = 2
+
+  /** Passage-level duplication profile (`dedup_passages`): for each
+    * document, how much of it is built from passages (word 8-grams)
+    * that also appear in OTHER documents — the passage/line-dedup
+    * signal (CCNet-style boilerplate and copied-passage removal) that
+    * document-level dedup can't see.
+    *
+    * Two aggregates over one shingle explode: corpus-wide passage
+    * document-frequency (map-side combinable), then a per-doc rollup
+    * counting passages with df ≥ [[passageDfMin]]. The df table joins
+    * back by passage key; AQE broadcasts it when the duplicated-passage
+    * set is small (the usual case — duplication is the anomaly). Keys
+    * here are the shingle strings so the oracle replays them verbatim;
+    * at corpus scale they travel as xxhash64 longs instead (the
+    * `ngramJaccardPairs` trick — counts can only change on a 2⁻⁶⁴
+    * collision). shared_frac is an IEEE division of two exact counts. */
+  def passageDuplication(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), passageN)).as("sh"))
+    val dfCounts = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val shared = dfCounts.filter(col("df") >= passageDfMin)
+      .withColumn("is_shared", lit(1L)).drop("df")
+    sh.join(shared, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(coalesce(col("is_shared"), lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("n_passages"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_passages").cast("double"))
+          .as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
 }

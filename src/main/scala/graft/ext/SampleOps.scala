@@ -55,6 +55,44 @@ object SampleOps {
       .orderBy(col("doc_id"))
   }
 
+  val temperatureBudget = 250L
+  val temperatureSeed = "graft-temp-v1"
+
+  /** Temperature-based mixture sampling (`samp_temperature`): sampling
+    * rates derived FROM the corpus rather than hand-set — each
+    * language's share is ∝ n^α with α = 1/2 (the GPT-3-style
+    * temperature that upsamples tail languages relative to
+    * proportional sampling), targeting [[temperatureBudget]] docs.
+    *
+    * Engine-exact float discipline: per-stratum √n is floored to a
+    * 2²⁰-scaled integer (floor of a correctly-rounded IEEE sqrt —
+    * deterministic everywhere), so the normalizer Σ⌊√n·2²⁰⌋ is an
+    * EXACT integer sum (a float Σ√n would be addition-order-
+    * dependent); each rate is then ONE IEEE division of exact integer
+    * products, and the keep test compares the md5-60 of the doc id
+    * against ⌊rate·2⁶⁰⌋. The stratum table is strata-sized (tiny);
+    * the corpus is touched by exactly one scan + broadcast join —
+    * the stratifiedSample shape with data-derived rates. */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val strata = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("isq",
+        expr("CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576) AS BIGINT)"))
+    val norm = strata.agg(sum(col("isq")).as("s"))
+    val rates = strata.crossJoin(broadcast(norm))
+      .withColumn("rate", least(lit(1.0),
+        (lit(temperatureBudget) * col("isq")).cast("double") /
+          (col("s") * col("n")).cast("double")))
+      .select(col("lang"), col("n").as("n_lang"),
+        floor(col("rate") * lit(1152921504606846976L)).as("thresh"))
+    docs.join(broadcast(rates), "lang")
+      .filter(conv(substring(md5(concat(lit(temperatureSeed + ":"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") <
+        col("thresh"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** GPT-style sequence packing: concatenate each language's token
     * stream in doc_id order and split it into fixed `budget`-token
     * training sequences. A document is assigned the bin range

@@ -140,4 +140,54 @@ class SampleOpsSpec extends SparkSuite {
       .orderBy(col("doc_id")).collect()
     assert(got.map(_.toSeq).toSeq == naive.map(_.toSeq).toSeq)
   }
+
+  test("temperature sample equals an exact JVM replay of rates and md5-60 keeps") {
+    import graft.ext.SampleOps
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang"))
+    val byLang = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val isq = byLang.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * 1048576).toLong).toMap
+    val s = isq.values.sum
+    val thresh = byLang.map { case (l, n) =>
+      l -> math.floor(math.min(1.0,
+        (SampleOps.temperatureBudget * isq(l)).toDouble / (s * n).toDouble) *
+        1152921504606846976L.toDouble).toLong
+    }
+    def md5_60(key: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((SampleOps.temperatureSeed + ":" + key).getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val expected = docs.filter { case (id, l) => md5_60(id.toString) < thresh(l) }
+      .map(_._1).toSet
+    val got = SampleOps.temperatureSample(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expected, s"got ${got.size} expected ${expected.size}")
+    // temperature upsamples the tail: the rarest language's RATE must
+    // exceed the dominant language's (recomputed, not sampled — exact)
+    val minL = byLang.minBy(_._2)._1; val maxL = byLang.maxBy(_._2)._1
+    assert(thresh(minL) > thresh(maxL))
+  }
+
+  test("passage duplication: shared counts equal a naive recompute") {
+    import graft.ext.DedupOps
+    val sh = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(DedupOps.shingles(col("text"), DedupOps.passageN)).as("sh"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("sh")))
+    val df = sh.groupBy(_._2).view.mapValues(_.length).toMap
+    val want = sh.groupBy(_._1).map { case (id, rs) =>
+      id -> ((rs.length.toLong,
+        rs.count(r => df(r._2) >= DedupOps.passageDfMin).toLong))
+    }
+    val got = DedupOps.passageDuplication(spark, sf).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_passages"), r.getAs[Long]("n_shared")))
+    }.toMap
+    assert(got == want)
+    // the planted near-dup clusters guarantee some sharing exists
+    assert(got.values.exists(_._2 > 0))
+  }
 }
