@@ -29,9 +29,7 @@ object BasketOps {
     * co-occurring in at least [[minSupport]] orders. Output: (a, b,
     * n_ab, n_a, n_b, conf, lift), lift-descending, (a, b) tie-break. */
   def associationRules(spark: SparkSession, dir: String): DataFrame = {
-    val byOrder = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val byOrder = GraphOps.baskets(spark, dir)
     val pairCounts = byOrder.select(explode(
         org.apache.spark.sql.graftbridge.ColumnBridge.column(
           graft.functions.PackedPairs(
