@@ -12,10 +12,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up JVM/codegen/parquet-footer paths so the first measured
-    // query doesn't absorb session startup
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .limit(1000).groupBy("l_returnflag").count().collect()
-    catch { case _: Throwable => () }
+    // query doesn't absorb session startup: one tiny aggregate plus a
+    // footer/page-cache touch of every table (a cold OS page cache was
+    // measured to more than double an entire run)
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .limit(1000).groupBy("l_returnflag").count().collect()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").foreach(_ => ())
+        catch { case _: Throwable => () }
+      }
+    } catch { case _: Throwable => () }
     // local-iteration subset (driver never sets this): comma-separated
     // query names; each runs REPEAT times (cold + warm timings printed)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
