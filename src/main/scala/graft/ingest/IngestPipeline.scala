@@ -190,15 +190,17 @@ object IngestPipeline {
 
   /** S5: load one entity's CSV.gz pair — header row shipped in the
     * sidecar `_headers` file, data in `_sample` (schema-on-file). */
+  /** S5: entity CSV.gz with sidecar-header schema, served by the
+    * DataSource V2 implementation (sources/v2/GraftIngestSource —
+    * per-file partitions, column pruning, filter pushdown;
+    * IngestSourceSpec pins parity with the plain `spark.read.csv`
+    * formulation this used to be). */
   def loadEntity(spark: SparkSession, bucket: String, ingestName: String,
-                 entity: String): DataFrame = {
-    val base = s"$bucket/pending/$ingestName/$entity"
-    val header = spark.read.option("header", "true")
-      .csv(s"$base/${entity}_headers.csv.gz")
-    spark.read
-      .schema(header.schema)
-      .csv(s"$base/${entity}_sample.csv.gz")
-  }
+                 entity: String): DataFrame =
+    spark.read.format("graft-ingest")
+      .option("path", s"$bucket/pending/$ingestName/$entity")
+      .option("entity", entity)
+      .load()
 
   /** One sink load = write every entity to `warehouse/<sink>/<entity>`
     * with overwrite (S9+S10 idempotency). */

@@ -1,0 +1,233 @@
+package graft.sources.v2
+
+import java.util.zip.GZIPInputStream
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 implementation of the reference's ingest file format
+  * (S5: CSV.gz entity data + sidecar `<entity>_headers.csv.gz` schema
+  * file — reference src/ingestor.js entity loads), registered as
+  * `graft-ingest`:
+  *
+  * {{{
+  *   spark.read.format("graft-ingest")
+  *     .option("path", s"\$bucket/pending/\$ingest/person")
+  *     .option("entity", "person").load()
+  * }}}
+  *
+  * Spark-native behaviors the imperative `loadEntity` face cannot give:
+  *  - schema from the sidecar at PLANNING time (one tiny driver read);
+  *  - one input partition per data file — a thousand-file entity scans
+  *    on a thousand cores, no driver listing beyond the directory;
+  *  - COLUMN PRUNING pushed into the reader: unprojected fields are
+  *    never materialized (a 2-column projection parses 2 fields);
+  *  - string-equality/IsNotNull FILTER PUSHDOWN evaluated inside the
+  *    reader, so filtered rows never leave the scan.
+  *
+  * Parsing matches `loadEntity`'s fixtures (plain unquoted CSV, no
+  * header row in data files, missing trailing fields read as null);
+  * IngestSourceSpec pins row-for-row parity with the DataFrame face.
+  * The Hadoop conf travels via SerializableConfiguration, so any
+  * FileSystem scheme the session can reach (file://, s3a://) works. */
+class GraftIngestSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-ingest"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftIngestSource.readSidecarSchema(options)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftIngestTable(schema,
+      new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object GraftIngestSource {
+
+  private[v2] def pathOf(o: CaseInsensitiveStringMap): (String, String) = {
+    val path = Option(o.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-ingest requires option 'path'"))
+    val entity = Option(o.get("entity")).getOrElse(
+      throw new IllegalArgumentException("graft-ingest requires option 'entity'"))
+    (path, entity)
+  }
+
+  /** Schema = the sidecar header line, every column a nullable string
+    * (exactly what `spark.read.option("header","true").csv(headers)`
+    * yields on a header-only file). */
+  private[v2] def readSidecarSchema(o: CaseInsensitiveStringMap): StructType = {
+    val (path, entity) = pathOf(o)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val hp = new Path(s"$path/${entity}_headers.csv.gz")
+    val fs = hp.getFileSystem(conf)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new GZIPInputStream(fs.open(hp)), "UTF-8"))
+    try {
+      val line = Option(in.readLine()).getOrElse(
+        throw new IllegalArgumentException(s"empty header file: $hp"))
+      StructType(line.split(",", -1).map(c =>
+        StructField(c.trim, StringType, nullable = true)))
+    } finally in.close()
+  }
+
+  /** Data files: `<entity>_*.csv.gz` minus the sidecar itself. */
+  private[v2] def dataFiles(o: CaseInsensitiveStringMap): Seq[String] = {
+    val (path, entity) = pathOf(o)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith(entity + "_") && p.getName.endsWith(".csv.gz") &&
+          p.getName != s"${entity}_headers.csv.gz"
+      }
+      .map(_.toString).sorted
+  }
+}
+
+class GraftIngestTable(schema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  override def name(): String = {
+    val (path, entity) = GraftIngestSource.pathOf(options)
+    s"graft-ingest `$path` entity `$entity`"
+  }
+
+  override def schema(): StructType = schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftIngestScanBuilder(schema, options)
+}
+
+class GraftIngestScanBuilder(fullSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept string equality and IsNotNull on known columns; everything
+    * else stays a residual Spark re-evaluates above the scan. The
+    * accepted set is ALSO returned as residual-safe (Spark may still
+    * re-check; the reader's evaluation only removes rows early). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val names = fullSchema.fieldNames.toSet
+    pushed = filters.filter {
+      case EqualTo(a, _: String) => names.contains(a)
+      case IsNotNull(a) => names.contains(a)
+      case _ => false
+    }
+    filters.diff(pushed)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    GraftIngestScan(fullSchema, required, pushed,
+      GraftIngestSource.dataFiles(options))
+}
+
+case class GraftIngestScan(fullSchema: StructType, required: StructType,
+    pushed: Array[Filter], files: Seq[String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftIngestScan PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}, Files: ${files.length}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => GraftIngestPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    GraftIngestReaderFactory(fullSchema.fieldNames, required.fieldNames,
+      pushed, conf)
+  }
+}
+
+case class GraftIngestPartition(file: String) extends InputPartition
+
+case class GraftIngestReaderFactory(allNames: Array[String],
+    requiredNames: Array[String], pushed: Array[Filter],
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftIngestReader(p.asInstanceOf[GraftIngestPartition].file,
+      allNames, requiredNames, pushed, conf.value)
+}
+
+/** Streams one gzip'd CSV file: parse → pushed-filter check → project
+  * required fields. One pass, no row buffering. */
+class GraftIngestReader(file: String, allNames: Array[String],
+    requiredNames: Array[String], pushed: Array[Filter],
+    conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val idxOf: Map[String, Int] = allNames.zipWithIndex.toMap
+  private val outIdx: Array[Int] = requiredNames.map(idxOf)
+  private val reader = {
+    val hp = new Path(file)
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      new GZIPInputStream(hp.getFileSystem(conf).open(hp)), "UTF-8"))
+  }
+  private var row: InternalRow = _
+
+  /** Missing trailing fields AND empty fields read as null — Spark
+    * CSV's default `nullValue=""` semantics, pinned by the parity
+    * test against the `spark.read.csv` face. */
+  private def fieldAt(parts: Array[String], i: Int): String =
+    if (i < parts.length && parts(i).nonEmpty) parts(i) else null
+
+  private def keep(parts: Array[String]): Boolean = pushed.forall {
+    case EqualTo(a, v: String) => v == fieldAt(parts, idxOf(a))
+    case IsNotNull(a) => fieldAt(parts, idxOf(a)) != null
+    case _ => true
+  }
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null) {
+      val parts = line.split(",", -1)
+      if (keep(parts)) {
+        row = InternalRow.fromSeq(outIdx.toSeq.map { i =>
+          val v = fieldAt(parts, i)
+          if (v == null) null else UTF8String.fromString(v)
+        })
+        return true
+      }
+      line = reader.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = reader.close()
+}
