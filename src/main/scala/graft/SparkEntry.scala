@@ -1347,7 +1347,9 @@ object SparkEntry {
     "ev_rfm" -> ((s, d) => EventOps.rfmScores(s, d)),
     "q_linreg" -> ((s, d) => graft.operators.StatsOps.linregByBrand(s, d)),
     "dedup_passages" -> ((s, d) => graft.ext.DedupOps.passageDuplication(s, d)),
-    "samp_temperature" -> ((s, d) => graft.ext.SampleOps.temperatureSample(s, d))
+    "samp_temperature" -> ((s, d) => graft.ext.SampleOps.temperatureSample(s, d)),
+    "ev_attribution" -> ((s, d) => EventOps.attribution(s, d)),
+    "ev_conversion_lag" -> ((s, d) => EventOps.conversionLag(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1733,8 +1735,48 @@ object SparkEntry {
     "dedup_passages" -> dedupPassagesSql,
     // samp_temperature: ⌊√n·2²⁰⌋ keeps the normalizer an exact integer
     // sum; rate is one IEEE division and md5-60 replays in DuckDB.
-    "samp_temperature" -> sampTemperatureSql
+    "samp_temperature" -> sampTemperatureSql,
+    // ev_attribution / ev_conversion_lag: identical (ts, event_id)
+    // windows; cents and minute buckets are exact integers.
+    "ev_attribution" -> evAttributionSql,
+    "ev_conversion_lag" -> evConversionLagSql
   )
+
+  private val evAttributionSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(round(value * 100) AS BIGINT) AS cents,
+      |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |w AS MATERIALIZED (
+      |  SELECT event_type, cents,
+      |    first_value(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |               IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+      |  FROM e),
+      |p AS (SELECT * FROM w WHERE event_type = 'purchase'),
+      |u AS (SELECT 'first' AS model, first_touch AS event_type, cents FROM p
+      |      UNION ALL
+      |      SELECT 'last', coalesce(last_touch, 'none'), cents FROM p)
+      |SELECT model, event_type, count(*) AS n_purchases, sum(cents) AS cents
+      |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val evConversionLagSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |             CAST(ts AS TIMESTAMP) AS ts FROM events
+      |           WHERE event_type IN ('view', 'purchase')),
+      |w AS MATERIALIZED (
+      |  SELECT event_type, us,
+      |    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+      |  FROM e)
+      |SELECT (us - lv) // 60000000 AS lag_minutes, count(*) AS n
+      |FROM w WHERE event_type = 'purchase' AND lv IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val dedupPassagesSql: String = {
     val n = graft.ext.DedupOps.passageN

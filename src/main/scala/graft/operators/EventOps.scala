@@ -417,6 +417,61 @@ object EventOps {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Marketing attribution (`ev_attribution`): each purchase's value
+    * credited to (a) the FIRST event type in the user's history
+    * (first-touch) and (b) the LAST non-purchase event type strictly
+    * before it (last-touch) — both models in one output keyed
+    * (model, event_type), values in exact integer cents.
+    *
+    * One per-user ordered window pass (the sessionize shuffle shape)
+    * computes both credited types per purchase; the rollup is
+    * |models|×|types|-sized. `ignoreNulls` last() over the
+    * unbounded-preceding-to-previous-row frame is the engine-portable
+    * "carry the latest qualifying value" idiom (the same trick as the
+    * as-of window face). */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prior = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val credited = events(spark, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("first_touch", first(col("event_type")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("last_touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(prior))
+      .filter(col("event_type") === "purchase")
+    credited.select(lit("first").as("model"),
+        col("first_touch").as("event_type"), col("cents"))
+      .unionByName(credited.select(lit("last").as("model"),
+        coalesce(col("last_touch"), lit("none")).as("event_type"), col("cents")))
+      .groupBy(col("model"), col("event_type"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+      .orderBy(col("model"), col("event_type"))
+  }
+
+  /** Conversion-lag histogram (`ev_conversion_lag`): distribution of
+    * the view→purchase latency (the as-of pairing `ev_asof` computes),
+    * bucketed to whole minutes — integer-exact, bounded output
+    * (max lag at any scale ÷ 60 s rows). One window pass + one
+    * map-side-combining aggregate. */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("last_view_us",
+        last(when(col("event_type") === "view", col("us")), ignoreNulls = true)
+          .over(byUser))
+      .filter(col("event_type") === "purchase" && col("last_view_us").isNotNull)
+      .select(expr("(us - last_view_us) DIV 60000000").as("lag_minutes"))
+      .groupBy(col("lag_minutes"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lag_minutes"))
+  }
+
   /** RFM (recency / frequency / monetary) customer scoring
     * (`ev_rfm`): per-user quintile scores on last-active day, event
     * count, and integer-cents spend — the classic segmentation

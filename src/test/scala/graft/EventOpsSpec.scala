@@ -212,6 +212,44 @@ class EventOpsSpec extends SparkSuite {
     assert(byCents.zip(byCents.tail).forall { case (a, b) => a <= b })
   }
 
+  test("attribution: both models conserve total purchase value") {
+    val rows = EventOps.attribution(spark, sf).collect()
+    val totalByModel = rows.groupBy(_.getAs[String]("model"))
+      .view.mapValues(_.map(_.getAs[Long]("cents")).sum).toMap
+    val purchases = EventOps.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"),
+        count(lit(1)).as("n")).collect().head
+    assert(totalByModel("first") == purchases.getAs[Long]("c"))
+    assert(totalByModel("last") == purchases.getAs[Long]("c"))
+    for (m <- Seq("first", "last")) {
+      val n = rows.filter(_.getAs[String]("model") == m)
+        .map(_.getAs[Long]("n_purchases")).sum
+      assert(n == purchases.getAs[Long]("n"))
+    }
+  }
+
+  test("conversion lag: buckets count every purchase with a prior view") {
+    val rows = EventOps.conversionLag(spark, sf).collect()
+      .map(r => r.getAs[Long]("lag_minutes") -> r.getAs[Long]("n"))
+    assert(rows.forall(_._1 >= 0))
+    // naive recompute per user on the driver
+    val ev = EventOps.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("us")))
+    val naive = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      var lastView: Option[Long] = None
+      es.sortBy(e => (e._4, e._2)).flatMap { e =>
+        if (e._3 == "view") { lastView = Some(e._4); None }
+        else lastView.map(lv => (e._4 - lv) / 60000000L)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.toMap == naive)
+  }
+
   test("interval overlap equals the naive theta join") {
     val got = EventOps.intervalOverlap(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toString,
