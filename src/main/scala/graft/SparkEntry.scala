@@ -1349,7 +1349,8 @@ object SparkEntry {
     "dedup_passages" -> ((s, d) => graft.ext.DedupOps.passageDuplication(s, d)),
     "samp_temperature" -> ((s, d) => graft.ext.SampleOps.temperatureSample(s, d)),
     "ev_attribution" -> ((s, d) => EventOps.attribution(s, d)),
-    "ev_conversion_lag" -> ((s, d) => EventOps.conversionLag(s, d))
+    "ev_conversion_lag" -> ((s, d) => EventOps.conversionLag(s, d)),
+    "ev_anomaly" -> ((s, d) => EventOps.hourlyAnomalies(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1739,8 +1740,25 @@ object SparkEntry {
     // ev_attribution / ev_conversion_lag: identical (ts, event_id)
     // windows; cents and minute buckets are exact integers.
     "ev_attribution" -> evAttributionSql,
-    "ev_conversion_lag" -> evConversionLagSql
+    "ev_conversion_lag" -> evConversionLagSql,
+    // ev_anomaly: the 3σ test cross-multiplied into exact BIGINTs —
+    // no division or sqrt anywhere, flags replay bit-for-bit.
+    "ev_anomaly" -> evAnomalySql
   )
+
+  private val evAnomalySql: String =
+    """WITH h AS MATERIALIZED (
+      |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600
+      |           AS hour_start,
+      |         count(*) AS n_events
+      |  FROM events GROUP BY 1),
+      |st AS (SELECT count(*) AS n, CAST(sum(n_events) AS BIGINT) AS s,
+      |              CAST(sum(n_events * n_events) AS BIGINT) AS q
+      |       FROM h)
+      |SELECT hour_start, n_events,
+      |  (n * n_events - s) * (n * n_events - s) > 9 * (n * q - s * s)
+      |    AS is_anomaly
+      |FROM h CROSS JOIN st ORDER BY 1""".stripMargin
 
   private val evAttributionSql: String =
     """WITH e AS (SELECT user_id, event_id, event_type,

@@ -417,6 +417,35 @@ object EventOps {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Hourly volume anomaly screen (`ev_anomaly`): per-hour event
+    * counts flagged when outside the global 3σ band — the ops
+    * monitoring primitive, with the z-test done ENTIRELY in integers:
+    * |x−μ| > 3σ  ⟺  (n·x − S)² > 9·(n·Q − S²)  for S = Σx, Q = Σx²
+    * over the n hourly counts (both sides exact BIGINTs at these
+    * magnitudes; at extreme scale the same shape runs in
+    * DECIMAL(38)). No division, no sqrt — any engine replays the
+    * flags bit-for-bit where a float z-score diverges at the ULP.
+    *
+    * Two tiny aggregates: the hour table is time-bounded (8.8k rows
+    * per year regardless of data size — the raw scan is the only
+    * data-sized work, one map-side-combining count), and the stats
+    * row broadcasts back over it. */
+  def hourlyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hours = events(spark, dir)
+      .groupBy(expr("(unix_micros(ts) DIV 3600000000) * 3600").as("hour_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hours.agg(count(lit(1)).as("n"),
+      sum(col("n_events")).as("s"),
+      sum(col("n_events") * col("n_events")).as("q"))
+    hours.crossJoin(broadcast(stats))
+      .select(col("hour_start"), col("n_events"),
+        ((col("n") * col("n_events") - col("s")) *
+          (col("n") * col("n_events") - col("s")) >
+          lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+          .as("is_anomaly"))
+      .orderBy(col("hour_start"))
+  }
+
   /** Marketing attribution (`ev_attribution`): each purchase's value
     * credited to (a) the FIRST event type in the user's history
     * (first-touch) and (b) the LAST non-purchase event type strictly

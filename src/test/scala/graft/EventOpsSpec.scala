@@ -212,6 +212,22 @@ class EventOpsSpec extends SparkSuite {
     assert(byCents.zip(byCents.tail).forall { case (a, b) => a <= b })
   }
 
+  test("hourly anomalies: integer flag equals the float 3-sigma test") {
+    val rows = EventOps.hourlyAnomalies(spark, sf).collect()
+      .map(r => (r.getAs[Long]("hour_start"), r.getAs[Long]("n_events"),
+        r.getAs[Boolean]("is_anomaly")))
+    assert(rows.nonEmpty)
+    // float reference: |x - mean| > 3*stddev_pop
+    val xs = rows.map(_._2.toDouble)
+    val mean = xs.sum / xs.length
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / xs.length)
+    rows.foreach { case (h, x, flag) =>
+      assert(flag == math.abs(x - mean) > 3 * sd, s"hour $h x=$x")
+    }
+    // counts conserve the table size
+    assert(rows.map(_._2).sum == EventOps.events(spark, sf).count())
+  }
+
   test("attribution: both models conserve total purchase value") {
     val rows = EventOps.attribution(spark, sf).collect()
     val totalByModel = rows.groupBy(_.getAs[String]("model"))
