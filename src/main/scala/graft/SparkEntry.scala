@@ -1350,7 +1350,8 @@ object SparkEntry {
     "samp_temperature" -> ((s, d) => graft.ext.SampleOps.temperatureSample(s, d)),
     "ev_attribution" -> ((s, d) => EventOps.attribution(s, d)),
     "ev_conversion_lag" -> ((s, d) => EventOps.conversionLag(s, d)),
-    "ev_anomaly" -> ((s, d) => EventOps.hourlyAnomalies(s, d))
+    "ev_anomaly" -> ((s, d) => EventOps.hourlyAnomalies(s, d)),
+    "q_price_bands" -> ((s, d) => graft.operators.StatsOps.monthlyPriceBands(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1743,8 +1744,31 @@ object SparkEntry {
     "ev_conversion_lag" -> evConversionLagSql,
     // ev_anomaly: the 3σ test cross-multiplied into exact BIGINTs —
     // no division or sqrt anywhere, flags replay bit-for-bit.
-    "ev_anomaly" -> evAnomalySql
+    "ev_anomaly" -> evAnomalySql,
+    // q_price_bands: doubled quantiles (lower+upper pair) — integer
+    // cents, no fractions, same threshold rule in both engines.
+    "q_price_bands" -> qPriceBandsSql
   )
+
+  private val qPriceBandsSql: String =
+    """WITH vc AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS c, count(*) AS cnt
+      |  FROM orders GROUP BY 1, 2),
+      |w AS MATERIALIZED (SELECT month, c, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY month ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY month) AS BIGINT) AS n
+      |  FROM vc),
+      |q AS (SELECT month, max(n) AS n,
+      |    min(CASE WHEN cum >= (1 * n + 3) // 4 THEN c END) +
+      |      min(CASE WHEN cum >= (1 * n) // 4 + 1 THEN c END) AS q1_x2,
+      |    min(CASE WHEN cum >= (1 * n + 1) // 2 THEN c END) +
+      |      min(CASE WHEN cum >= (1 * n) // 2 + 1 THEN c END) AS med_x2,
+      |    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN c END) +
+      |      min(CASE WHEN cum >= (3 * n) // 4 + 1 THEN c END) AS q3_x2
+      |  FROM w GROUP BY 1)
+      |SELECT month, n, q1_x2, med_x2, q3_x2, q3_x2 - q1_x2 AS iqr_x2
+      |FROM q ORDER BY 1""".stripMargin
 
   private val evAnomalySql: String =
     """WITH h AS MATERIALIZED (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -184,6 +184,40 @@ object StatsOps {
       .select(col("grp"), col("n"), col("m2").as("median_x2"),
         col("mad4").as("mad_x4"), col("n_outliers"))
       .orderBy(col("grp"))
+  }
+
+  /** Monthly price bands (`q_price_bands`): exact Q1/median/Q3 and IQR
+    * of order-total cents per order month — the percentile-band
+    * trendline a monitoring dashboard draws, with every statistic an
+    * exact DOUBLED integer (q_x2 = v[⌈p·n⌉] + v[⌊p·n⌋+1], the
+    * lower+upper pair that needs no fractions and replays in any
+    * engine).
+    *
+    * The madOutliers machinery generalized to arbitrary quantiles: the
+    * raw table collapses ONCE to per-(month, value) counts (map-side
+    * combinable, value-domain-bounded), running-count windows walk the
+    * VALUE table, and each quantile is a min-over-threshold aggregate
+    * — no per-row ranking, no global sort. */
+  def monthlyPriceBands(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = Tables.orders(spark, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy(col("month"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy(col("month")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("month"))
+    def qx2(num: Int, den: Int): Column =
+      min(when(col("cum") >= expr(s"($num * n + ${den - 1}) DIV $den"), col("c"))) +
+        min(when(col("cum") >= expr(s"($num * n) DIV $den + 1"), col("c")))
+    vc.withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("month"))
+      .agg(max(col("n")).as("n"),
+        qx2(1, 4).as("q1_x2"), qx2(1, 2).as("med_x2"), qx2(3, 4).as("q3_x2"))
+      .withColumn("iqr_x2", col("q3_x2") - col("q1_x2"))
+      .orderBy(col("month"))
   }
 
   /** Per-brand ordinary least squares of price on quantity

@@ -93,6 +93,29 @@ class StatsOpsSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("price bands: doubled quartiles match a sorted-array recompute, ordered Q1<=med<=Q3") {
+    val data = graft.model.Tables.orders(spark, sf)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getAs[String]("m"), r.getAs[Long]("c")))
+    val want = data.groupBy(_._1).map { case (m, rs) =>
+      val v = rs.map(_._2).sorted
+      val n = v.length
+      def qx2(num: Int, den: Int): Long =
+        v((num * n + den - 1) / den - 1) + v((num * n) / den)
+      m -> ((n.toLong, qx2(1, 4), qx2(1, 2), qx2(3, 4)))
+    }
+    val got = graft.operators.StatsOps.monthlyPriceBands(spark, sf)
+      .collect().map { r =>
+        r.getAs[String]("month") -> ((r.getAs[Long]("n"),
+          r.getAs[Long]("q1_x2"), r.getAs[Long]("med_x2"), r.getAs[Long]("q3_x2")))
+      }.toMap
+    assert(got == want)
+    got.values.foreach { case (_, q1, med, q3) =>
+      assert(q1 <= med && med <= q3)
+    }
+  }
+
   test("linreg matches a BigInt-exact recomputation of the closed form") {
     val data = graft.model.Tables.lineitem(spark, sf)
       .join(graft.model.Tables.part(spark, sf),
