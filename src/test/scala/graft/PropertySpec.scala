@@ -84,6 +84,33 @@ class PropertySpec extends SparkSuite {
     assert(diff.count() == 0, diff.collect().mkString(", "))
   }
 
+  test("packed_pairs emits exactly the C(k,2) ordered pairs of arbitrary sorted sets") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val setGen = Gen.listOf(Gen.choose(0L, 4294967295L)).map(_.distinct.sorted)
+    val sets = (1L to 80L).map(i => Tuple1(sample(setGen, i))) :+
+      Tuple1(List.empty[Long]) :+ Tuple1(List(7L)) :+ Tuple1(List(0L, 4294967295L))
+    val spark0 = spark
+    import spark0.implicits._
+    val got = sets.toDF("ps")
+      .select(col("ps"), ColumnBridge.column(graft.functions.PackedPairs(
+        ColumnBridge.expression(col("ps")))).as("pp"))
+      .collect()
+      .map(r => r.getAs[scala.collection.Seq[Long]]("ps").toSeq -> r.getAs[scala.collection.Seq[Long]]("pp").toSeq)
+    got.foreach { case (ps, pp) =>
+      val want = for {
+        i <- ps.indices; j <- (i + 1) until ps.size
+      } yield (ps(i) << 32) + ps(j)
+      assert(pp == want, s"set $ps")
+      // every pair unpacks to a < b from the source set
+      pp.foreach { p =>
+        val a = p >>> 32; val b = p & 0xffffffffL
+        assert(a < b, s"pair $a,$b not ordered")
+        assert(ps.contains(a) && ps.contains(b))
+      }
+    }
+  }
+
   test("oldestPendingIngest selects the numeric argmin for arbitrary folder sets") {
     (1L to 20L).foreach { i =>
       val folders = sample(Gen.nonEmptyListOf(folderGen), i)
