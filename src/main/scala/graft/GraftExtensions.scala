@@ -52,6 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashSignature(children(0), literalInt(children, 1, default = 32))
       }))
     ext.injectFunction((
+      FunctionIdentifier("packed_pairs"),
+      new ExpressionInfo(classOf[graft.functions.PackedPairs].getName, "packed_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"packed_pairs takes 1 argument, got ${children.length}")
+        graft.functions.PackedPairs(children(0))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("edit_within1"),
       new ExpressionInfo(classOf[EditWithin1].getName, "edit_within1"),
       (children: Seq[Expression]) => {

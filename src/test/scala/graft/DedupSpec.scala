@@ -148,6 +148,13 @@ class DedupSpec extends SparkSuite {
         |FROM docs_sql ORDER BY doc_id LIMIT 5""".stripMargin).collect()
     assert(r.length == 5)
     assert(r.forall(_.getInt(r.head.fieldIndex("n_sig")) == 16))
+    // the graph kernels are SQL-callable too
+    val pp = spark.sql(
+      "SELECT packed_pairs(array(1L, 2L, 5L)) AS pp, edit_within1('ab', 'ax') AS e")
+      .collect().head
+    assert(pp.getAs[scala.collection.Seq[Long]]("pp").toSeq ==
+      Seq((1L << 32) + 2L, (1L << 32) + 5L, (2L << 32) + 5L))
+    assert(pp.getAs[Boolean]("e"))
   }
 
   test("simhash of identical texts is identical; hamming to a perturbed copy is small") {
