@@ -1351,7 +1351,8 @@ object SparkEntry {
     "ev_attribution" -> ((s, d) => EventOps.attribution(s, d)),
     "ev_conversion_lag" -> ((s, d) => EventOps.conversionLag(s, d)),
     "ev_anomaly" -> ((s, d) => EventOps.hourlyAnomalies(s, d)),
-    "q_price_bands" -> ((s, d) => graft.operators.StatsOps.monthlyPriceBands(s, d))
+    "q_price_bands" -> ((s, d) => graft.operators.StatsOps.monthlyPriceBands(s, d)),
+    "q_asof_tolerance" -> ((s, d) => EventOps.lastViewWithin(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1747,8 +1748,24 @@ object SparkEntry {
     "ev_anomaly" -> evAnomalySql,
     // q_price_bands: doubled quantiles (lower+upper pair) — integer
     // cents, no fractions, same threshold rule in both engines.
-    "q_price_bands" -> qPriceBandsSql
+    "q_price_bands" -> qPriceBandsSql,
+    // q_asof_tolerance: the evAsof window form with the 30-minute band
+    // applied to its pick — equivalent because the pick is the closest.
+    "q_asof_tolerance" -> evAsofToleranceSql
   )
+
+  private val evAsofToleranceSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events WHERE event_type IN ('view', 'purchase')),
+      |w AS (SELECT *, max(CASE WHEN event_type = 'view' THEN us END) OVER
+      |        (PARTITION BY user_id ORDER BY us, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+      |      FROM e)
+      |SELECT event_id, user_id, us // 1000000 AS purchase_epoch,
+      |       CASE WHEN us - last_view_us <= 1800000000
+      |            THEN last_view_us // 1000000 END AS last_view_epoch
+      |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
   private val qPriceBandsSql: String =
     """WITH vc AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -136,6 +136,32 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** Tolerance-bounded as-of on the native exec (`q_asof_tolerance`):
+    * the backward view→purchase pairing, nulled when the last view is
+    * MORE than 30 minutes stale — pandas merge_asof's `tolerance`, as
+    * an emission gate on the same merge scan (no extra work per row).
+    * The oracle is the window form with the band condition applied to
+    * its pick, which is equivalent because the as-of match is the
+    * closest view: if it is out of band, all views are. */
+  def lastViewWithin(spark: SparkSession, dir: String,
+      toleranceUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), expr("unix_micros(ts)").as("v_us"),
+        col("event_id").as("v_event_id"))
+    graft.plans.AsOfJoin.asOf(purchases, views,
+        Seq("user_id"), Seq("v_user"),
+        Seq("us", "event_id"), Seq("v_us", "v_event_id"),
+        tolerance = Some(toleranceUs))
+      .select(col("event_id"), col("user_id"),
+        expr("us DIV 1000000").as("purchase_epoch"),
+        expr("v_us DIV 1000000").as("last_view_epoch"))
+      .orderBy(col("event_id"))
+  }
+
   /** FORWARD as-of on the native exec (`q_asof_forward`): for each
     * purchase, the next view strictly after it in (ts, event_id) order —
     * the "what did they do next" lookup. Same merge scan as the

@@ -35,7 +35,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 case class AsOfJoin(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                     leftOrd: Seq[Expression], rightOrd: Seq[Expression],
-                    forward: Boolean,
+                    forward: Boolean, tolerance: Option[Long],
                     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -46,16 +46,22 @@ case class AsOfJoin(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(lk, rk, lo, ro, fwd, l, r) =>
-      AsOfJoinExec(lk, rk, lo, ro, fwd, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(lk, rk, lo, ro, fwd, tol, l, r) =>
+      AsOfJoinExec(lk, rk, lo, ro, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftOrd: Seq[Expression], rightOrd: Seq[Expression],
-                        forward: Boolean,
+                        forward: Boolean, tolerance: Option[Long],
                         left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+  tolerance.foreach { t =>
+    require(t >= 0, s"tolerance must be >= 0: $t")
+    require(leftOrd.head.dataType == org.apache.spark.sql.types.LongType,
+      "tolerance requires a LongType leading ordering column")
+  }
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -98,6 +104,13 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       var candidate: InternalRow = null
       var candidateKey: UnsafeRow = null
       val fwd = forward
+      val tol = tolerance
+      // tolerance gates EMISSION only: the as-of pick is the closest
+      // qualifying row, so if IT is out of band every other row is too
+      def inBand(lt: InternalRow, m: InternalRow): Boolean = tol.forall { t =>
+        val gap = lt.getLong(0) - rOrdProj(m).getLong(0)
+        (if (fwd) -gap else gap) <= t
+      }
       lIt.map { l =>
         val key = lKeyProj(l)
         val lt = lOrdProj(l)
@@ -111,7 +124,8 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
             val kc = keyOrd.compare(rKeyProj(rHead), key)
             kc < 0 || (kc == 0 && ordOrd.compare(rOrdProj(rHead), lt) <= 0)
           }) rHead = if (rIt.hasNext) rIt.next().copy() else null
-          val m = if (rHead != null && rKeyProj(rHead) == key) rHead else nullRight
+          val m = if (rHead != null && rKeyProj(rHead) == key &&
+            inBand(lt, rHead)) rHead else nullRight
           outProj(joined(l, m))
         } else {
           if (candidateKey != null && candidateKey != key) {
@@ -128,7 +142,9 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
             if (candidateKey == null) candidateKey = key.copy()
             rHead = if (rIt.hasNext) rIt.next().copy() else null
           }
-          outProj(joined(l, if (candidate != null) candidate else nullRight))
+          outProj(joined(l,
+            if (candidate != null && inBand(lt, candidate)) candidate
+            else nullRight))
         }
       }
     }
@@ -141,11 +157,20 @@ object AsOfJoin {
     * the left row's `leftOrd` tuple; right columns are null when no such
     * row exists. `rightOrd` must be a total order within a key for
     * deterministic picks. Column names must be unambiguous across the
-    * two inputs (alias before joining, as with any join). */
+    * two inputs (alias before joining, as with any join).
+    *
+    * `tolerance` (pandas merge_asof semantics): when set, the match is
+    * additionally required to lie within `tolerance` of the left row on
+    * the LEADING ordering column (which must be a long — epoch
+    * micros/days/etc.); out-of-band lefts get nulls. Gates emission
+    * only — the merge scan is unchanged, because the as-of pick is the
+    * closest qualifying row, so if it is out of band every other
+    * candidate is too. */
   def asOf(leftDf: DataFrame, rightDf: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftOrd: Seq[String], rightOrd: Seq[String],
-           forward: Boolean = false): DataFrame = {
+           forward: Boolean = false,
+           tolerance: Option[Long] = None): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       "as-of join needs matching non-empty key lists")
     require(leftOrd.nonEmpty && leftOrd.length == rightOrd.length,
@@ -162,7 +187,8 @@ object AsOfJoin {
       }
     val plan = AsOfJoin(
       leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
-      leftOrd.map(attr(lp, _)), rightOrd.map(attr(rp, _)), forward, lp, rp)
+      leftOrd.map(attr(lp, _)), rightOrd.map(attr(rp, _)), forward, tolerance,
+      lp, rp)
     ColumnBridge.ofRows(leftDf.sparkSession, plan)
   }
 }

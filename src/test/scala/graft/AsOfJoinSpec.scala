@@ -94,4 +94,48 @@ class AsOfJoinSpec extends SparkSuite {
       assert(got(i) == want, s"left $i: ${got(i)} != $want")
     }
   }
+
+  test("tolerance: stale backward matches and far forward matches null out") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq((1L, 100L, 1L), (1L, 200L, 2L), (1L, 300L, 3L))
+      .toDF("k", "t", "lid").repartition(4)
+    val right = Seq((1L, 95L, 900L), (1L, 185L, 901L), (1L, 340L, 902L))
+      .toDF("rk", "rt", "rid").repartition(4)
+    def run(forward: Boolean, tol: Long): Map[Long, Long] =
+      AsOfJoin.asOf(left, right, Seq("k"), Seq("rk"), Seq("t"), Seq("rt"),
+          forward = forward, tolerance = Some(tol))
+        .select(col("lid"), col("rid")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // backward, tol=10: t=100 matches rt=95 (gap 5); t=200's last is
+    // rt=185 (gap 15 > 10) -> null even though rt=95 is same-key;
+    // t=300's last is rt=185 (gap 115) -> null
+    assert(run(forward = false, tol = 10L) ==
+      Map(1L -> 900L, 2L -> -1L, 3L -> -1L))
+    // backward, tol=120: gap 15 and 115 both pass
+    assert(run(forward = false, tol = 120L) ==
+      Map(1L -> 900L, 2L -> 901L, 3L -> 901L))
+    // forward, tol=50: t=100 -> rt=185 (gap 85 > 50) null;
+    // t=200 -> rt=340 (gap 140) null; t=300 -> rt=340 (gap 40) match
+    assert(run(forward = true, tol = 50L) ==
+      Map(1L -> -1L, 2L -> -1L, 3L -> 902L))
+  }
+
+  test("tolerance query equals the banded window formulation") {
+    val native = EventOps.lastViewWithin(spark, sf).collect().map(_.toSeq)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ev = EventOps.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("lv", max(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("us DIV 1000000").as("purchase_epoch"),
+        expr("CASE WHEN us - lv <= 1800000000 THEN lv DIV 1000000 END")
+          .as("last_view_epoch"))
+      .orderBy(col("event_id")).collect().map(_.toSeq)
+    assert(native.toSeq == ev.toSeq)
+  }
 }
