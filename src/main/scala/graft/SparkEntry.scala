@@ -1352,7 +1352,9 @@ object SparkEntry {
     "ev_conversion_lag" -> ((s, d) => EventOps.conversionLag(s, d)),
     "ev_anomaly" -> ((s, d) => EventOps.hourlyAnomalies(s, d)),
     "q_price_bands" -> ((s, d) => graft.operators.StatsOps.monthlyPriceBands(s, d)),
-    "q_asof_tolerance" -> ((s, d) => EventOps.lastViewWithin(s, d))
+    "q_asof_tolerance" -> ((s, d) => EventOps.lastViewWithin(s, d)),
+    "ev_trigrams" -> ((s, d) => EventOps.eventTrigrams(s, d)),
+    "q_ship_latency" -> ((s, d) => graft.operators.StatsOps.shipLatency(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1751,8 +1753,31 @@ object SparkEntry {
     "q_price_bands" -> qPriceBandsSql,
     // q_asof_tolerance: the evAsof window form with the 30-minute band
     // applied to its pick — equivalent because the pick is the closest.
-    "q_asof_tolerance" -> evAsofToleranceSql
+    "q_asof_tolerance" -> evAsofToleranceSql,
+    // ev_trigrams: identical windows, exact counts, total-order top-25.
+    "ev_trigrams" -> evTrigramsSql,
+    // q_ship_latency: exact integer day lags.
+    "q_ship_latency" -> qShipLatencySql
   )
+
+  private val evTrigramsSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |                  CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |seq AS MATERIALIZED (
+      |  SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT e1, e2, e3, count(*) AS n
+      |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 25""".stripMargin
+
+  private val qShipLatencySql: String =
+    """SELECT o_orderpriority AS priority,
+      |  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag_days,
+      |  count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private val evAsofToleranceSql: String =
     """WITH e AS (SELECT event_id, user_id, event_type,

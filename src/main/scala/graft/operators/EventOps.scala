@@ -443,6 +443,26 @@ object EventOps {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Top event-type trigrams (`ev_trigrams`): the most common
+    * 3-step behavioral sequences across per-user event streams —
+    * sequential pattern mining's unit primitive. One per-user window
+    * pass (two leads over the same frame — a single Window node),
+    * then a count aggregate over the |types|³-bounded key space;
+    * top-25 under a total order. */
+  def eventTrigrams(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(byUser).as("e2"),
+        lead(col("event_type"), 2).over(byUser).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
+
   /** Hourly volume anomaly screen (`ev_anomaly`): per-hour event
     * counts flagged when outside the global 3σ band — the ops
     * monitoring primitive, with the z-test done ENTIRELY in integers:

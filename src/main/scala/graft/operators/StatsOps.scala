@@ -186,6 +186,27 @@ object StatsOps {
       .orderBy(col("grp"))
   }
 
+  /** Fulfillment-latency histogram (`q_ship_latency`): distribution of
+    * order-date → ship-date lag in whole days, per order priority —
+    * the SLA monitoring view. The orders side ships only
+    * key+priority+date (column pruning) and the join is unhinted —
+    * orders is a fact table, so AQE picks broadcast only when the
+    * pruned projection measures small; the aggregate is
+    * (priority, lag)-bounded with map-side combine; all integer day
+    * arithmetic. */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_days"))
+      .groupBy(col("priority"), col("lag_days"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("priority"), col("lag_days"))
+  }
+
   /** Monthly price bands (`q_price_bands`): exact Q1/median/Q3 and IQR
     * of order-total cents per order month — the percentile-band
     * trendline a monitoring dashboard draws, with every statistic an

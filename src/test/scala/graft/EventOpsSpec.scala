@@ -212,6 +212,20 @@ class EventOpsSpec extends SparkSuite {
     assert(byCents.zip(byCents.tail).forall { case (a, b) => a <= b })
   }
 
+  test("trigrams: descending top-k, every trigram's count bounded by its bigram") {
+    val tri = EventOps.eventTrigrams(spark, sf).collect()
+      .map(r => (r.getAs[String]("e1"), r.getAs[String]("e2"),
+        r.getAs[String]("e3"), r.getAs[Long]("n")))
+    assert(tri.nonEmpty && tri.length <= 25)
+    val ns = tri.map(_._4)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // a trigram (e1,e2,e3) can't outnumber the (e1,e2) transitions
+    val bi = EventOps.eventTransitions(spark, sf).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n")).toMap
+    tri.foreach { case (a, b, _, n) => assert(n <= bi((a, b)), s"$a->$b") }
+  }
+
   test("hourly anomalies: integer flag equals the float 3-sigma test") {
     val rows = EventOps.hourlyAnomalies(spark, sf).collect()
       .map(r => (r.getAs[Long]("hour_start"), r.getAs[Long]("n_events"),

@@ -116,6 +116,26 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("ship latency: buckets partition lineitem, lags are sane") {
+    val rows = graft.operators.StatsOps.shipLatency(spark, sf).collect()
+      .map(r => (r.getAs[String]("priority"), r.getAs[Long]("lag_days"),
+        r.getAs[Long]("n")))
+    assert(rows.map(_._3).sum ==
+      graft.model.Tables.lineitem(spark, sf).count())
+    assert(rows.forall(_._3 > 0))
+    // matches a direct driver-side recompute (note: this synthetic data
+    // DOES contain ship-before-order rows — the histogram must keep them)
+    val naive = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("d"))
+      .collect()
+      .groupBy(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("d")))
+      .view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == naive)
+  }
+
   test("linreg matches a BigInt-exact recomputation of the closed form") {
     val data = graft.model.Tables.lineitem(spark, sf)
       .join(graft.model.Tables.part(spark, sf),
