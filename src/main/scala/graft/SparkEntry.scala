@@ -1354,7 +1354,8 @@ object SparkEntry {
     "q_price_bands" -> ((s, d) => graft.operators.StatsOps.monthlyPriceBands(s, d)),
     "q_asof_tolerance" -> ((s, d) => EventOps.lastViewWithin(s, d)),
     "ev_trigrams" -> ((s, d) => EventOps.eventTrigrams(s, d)),
-    "q_ship_latency" -> ((s, d) => graft.operators.StatsOps.shipLatency(s, d))
+    "q_ship_latency" -> ((s, d) => graft.operators.StatsOps.shipLatency(s, d)),
+    "ev_concentration" -> ((s, d) => EventOps.concentrationDeciles(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1757,8 +1758,26 @@ object SparkEntry {
     // ev_trigrams: identical windows, exact counts, total-order top-25.
     "ev_trigrams" -> evTrigramsSql,
     // q_ship_latency: exact integer day lags.
-    "q_ship_latency" -> qShipLatencySql
+    "q_ship_latency" -> qShipLatencySql,
+    // ev_concentration: ntile(10) replays the closed-form deciles
+    // (total order via user_id tie-break); all exact cents.
+    "ev_concentration" -> evConcentrationSql
   )
+
+  private val evConcentrationSql: String =
+    """WITH u AS MATERIALIZED (
+      |  SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT CAST(ntile(10) OVER (ORDER BY cents, user_id) AS BIGINT)
+      |        AS decile, cents FROM u),
+      |g AS (SELECT decile, count(*) AS n_users,
+      |        CAST(sum(cents) AS BIGINT) AS cents
+      |      FROM d GROUP BY 1)
+      |SELECT decile, n_users, cents,
+      |  CAST(sum(cents) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_cents
+      |FROM g ORDER BY 1""".stripMargin
 
   private val evTrigramsSql: String =
     """WITH e AS (SELECT user_id, event_id, event_type,

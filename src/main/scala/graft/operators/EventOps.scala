@@ -443,6 +443,36 @@ object EventOps {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Value-concentration (Lorenz) deciles (`ev_concentration`): users
+    * ranked by total spend, bucketed into deciles, each with its user
+    * count, exact cents, and the running cumulative cents — the
+    * 80/20-rule curve ("the top decile carries X% of value").
+    *
+    * Rides the scale-safe two-pass global rank over the USER-sized
+    * spend table (range exchange + broadcast P-row offsets — no
+    * one-task window); the cumulative sum then runs over the 10-row
+    * decile table. All exact integers; user_id breaks spend ties so
+    * decile membership is total-ordered. */
+  def concentrationDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val u = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val ranked = Relational.withGlobalRank(u,
+      Seq(col("cents").asc, col("user_id").asc))
+    val deciles = ranked.withColumn("decile", expr(
+        s"""CASE WHEN rn <= (n % $k) * (n DIV $k + 1)
+           |  THEN (rn - 1) DIV (n DIV $k + 1) + 1
+           |  ELSE (n % $k) + (rn - (n % $k) * (n DIV $k + 1) - 1) DIV (n DIV $k) + 1
+           |END""".stripMargin).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles.withColumn("cum_cents", sum(col("cents")).over(cum))
+      .orderBy(col("decile"))
+  }
+
   /** Top event-type trigrams (`ev_trigrams`): the most common
     * 3-step behavioral sequences across per-user event streams —
     * sequential pattern mining's unit primitive. One per-user window

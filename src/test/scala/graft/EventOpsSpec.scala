@@ -212,6 +212,23 @@ class EventOpsSpec extends SparkSuite {
     assert(byCents.zip(byCents.tail).forall { case (a, b) => a <= b })
   }
 
+  test("concentration deciles: partition users, conserve cents, Lorenz-monotone") {
+    val rows = EventOps.concentrationDeciles(spark, sf).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("cents"), r.getAs[Long]("cum_cents")))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val ev = EventOps.events(spark, sf)
+    assert(rows.map(_._2).sum == ev.select(col("user_id")).distinct().count())
+    val total = ev.agg(sum(expr("CAST(round(value * 100) AS BIGINT)")))
+      .collect().head.getLong(0)
+    assert(rows.map(_._3).sum == total && rows.last._4 == total)
+    // cum is a prefix sum (per-decile cents need not be monotone when
+    // decile sizes differ by the ntile remainder rule)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 == a._4 + b._3)
+    }
+  }
+
   test("trigrams: descending top-k, every trigram's count bounded by its bigram") {
     val tri = EventOps.eventTrigrams(spark, sf).collect()
       .map(r => (r.getAs[String]("e1"), r.getAs[String]("e2"),
