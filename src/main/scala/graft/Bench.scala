@@ -51,16 +51,29 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
-    def line(dec: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+    def line(dec: Int, keep: Int): String = {
+      val slowestFirst = results.toSeq.sortBy(-_._2)
+      val kept = slowestFirst.take(keep)
+      val omitted = results.size - kept.size
+      val omittedSum = slowestFirst.drop(keep).map(_._2).sum
+      val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val omit = if (omitted > 0)
+        s""","omitted_queries":$omitted,"omitted_sec":${fmt(omittedSum, dec)}"""
+      else ""
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs$omit,"sf":"$sfDir"}"""
     }
-    // window budget: 2000 chars minus sbt's ~75-char [success] tail;
-    // degrade precision until the line fits (0 decimals is the floor —
-    // coarse but parseable beats unparsed)
-    val out = Seq(2, 1, 0).map(line).find(_.length <= 1915).getOrElse(line(0))
+    // window budget: 2000 chars minus sbt's ~75-char [success] tail.
+    // Degrade precision first; past the registry size where even
+    // 0-decimal full detail can't fit (a truncated HEAD is unparseable
+    // JSON — the whole round's bench would record as null), keep only
+    // the slowest queries and summarize the shed tail, halving until
+    // the line fits. The total is always exact and complete.
+    val candidates =
+      Seq(2, 1, 0).map(line(_, results.size)) ++
+        (results.size - 1 to 0 by -5).map(line(0, _))
+    val out = candidates.find(_.length <= 1915).getOrElse(line(0, 0))
     println(out)
     graft.ext.DedupOps.releaseShared()
     spark.stop()
