@@ -1355,7 +1355,8 @@ object SparkEntry {
     "q_asof_tolerance" -> ((s, d) => EventOps.lastViewWithin(s, d)),
     "ev_trigrams" -> ((s, d) => EventOps.eventTrigrams(s, d)),
     "q_ship_latency" -> ((s, d) => graft.operators.StatsOps.shipLatency(s, d)),
-    "ev_concentration" -> ((s, d) => EventOps.concentrationDeciles(s, d))
+    "ev_concentration" -> ((s, d) => EventOps.concentrationDeciles(s, d)),
+    "q_degree_dist" -> ((s, d) => graft.operators.GraphOps.degreeDistribution(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1761,8 +1762,23 @@ object SparkEntry {
     "q_ship_latency" -> qShipLatencySql,
     // ev_concentration: ntile(10) replays the closed-form deciles
     // (total order via user_id tie-break); all exact cents.
-    "ev_concentration" -> evConcentrationSql
+    "ev_concentration" -> evConcentrationSql,
+    // q_degree_dist: ⌊log₂⌋ from the binary-string length — integer-
+    // exact buckets, no float log at power-of-two boundaries.
+    "q_degree_dist" -> qDegreeDistSql
   )
+
+  private val qDegreeDistSql: String =
+    """WITH li AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e0 AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+      |       FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      |deg AS (SELECT v, count(*) AS deg FROM (
+      |          SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+      |        GROUP BY 1)
+      |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS log2_bucket,
+      |  count(*) AS n_vertices, CAST(sum(deg) AS BIGINT) AS sum_deg
+      |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val evConcentrationSql: String =
     """WITH u AS MATERIALIZED (

@@ -133,6 +133,21 @@ class GraphOpsSpec extends SparkSuite {
     assert(got == Map(100L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("degree distribution: buckets partition vertices, mass equals 2|E|") {
+    val rows = GraphOps.degreeDistribution(spark, sf).collect()
+      .map(r => (r.getAs[Long]("log2_bucket"), r.getAs[Long]("n_vertices"),
+        r.getAs[Long]("sum_deg")))
+    val (edges, deg) = GraphOps.coGraph(spark, sf)
+    assert(rows.map(_._2).sum == deg.count())
+    // handshake lemma: total degree mass is twice the edge count
+    assert(rows.map(_._3).sum == 2 * edges.count())
+    // bucket b holds degrees in [2^b, 2^(b+1))
+    val byBucket = deg.collect().map(_.getAs[Long]("deg"))
+      .groupBy(d => 63 - java.lang.Long.numberOfLeadingZeros(d))
+      .view.mapValues(v => (v.length.toLong, v.sum)).toMap
+    rows.foreach { case (b, n, s) => assert(byBucket(b.toInt) == ((n, s))) }
+  }
+
   test("SSSP: seeds cost 0, reach equals BFS reach, cost dominates hops") {
     val sssp = GraphOps.ssspCosts(spark, sf).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cost")).toMap
