@@ -1356,7 +1356,8 @@ object SparkEntry {
     "ev_trigrams" -> ((s, d) => EventOps.eventTrigrams(s, d)),
     "q_ship_latency" -> ((s, d) => graft.operators.StatsOps.shipLatency(s, d)),
     "ev_concentration" -> ((s, d) => EventOps.concentrationDeciles(s, d)),
-    "q_degree_dist" -> ((s, d) => graft.operators.GraphOps.degreeDistribution(s, d))
+    "q_degree_dist" -> ((s, d) => graft.operators.GraphOps.degreeDistribution(s, d)),
+    "q_half_coverage" -> ((s, d) => Relational.halfCoverage(s, d))
   )
 
   /** Fixed-point PageRank, 3 rounds unrolled from one template — the
@@ -1765,8 +1766,29 @@ object SparkEntry {
     "ev_concentration" -> evConcentrationSql,
     // q_degree_dist: ⌊log₂⌋ from the binary-string length — integer-
     // exact buckets, no float log at power-of-two boundaries.
-    "q_degree_dist" -> qDegreeDistSql
+    "q_degree_dist" -> qDegreeDistSql,
+    // q_half_coverage: integer cents; "needed" = coverage not reached
+    // BEFORE the row (2·(cum−own) < total) — no halving, no floats.
+    "q_half_coverage" -> qHalfCoverageSql
   )
+
+  private val qHalfCoverageSql: String =
+    """WITH pc AS MATERIALIZED (
+      |  SELECT n_name, c_custkey,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |               JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |w AS (SELECT n_name, cents,
+      |  CAST(sum(cents) OVER (PARTITION BY n_name
+      |    ORDER BY cents DESC, c_custkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |  CAST(sum(cents) OVER (PARTITION BY n_name) AS BIGINT) AS total
+      |  FROM pc)
+      |SELECT n_name, count(*) AS n_customers, max(total) AS total_cents,
+      |  sum(CASE WHEN 2 * (cum - cents) < total THEN 1 ELSE 0 END)
+      |    AS n_half_coverage
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val qDegreeDistSql: String =
     """WITH li AS MATERIALIZED (

@@ -644,4 +644,36 @@ object Relational {
         Array(col("p_size"), col("p_retailprice")), "measure", "value")
       .orderBy(col("p_partkey"), col("measure"))
   }
+
+  /** Revenue-coverage concentration (`q_half_coverage`): per nation,
+    * the minimum number of customers whose (descending) order revenue
+    * covers at least half the nation's total — "how few customers are
+    * half the business". All integer cents: a row is needed while
+    * 2·(cum − own) < total, i.e. coverage was not yet reached BEFORE
+    * it; no halving, no floats. One keyed window per nation (shuffle
+    * on the group key, in-partition sort) over the customer-sized
+    * revenue table; (cents, custkey) ordering is total so the count is
+    * engine-exact. */
+  def halfCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val perCust = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("cents").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tw = Window.partitionBy(col("n_name"))
+    perCust
+      .withColumn("cum", sum(col("cents")).over(w))
+      .withColumn("total", sum(col("cents")).over(tw))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), max(col("total")).as("total_cents"),
+        sum(when(lit(2) * (col("cum") - col("cents")) < col("total"), 1L)
+          .otherwise(0L)).as("n_half_coverage"))
+      .orderBy(col("n_name"))
+  }
 }

@@ -217,4 +217,30 @@ class RelationalSpec extends SparkSuite {
       case Seq(a, b) => assert(b > a); case _ => ()
     }
   }
+
+  test("half-coverage counts equal a greedy driver-side recompute") {
+    val perCust = graft.model.Tables.orders(spark, sf)
+      .join(graft.model.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.model.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .collect()
+      .map(r => (r.getAs[String]("n_name"), r.getAs[Long]("c_custkey"),
+        r.getAs[Long]("cents")))
+    val want = perCust.groupBy(_._1).map { case (nation, rs) =>
+      val sorted = rs.sortBy(r => (-r._3, r._2)).map(_._3)
+      val total = sorted.sum
+      var cum = 0L; var k = 0
+      while (2 * cum < total) { cum += sorted(k); k += 1 } // greedy prefix
+      nation -> ((rs.length.toLong, total, k.toLong))
+    }
+    val got = Relational.halfCoverage(spark, sf).collect().map { r =>
+      r.getAs[String]("n_name") -> ((r.getAs[Long]("n_customers"),
+        r.getAs[Long]("total_cents"), r.getAs[Long]("n_half_coverage")))
+    }.toMap
+    assert(got == want)
+    got.values.foreach { case (n, _, k) => assert(k >= 1 && k <= n) }
+  }
 }
