@@ -1786,8 +1786,8 @@ object SparkEntry {
       |  CAST(sum(cents) OVER (PARTITION BY n_name) AS BIGINT) AS total
       |  FROM pc)
       |SELECT n_name, count(*) AS n_customers, max(total) AS total_cents,
-      |  sum(CASE WHEN 2 * (cum - cents) < total THEN 1 ELSE 0 END)
-      |    AS n_half_coverage
+      |  CAST(sum(CASE WHEN 2 * (cum - cents) < total THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_half_coverage
       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val qDegreeDistSql: String =
@@ -1901,7 +1901,8 @@ object SparkEntry {
       |u AS (SELECT 'first' AS model, first_touch AS event_type, cents FROM p
       |      UNION ALL
       |      SELECT 'last', coalesce(last_touch, 'none'), cents FROM p)
-      |SELECT model, event_type, count(*) AS n_purchases, sum(cents) AS cents
+      |SELECT model, event_type, count(*) AS n_purchases,
+      |  CAST(sum(cents) AS BIGINT) AS cents
       |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private val evConversionLagSql: String =
@@ -1931,7 +1932,7 @@ object SparkEntry {
        |ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS sh FROM sh),
        |d AS (SELECT sh, count(*) AS df FROM ex GROUP BY 1)
        |SELECT doc_id, count(*) AS n_passages,
-       |  sum(CASE WHEN d.df >= $t THEN 1 ELSE 0 END) AS n_shared,
+       |  CAST(sum(CASE WHEN d.df >= $t THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
        |  CAST(sum(CASE WHEN d.df >= $t THEN 1 ELSE 0 END) AS DOUBLE) /
        |    CAST(count(*) AS DOUBLE) AS shared_frac
        |FROM ex JOIN d USING (sh)
@@ -1986,7 +1987,7 @@ object SparkEntry {
     """WITH u AS MATERIALIZED (
       |  SELECT user_id, max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_day,
       |    count(*) AS n_events,
-      |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       |  FROM events GROUP BY 1),
       |s AS (SELECT user_id, last_day, n_events, cents,
       |  CAST(ntile(5) OVER (ORDER BY last_day, user_id) AS BIGINT) AS r,
@@ -2039,7 +2040,8 @@ object SparkEntry {
       |  SELECT us - 300000000 AS b_start, us + 300000000 AS b_end
       |  FROM e WHERE event_type = 'error' AND cv % 97 = 0)
       |SELECT user_id, day, count(*) AS n_incidents,
-      |  sum(least(a_end, b_end) - greatest(a_start, b_start)) AS overlap_us
+      |  CAST(sum(least(a_end, b_end) - greatest(a_start, b_start)) AS BIGINT)
+      |    AS overlap_us
       |FROM act JOIN inc ON a_start <= b_end AND b_start <= a_end
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -2114,7 +2116,7 @@ object SparkEntry {
          |    WHERE f.dist = ${r - 1}) GROUP BY 1)""".stripMargin)
     }
     sb.append(s"""
-       |SELECT dist, count(*) AS n_nodes, sum(node) AS sum_node
+       |SELECT dist, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS sum_node
        |FROM d$rounds GROUP BY 1 ORDER BY 1""".stripMargin)
     sb.toString
   }
@@ -2130,7 +2132,7 @@ object SparkEntry {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
       |        sum(cnt) OVER (PARTITION BY grp) AS n FROM vc),
       |med AS MATERIALIZED (
-      |  SELECT grp, max(n) AS n,
+      |  SELECT grp, CAST(max(n) AS BIGINT) AS n,
       |    min(CASE WHEN cum >= (n + 1) // 2 THEN c END)
       |      + min(CASE WHEN cum >= n // 2 + 1 THEN c END) AS m2
       |  FROM r GROUP BY 1),
@@ -2148,8 +2150,8 @@ object SparkEntry {
       |  FROM r2 GROUP BY 1),
       |outl AS (
       |  SELECT dv.grp,
-      |    sum(CASE WHEN dv.d * 2 > mad.mad4 * 3 THEN dv.cnt ELSE 0 END)
-      |      AS n_outliers
+      |    CAST(sum(CASE WHEN dv.d * 2 > mad.mad4 * 3 THEN dv.cnt ELSE 0 END)
+      |      AS BIGINT) AS n_outliers
       |  FROM dv JOIN mad ON dv.grp = mad.grp GROUP BY 1)
       |SELECT med.grp, med.n, med.m2 AS median_x2, mad.mad4 AS mad_x4,
       |       outl.n_outliers
@@ -2163,11 +2165,12 @@ object SparkEntry {
       |         CAST(o_orderdate AS DATE) AS day,
       |         count(*) * 128 AS bytes
       |  FROM orders GROUP BY 1, 2),
-      |b AS (SELECT *, sum(bytes) OVER (PARTITION BY month ORDER BY day
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |b AS (SELECT *, CAST(sum(bytes) OVER (PARTITION BY month ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |        AS cum
       |      FROM f)
       |SELECT month, (cum - bytes) // 4096 AS bin, count(*) AS n_files,
-      |  sum(bytes) AS total_bytes, min(day) AS first_day,
+      |  CAST(sum(bytes) AS BIGINT) AS total_bytes, min(day) AS first_day,
       |  max(day) AS last_day
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -2193,7 +2196,7 @@ object SparkEntry {
   private val evGapfillSql: String =
     """WITH daily AS MATERIALIZED (
       |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-      |         SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       |  FROM events GROUP BY 1, 2),
       |l AS (SELECT *,
       |        lead(day) OVER w AS nday,
@@ -2286,9 +2289,9 @@ object SparkEntry {
     val n = SampleOps.ppsN
     s"""WITH c AS MATERIALIZED (
        |  SELECT doc_id, lang, n_chars,
-       |    sum(n_chars) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-       |    sum(n_chars) OVER () AS w_total
+       |    CAST(sum(n_chars) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(n_chars) OVER () AS BIGINT) AS w_total
        |  FROM documents)
        |SELECT doc_id, lang, n_chars, cum,
        |  ($n * cum) // w_total - ($n * (cum - n_chars)) // w_total AS hits
@@ -2334,7 +2337,7 @@ object SparkEntry {
        |    WHEN substr(md5('${SampleOps.splitSeed}:' || CAST(doc_id AS VARCHAR)), 1, 4)
        |         < '${SampleOps.splitValHex}' THEN 'val'
        |    ELSE 'test' END AS split,
-       |  lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+       |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
   /** Trailing-30-day spend: integer day numbers + cents make the RANGE
@@ -2342,9 +2345,10 @@ object SparkEntry {
   private val qWindowRangeFrameSql: String =
     """SELECT o_custkey, o_orderkey,
       |  (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day_num,
-      |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
       |    PARTITION BY o_custkey ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
-      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS trailing_cents
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS trailing_cents
       |FROM orders ORDER BY o_custkey, day_num, o_orderkey""".stripMargin
 
   /** KMV sketch replay: same md5-60 hash, same bottom-k, and the

@@ -19,6 +19,39 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+NUMERIC_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT",
+                 "FLOAT", "DOUBLE"}
+
+
+def num_flavor(t):
+    """Numeric flavor string, or None if the type is non-numeric.
+
+    The driver's hasher distinguishes int64 from int128 from double, so
+    BIGINT vs HUGEINT (DuckDB SUM widening) or BIGINT vs DOUBLE must FAIL
+    here even when every value compares equal."""
+    t = str(t).upper()
+    if t in NUMERIC_TYPES or t.startswith("DECIMAL"):
+        return t
+    return None
+
+
+def dtype_mismatches(cols_a, types_a, cols_b, types_b):
+    """Pairs columns by name; returns (strict numeric mismatches, warnings)."""
+    ta = {c: t for c, t in zip(cols_a, types_a)}
+    tb = {c: t for c, t in zip(cols_b, types_b)}
+    strict, warn = [], []
+    for c in sorted(set(ta) & set(tb)):
+        fa, fb = num_flavor(ta[c]), num_flavor(tb[c])
+        if str(ta[c]).upper() == str(tb[c]).upper():
+            continue
+        if fa is not None or fb is not None:
+            strict.append(f"{c}: spark={ta[c]} duck={tb[c]}")
+        else:
+            warn.append(f"{c}: spark={ta[c]} duck={tb[c]}")
+    return strict, warn
+
+
 def canon(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
@@ -63,16 +96,18 @@ def main():
     names = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/*")
                    if not d.endswith(".json"))
     for name in names:
-        spark_rel = con.execute(
+        spark_rel = con.sql(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        spark_cols = [d[0] for d in spark_rel.description]
+        spark_cols = list(spark_rel.columns)
+        spark_types = list(spark_rel.types)
         spark_rows = spark_rel.fetchall()
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(spark_rows)} rows")
             continue
         try:
-            duck_rel = con.execute(oracle[name])
-            duck_cols = [d[0] for d in duck_rel.description]
+            duck_rel = con.sql(oracle[name])
+            duck_cols = list(duck_rel.columns)
+            duck_types = list(duck_rel.types)
             duck_rows = duck_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
@@ -82,6 +117,15 @@ def main():
         dc, dr = canon(duck_rows, duck_cols)
         if sc != dc:
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
+            failures += 1
+            continue
+        strict, warn = dtype_mismatches(spark_cols, spark_types,
+                                        duck_cols, duck_types)
+        for w in warn:
+            print(f"  warn {name}: dtype flavor differs ({w})")
+        if strict:
+            print(f"FAIL {name}: numeric dtype mismatch "
+                  f"(driver hashes dtypes): {'; '.join(strict)}")
             failures += 1
             continue
         if len(sr) != len(dr):
