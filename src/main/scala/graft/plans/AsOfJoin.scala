@@ -56,10 +56,22 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftOrd: Seq[Expression], rightOrd: Seq[Expression],
                         forward: Boolean, tolerance: Option[Long],
                         left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+  // The merge scan builds its comparators from the LEFT side's types and
+  // applies them to right-side rows (and key matches are UnsafeRow
+  // byte-equality), so mismatched side types would corrupt silently —
+  // make them a plan-time error instead.
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of join key types must match pairwise: " +
+      s"left=${leftKeys.map(_.dataType)} right=${rightKeys.map(_.dataType)}")
+  require(leftOrd.map(_.dataType) == rightOrd.map(_.dataType),
+    s"as-of join ordering types must match pairwise: " +
+      s"left=${leftOrd.map(_.dataType)} right=${rightOrd.map(_.dataType)}")
   tolerance.foreach { t =>
     require(t >= 0, s"tolerance must be >= 0: $t")
-    require(leftOrd.head.dataType == org.apache.spark.sql.types.LongType,
-      "tolerance requires a LongType leading ordering column")
+    // the band check reads getLong(0) on BOTH sides' leading ord column
+    require(leftOrd.head.dataType == org.apache.spark.sql.types.LongType &&
+        rightOrd.head.dataType == org.apache.spark.sql.types.LongType,
+      "tolerance requires LongType leading ordering columns on both sides")
   }
 
   override def output: Seq[Attribute] =

@@ -128,10 +128,12 @@ class GraftIngestScanBuilder(fullSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Accept string equality and IsNotNull on known columns; everything
-    * else stays a residual Spark re-evaluates above the scan. The
-    * accepted set is ALSO returned as residual-safe (Spark may still
-    * re-check; the reader's evaluation only removes rows early). */
+  /** Accept string equality and IsNotNull on known columns; the reader
+    * evaluates them to remove rows early. EVERY filter — accepted or
+    * not — is returned as residual, so Spark re-evaluates above the
+    * scan and the pushdown is purely an optimization: correctness never
+    * rests on the reader's keep() matching Spark's null/equality
+    * semantics exactly. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val names = fullSchema.fieldNames.toSet
     pushed = filters.filter {
@@ -139,7 +141,7 @@ class GraftIngestScanBuilder(fullSchema: StructType,
       case IsNotNull(a) => names.contains(a)
       case _ => false
     }
-    filters.diff(pushed)
+    filters
   }
 
   override def pushedFilters(): Array[Filter] = pushed
