@@ -29,20 +29,23 @@ object BasketOps {
     * co-occurring in at least [[minSupport]] orders. Output: (a, b,
     * n_ab, n_a, n_b, conf, lift), lift-descending, (a, b) tie-break. */
   def associationRules(spark: SparkSession, dir: String): DataFrame = {
-    val byOrder = GraphOps.baskets(spark, dir)
-    val pairCounts = byOrder.select(explode(
-        org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          graft.functions.PackedPairs(
-            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ps")))))
-        .as("ab"))
-      .groupBy(col("ab")).agg(count(lit(1)).as("n_ab"))
+    // pair supports come from the session-shared packed-pair cache
+    // (GraphOps.pairSupport — the same table backing the co-occurrence
+    // graph family), so the basket build + pair explode + groupBy(ab)
+    // materialize once per session, not once per query
+    val pairCounts = GraphOps.pairSupport(spark, dir)
+      .withColumnRenamed("n", "n_ab")
       .filter(col("n_ab") >= minSupport)
       .select(expr("ab DIV 4294967296L").as("a"),
         pmod(col("ab"), lit(4294967296L)).as("b"), col("n_ab"))
-    val itemCounts = byOrder
-      .select(explode(col("ps")).as("item"))
-      .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-    val nOrders = byOrder.agg(count(lit(1)).as("n_orders"))
+    // per-item order counts and the basket total are one distinct
+    // aggregate over the two lineitem key columns — no basket arrays
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val itemCounts = li.groupBy(col("pk").as("item"))
+      .agg(count(lit(1)).as("n_item"))
+    val nOrders = li.agg(count_distinct(col("ok")).as("n_orders"))
     pairCounts
       .join(itemCounts.select(col("item").as("a"), col("n_item").as("n_a")), "a")
       .join(itemCounts.select(col("item").as("b"), col("n_item").as("n_b")), "b")
