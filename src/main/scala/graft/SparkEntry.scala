@@ -959,7 +959,10 @@ object SparkEntry {
     * subspace (m=8, dsub=8), 2 unrolled Lloyd's rounds with the same
     * cosine-argmax assignment + fixed-point means as the IVF oracle,
     * then encode (per-subspace nearest code), reconstruct (codebook
-    * concat in subspace order) and ADC-score every candidate. */
+    * concat in subspace order), ADC-score every candidate, keep the
+    * rerank·k = 50 ADC survivors per query and re-rank them with TRUE
+    * cosines (the standard ADC + exact-re-rank pipeline the Spark face
+    * runs). */
   private val simPqTopKSql: String = {
     val rounds = (1 to 2).map { r =>
       s"""p$r AS (SELECT s.vec_id, s.si, k.cid, ${cosSql("s.sv", "k.cv", 8)} AS cs
@@ -991,9 +994,15 @@ object SparkEntry {
        |rec AS (SELECT n.vec_id, flatten(list(k.cv ORDER BY n.si)) AS rv
        |  FROM enc n JOIN k2 k ON k.si = n.si AND k.cid = n.cid
        |  GROUP BY n.vec_id),
-       |sims AS (SELECT q.vec_id AS qid, r.vec_id,
-       |    round(${cosSql("q.embedding", "r.rv")}, 6) AS cos
+       |adc AS (SELECT q.vec_id AS qid, r.vec_id,
+       |    round(${cosSql("q.embedding", "r.rv")}, 6) AS adc
        |  FROM e q CROSS JOIN rec r WHERE q.vec_id < 5),
+       |cnd AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id ASC) AS crn
+       |  FROM adc) z WHERE crn <= 50),
+       |sims AS (SELECT c.qid, c.vec_id,
+       |    round(${cosSql("q.embedding", "v.embedding")}, 6) AS cos
+       |  FROM cnd c JOIN e q ON q.vec_id = c.qid JOIN e v ON v.vec_id = c.vec_id),
        |ranked AS (SELECT qid, vec_id, cos,
        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
        |  FROM sims)
@@ -1036,13 +1045,16 @@ object SparkEntry {
       |SELECT vec_a, vec_b, cos FROM v WHERE cos >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** Replication of the single-table multi-probe LSH top-k: 12-plane
-    * buckets (same LCG planes), probes = own bucket plus every 1-bit
-    * flip, candidates on bucket equality, exact cosine ranking with the
-    * (cos DESC, vec_id ASC) tie-break both engines share. */
+  /** Replication of the single-table multi-probe LSH top-k: 9-plane
+    * buckets (same LCG planes; 512 buckets sizes the corpus/bucket
+    * ratio for recall at the test SFs), probes = the Hamming-radius-≤2
+    * mask list interpolated from SimilarityOps.lshProbeMasks (identical
+    * probed-bucket set by construction), candidates on bucket equality,
+    * exact cosine ranking with the (cos DESC, vec_id ASC) tie-break
+    * both engines share. */
   private val simLshTopKSql: String =
-    """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
-      |pl AS (SELECT p FROM generate_series(0, 11) g(p)),
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+      |pl AS (SELECT p FROM generate_series(0, 8) g(p)),
       |dots AS (SELECT e.vec_id, pl.p,
       |    list_sum(list_transform(range(1, 65),
       |      j -> CAST(e.embedding[j] AS DOUBLE) *
@@ -1052,10 +1064,10 @@ object SparkEntry {
       |buck AS (SELECT vec_id,
       |    CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
       |  FROM dots GROUP BY vec_id),
-      |probes AS (SELECT q.vec_id AS qid,
-      |    CASE WHEN f = -1 THEN q.bucket
-      |         ELSE xor(q.bucket, CAST(1 AS BIGINT) << f) END AS bucket
-      |  FROM buck q CROSS JOIN generate_series(-1, 11) g(f)
+      |probes AS (SELECT q.vec_id AS qid, xor(q.bucket, m.mask) AS bucket
+      |  FROM buck q CROSS JOIN (SELECT unnest(CAST(
+      |    [${graft.ext.SimilarityOps.lshProbeMasks(9).mkString(", ")}]
+      |    AS BIGINT[])) AS mask) m
       |  WHERE q.vec_id < 5),
       |cand AS (SELECT DISTINCT p.qid, c.vec_id
       |  FROM probes p JOIN buck c ON p.bucket = c.bucket

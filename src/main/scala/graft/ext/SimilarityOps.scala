@@ -103,8 +103,21 @@ object SimilarityOps {
     * vector once and never goes quadratic. Recall vs `bruteForceTopK`
     * is pinned by ScalaTest (no SQL oracle — rank ties under reduced
     * candidate sets make hash-equality too brittle). */
+  /** Probe masks for multi-probe LSH at Hamming radius ≤ 2: the query's
+    * own bucket (mask 0), every 1-bit flip, and every 2-bit flip —
+    * 1 + n + C(n,2) buckets. Shared with the oracle SQL (the mask list
+    * is interpolated into both engines) so the probed bucket SET is
+    * identical by construction. */
+  private[graft] def lshProbeMasks(nPlanes: Int): Seq[Long] = {
+    val singles = (0 until nPlanes).map(1L << _)
+    val pairs = for {
+      a <- 0 until nPlanes; b <- a + 1 until nPlanes
+    } yield (1L << a) | (1L << b)
+    0L +: (singles ++ pairs)
+  }
+
   def lshTopK(spark: SparkSession, dir: String,
-              numQueries: Int = 5, k: Int = 5, nPlanes: Int = 12): DataFrame = {
+              numQueries: Int = 5, k: Int = 5, nPlanes: Int = 9): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
     val bucketed = emb.select(col("vec_id"), col("embedding"),
@@ -112,13 +125,14 @@ object SimilarityOps {
     val queries = bucketed.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("bucket").as("qbucket"))
-    // multi-probe: own bucket + each 1-bit flip
+    // multi-probe at Hamming radius ≤ 2: on random (clusterless) data
+    // single-bucket sign-LSH has a weak similarity gap, so the probe
+    // set — not the plane count — is the recall lever; the probed
+    // fraction stays (1+n+C(n,2))/2^n ≈ 9% of the corpus at n = 9
     val probes = queries.select(col("qid"), col("qvec"), col("qbucket"),
-      explode(array((lit(-1) +: (0 until nPlanes).map(lit(_))): _*)).as("flip"))
+      explode(array(lshProbeMasks(nPlanes).map(lit(_)): _*)).as("mask"))
       .select(col("qid"), col("qvec"),
-        when(col("flip") === -1, col("qbucket"))
-          .otherwise(col("qbucket").bitwiseXOR(expr("CAST(1 AS BIGINT) << flip")))
-          .as("bucket"))
+        col("qbucket").bitwiseXOR(col("mask")).as("bucket"))
     val candidates = probes.join(bucketed.filter(col("vec_id") >= numQueries), Seq("bucket"))
     val sims = candidates.select(col("qid"), col("vec_id"),
         round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
@@ -450,7 +464,7 @@ object SimilarityOps {
   def pqTopK(spark: SparkSession, dir: String,
              numQueries: Int = 5, k: Int = 5,
              m: Int = 8, ksub: Int = 16, iters: Int = 2,
-             maxVecId: Long = Long.MaxValue): DataFrame = {
+             maxVecId: Long = Long.MaxValue, rerank: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < maxVecId)
       .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
@@ -467,9 +481,28 @@ object SimilarityOps {
       .select(col("vec_id"), pqEncode(col("embedding"), codebook).as("codes"))
     val queries = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val sims = encoded.crossJoin(broadcast(queries))
+    // ADC pass: rank ALL candidates by the quantized score, keep the
+    // top rerank·k per query — the scan over compressed codes is the
+    // scale path, and the candidate set it emits is k-bounded
+    val adc = encoded.crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id"),
-        round(cosine(col("qvec"), pqReconstruct(col("codes"), codebook)), 6).as("cos"))
+        round(cosine(col("qvec"), pqReconstruct(col("codes"), codebook)), 6).as("adc"))
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val cand = adc.withColumn("crank", row_number().over(wAdc))
+      .filter(col("crank") <= k * rerank)
+      .select(col("qid"), col("vec_id"))
+    // Exact re-rank of the rerank·k ADC survivors (standard ADC +
+    // re-rank): quantization error reorders near-ties, so the final
+    // ranking scores the few candidates with TRUE cosines — the
+    // candidate join touches k·rerank rows per query, never the corpus.
+    // When the codebook is lossless (pqExact) ADC ≡ exact, so the
+    // re-rank is the identity and the exactness endpoint is unchanged.
+    val sims = cand
+      .join(emb.filter(col("vec_id") >= numQueries), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     sims.withColumn("rank", row_number().over(w).cast("long"))
