@@ -29,18 +29,29 @@ object Bench {
     // query names; each runs REPEAT times (cold + warm timings printed)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head
+      catch { case _: Throwable => "-1" }
+    val loadStart = loadavg()
+    // A crashed query must never masquerade as a fast one: record -1 and
+    // list it in "errs" so the JSON line distinguishes fast from broken.
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] ERROR $name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+                   false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) sec else -1.0
       }
       if (repeat > 1)
         System.err.println(f"[bench] $name: ${times.map(t => f"$t%.2f").mkString(" ")}")
       name -> times.head
     }
+    val errNames = results.collect { case (n, t) if t < 0 => n }.toSeq.sorted
     // The driver records only the last 2000 chars of output (plus sbt's
     // trailing [success] line), and a line whose head falls outside that
     // window is recorded unparsed. Strip trailing zeros ("0.30"->"0.3",
@@ -55,14 +66,20 @@ object Bench {
       val slowestFirst = results.toSeq.sortBy(-_._2)
       val kept = slowestFirst.take(keep)
       val omitted = results.size - kept.size
-      val omittedSum = slowestFirst.drop(keep).map(_._2).sum
-      val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
-        .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val omittedSum = slowestFirst.drop(keep).map(_._2).filter(_ >= 0).sum
+      val qs = kept.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) "-1" else fmt(v, dec))
+      }.mkString("{", ",", "}")
+      // total = sum of SUCCESSFUL query times only; errors are listed.
+      val total = results.values.filter(_ >= 0).sum
       val omit = if (omitted > 0)
         s""","omitted_queries":$omitted,"omitted_sec":${fmt(omittedSum, dec)}"""
       else ""
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs$omit,"sf":"$sfDir"}"""
+      val errs = if (errNames.nonEmpty)
+        s""","errs":${errNames.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      else ""
+      val load = s""","load_start":$loadStart,"load_end":${loadavg()}"""
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs$errs$load$omit,"sf":"$sfDir"}"""
     }
     // window budget: 2000 chars minus sbt's ~75-char [success] tail.
     // Degrade precision first; past the registry size where even

@@ -20,13 +20,23 @@ import graft.operators.Relational.{davg, dsum}
   */
 object EventOps {
 
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's reader
-    * rejects by default; read ns-as-long and truncate to microseconds
-    * (exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP cast does). */
+  /** Schema-robust events reader. The testdata has shipped `ts` as both
+    * TIMESTAMP(NANOS) (which Spark surfaces as a long under
+    * `nanosAsLong`) and plain TIMESTAMP(MICROS); the reference likewise
+    * treats schema as data rather than hard-coding one physical type
+    * (poormans-kube-etl helpers.js:53-86 `R.pathOr` defaults). Branch on
+    * the type actually read: LongType ⇒ nanos, truncate to micros
+    * (DuckDB's TIMESTAMP_NS→TIMESTAMP cast); any timestamp flavour ⇒
+    * cast to session-TZ timestamp (session TZ pinned to UTC, so NTZ≡UTC). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.events(spark, dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = Tables.events(spark, dir)
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts DIV 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", tsCol)
   }
 
   /** T9: 10-minute tumbling window counts/sums per event type. Window

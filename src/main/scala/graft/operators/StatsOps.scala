@@ -149,19 +149,6 @@ object StatsOps {
     * explodes. */
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def median2(counts: DataFrame, v: String): DataFrame = {
-      val wOrd = Window.partitionBy(col("grp")).orderBy(col(v))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(col("grp"))
-      counts
-        .withColumn("cum", sum(col("cnt")).over(wOrd))
-        .withColumn("n", sum(col("cnt")).over(wAll))
-        .groupBy(col("grp"))
-        .agg(max(col("n")).as("n"),
-          (min(when(col("cum") >= expr("(n + 1) DIV 2"), col(v)))
-            + min(when(col("cum") >= expr("n DIV 2 + 1"), col(v))))
-            .as("m2"))
-    }
     val vc = graft.ext.DedupOps.registerCache(
       Tables.orders(spark, dir)
         .select(col("o_orderpriority").as("grp"),
@@ -169,6 +156,24 @@ object StatsOps {
         .groupBy(col("grp"), col("c"))
         .agg(count(lit(1)).as("cnt"))
         .persist())
+    // Per-group row total n is IDENTICAL for the value pass and the
+    // deviation pass (sum of counts is invariant under |c - m| mapping),
+    // so compute it once off the cache and broadcast it — each median
+    // then needs exactly ONE window pass (the running sum), not a second
+    // whole-partition window for n. Threshold algebra: cum >= ceil(n/2)
+    // ⟺ 2·cum >= n, and cum >= floor(n/2)+1 ⟺ 2·cum >= n+1 (integers).
+    val tot = vc.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+    def median2(counts: DataFrame, v: String): DataFrame = {
+      val wOrd = Window.partitionBy(col("grp")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts.join(broadcast(tot), "grp")
+        .withColumn("cum", sum(col("cnt")).over(wOrd))
+        .groupBy(col("grp"))
+        .agg(max(col("n")).as("n"),
+          (min(when(col("cum") * 2 >= col("n"), col(v)))
+            + min(when(col("cum") * 2 >= col("n") + 1, col(v))))
+            .as("m2"))
+    }
     val med = median2(vc, "c")
     val dv = graft.ext.DedupOps.registerCache(
       vc.join(broadcast(med.select(col("grp"), col("m2"))), "grp")

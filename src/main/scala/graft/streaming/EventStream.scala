@@ -131,7 +131,8 @@ object EventStream {
     * is the plain-parquet cost (a format with row-level deletes rewrites
     * only matched files). */
   def upsertStream(events: DataFrame, targetDir: String,
-                   keyCols: Seq[String], orderCols: Seq[String]): StreamingQuery =
+                   keyCols: Seq[String], orderCols: Seq[String],
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     events.writeStream
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -165,7 +166,7 @@ object EventStream {
         fs.delete(backup, true)
         ()
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** Run windowedCounts over a stream to a memory sink (test/demo entry). */

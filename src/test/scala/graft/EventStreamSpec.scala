@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.EventStream
@@ -179,5 +180,40 @@ class EventStreamSpec extends SparkSuite {
         r.getAs[String]("event_type"), r.getAs[Long]("event_id")))
     assert(rows.toSeq == Seq((1L, "purchase", 4L), (2L, "click", 3L),
       (3L, "click", 5L)))
+  }
+
+  test("throughput smoke: sf0.1 replay through upsertStream under a processing-time trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Replay the full sf0.1 events table (100k rows) as 5 micro-batches
+    // through the CDC upsert sink — the end-to-end cost each batch pays
+    // is compaction + target merge + atomic swap, i.e. the real sink
+    // path, not a memory sink. The bound is deliberately loose (shared
+    // CI box); the interesting failure is an order-of-magnitude stall,
+    // e.g. the merge anti-join degenerating to a shuffle of the target.
+    val target = tmpDir("graft-upsert-tp") + "/t"
+    val all = graft.operators.EventOps.events(spark, "/root/testdata/sf0.1")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event].collect()
+    val input = MemoryStream[Event]
+    val q = EventStream.upsertStream(input.toDF(), target,
+      keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+      trigger = Trigger.ProcessingTime("100 milliseconds"))
+    val t0 = System.nanoTime()
+    try {
+      all.grouped(20000).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable() // forces one micro-batch per chunk
+      }
+    } finally q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"replayed ${all.length} rows in 5 upsert batches: $secs%.1f s "
+      + f"(${all.length / secs}%.0f rows/s)")
+    assert(secs < 120.0, f"upsert replay took $secs%.1f s — sink stalled")
+    val users = spark.read.parquet(target)
+    assert(users.count() ==
+      graft.operators.EventOps.events(spark, "/root/testdata/sf0.1")
+        .select(col("user_id")).distinct().count())
   }
 }

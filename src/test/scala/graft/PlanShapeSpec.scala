@@ -165,13 +165,19 @@ class PlanShapeSpec extends SparkSuite {
 
   test("association rules: support filter precedes the item joins") {
     val p = plan("q_assoc_rules")
-    // the n_ab >= minSupport filter must sit under the joins (candidate-
-    // sized rule table), and the basket total arrives by broadcast
-    assert(p.contains("n_ab"), p.take(800))
-    val filterIdx = p.indexOf("Filter (n_ab")
+    // the support-count >= minSupport filter must sit UNDER the joins
+    // (candidate-sized rule table). Structural, not name-based: a
+    // >=-threshold Filter appears deeper in the printed tree than the
+    // first Join, and the predicate is pushed into the cached
+    // pair-count scan itself (InMemoryTableScan carries it).
+    val filterIdx = """Filter \(+[^\n]*>= \d""".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
     val joinIdx = p.indexOf("Join")
     assert(filterIdx > joinIdx && joinIdx >= 0,
-      s"support filter not below the joins: filter@$filterIdx join@$joinIdx")
+      s"support filter not below the joins: filter@$filterIdx join@$joinIdx\n${p.take(1200)}")
+    assert(p.linesIterator.exists(l =>
+      l.contains("InMemoryTableScan") && l.contains(">=")),
+      "support predicate not pushed into the cached pair-count scan")
     assert(!p.contains("CartesianProduct"))
   }
 
