@@ -48,27 +48,53 @@ object DedupOps {
     * Both tables materialize once per session (eager count before the
     * consuming plans fan out) and are released by [[releaseShared]]. */
   private val shingleCaches =
-    scala.collection.mutable.Map.empty[(String, Int), (DataFrame, DataFrame)]
+    scala.collection.mutable.Map.empty[(String, Int, String), DataFrame]
 
-  private[graft] def shingleTables(spark: SparkSession, dir: String,
-                                   n: Int): (DataFrame, DataFrame) =
+  /** The two shingle faces build INDEPENDENTLY and lazily: the hashed
+    * long-array table — what candidate generation, verification and the
+    * whole cluster/capstone chain consume — derives straight from text
+    * in one fused codegen'd scan (WordShingles ∘ HashStringArray), so
+    * the ngram/cluster cold path never writes or reads the much wider
+    * string-array cache. The string face exists only for md5-mode
+    * MinHash (engine-neutral signatures hash the STRINGS) and is paid
+    * only when that family runs. Splitting the builds re-runs the
+    * text scan + shingle kernel once per face — cheaper than pushing
+    * ~1 KB/doc string arrays through a persist for consumers that
+    * only ever touch the 8-byte hashes. */
+  private[graft] def hashedShingles(spark: SparkSession, dir: String,
+                                    n: Int): DataFrame =
     shingleCaches.synchronized {
-      shingleCaches.getOrElseUpdate((dir, n), {
+      shingleCaches.getOrElseUpdate((dir, n, "hashed"), {
         // single-file inputs arrive as one partition; spread the per-row
         // shingle compute across cores before persisting
+        val hashed = registerCache(Tables.documents(spark, dir)
+          .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
+          .select(col("doc_id"),
+            bc(graft.functions.HashStringArray(br(shingles(col("text"), n)))).as("hs"))
+          .filter(size(col("hs")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        hashed.count()
+        hashed
+      })
+    }
+
+  private[graft] def stringShingles(spark: SparkSession, dir: String,
+                                    n: Int): DataFrame =
+    shingleCaches.synchronized {
+      shingleCaches.getOrElseUpdate((dir, n, "strings"), {
         val docs = registerCache(Tables.documents(spark, dir)
           .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
           .select(col("doc_id"), shingles(col("text"), n).as("sh"))
           .filter(size(col("sh")) > 0)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         docs.count()
-        val hashed = registerCache(docs.select(col("doc_id"),
-            bc(graft.functions.HashStringArray(br(col("sh")))).as("hs"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        hashed.count()
-        (docs, hashed)
+        docs
       })
     }
+
+  private[graft] def shingleTables(spark: SparkSession, dir: String,
+                                   n: Int): (DataFrame, DataFrame) =
+    (stringShingles(spark, dir, n), hashedShingles(spark, dir, n))
 
   /** Exact dedup groups: hash-groupBy on md5(text). At 100 TB the
     * 128-bit digest group key keeps shuffle rows narrow (no full text
@@ -141,7 +167,7 @@ object DedupOps {
     // 10¹⁰ corpus-wide distinct shingles the expected number of
     // colliding PAIRS is single-digit, each shifting one intersection
     // count by 1. The string arrays never enter a shuffle.
-    val (_, hashed) = shingleTables(spark, dir, n)
+    val hashed = hashedShingles(spark, dir, n)
     val exploded = hashed.select(col("doc_id"), size(col("hs")).as("n_sh"),
       explode(col("hs")).as("shingle"))
     val df = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
