@@ -663,6 +663,50 @@ object SparkEntry {
       |     <> CAST(floor((end_off - 1) / 256.0) AS BIGINT)) AS straddles
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // text_chunks: pure integer chunk arithmetic + list slicing — both
+  // engines tokenize with the same \s+ regex split (the text_pack
+  // precedent) and the chunk text re-joins with single spaces, so the
+  // replay is exact.
+  private val textChunksSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |s AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+      |      FROM t WHERE len(toks) > 0),
+      |c AS (SELECT doc_id, n_toks, toks,
+      |        CASE WHEN n_toks <= 64 THEN 1
+      |             ELSE (n_toks - 64 + 47) // 48 + 1 END AS n_chunks
+      |      FROM s),
+      |e AS (SELECT doc_id, n_toks, toks,
+      |        unnest(generate_series(0, n_chunks - 1)) AS cid
+      |      FROM c)
+      |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+      |  CAST(cid * 48 AS BIGINT) AS start_tok,
+      |  CAST(least(64, n_toks - cid * 48) AS BIGINT) AS chunk_len,
+      |  array_to_string(list_slice(toks, cid * 48 + 1,
+      |    cid * 48 + least(64, n_toks - cid * 48)), ' ') AS chunk_text
+      |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+
+  // text_novelty: distinct word 3-gram shingles per doc (the
+  // shinglesComposable recipe: window starts 0..max(n-3,0), slice
+  // end-bounded), shingle -> df aggregate, join back, one IEEE division
+  // of exact counts.
+  private val textNoveltySql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id, toks,
+      |        unnest(generate_series(0, greatest(len(toks) - 3, 0))) AS i
+      |      FROM t),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS s
+      |       FROM g),
+      |shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+      |f AS (SELECT s, count(*) AS df FROM shf GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*), 6) AS novelty
+      |FROM shf JOIN f USING (s) GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   private val qPiiScrubSql: String =
     """SELECT c_custkey,
       |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
@@ -1282,6 +1326,8 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextOps.repetitionSignals(s, d)),
     "text_sample" -> ((s, d) => SampleOps.mixtureSample(s, d)),
     "text_pack" -> ((s, d) => SampleOps.packSequences(s, d)),
+    "text_chunks" -> ((s, d) => TextOps.chunkDocuments(s, d)),
+    "text_novelty" -> ((s, d) => TextOps.noveltyScores(s, d)),
     "q_pii_scrub" -> ((s, d) => TextOps.scrubIds(s, d)),
     "q_mode_median" -> ((s, d) => Relational.segmentModeMedian(s, d)),
     "q_unpivot" -> ((s, d) => Relational.partMeasuresLong(s, d)),
@@ -1508,6 +1554,8 @@ object SparkEntry {
     "text_repetition" -> textRepetitionSql,
     "text_sample" -> textSampleSql,
     "text_pack" -> textPackSql,
+    "text_chunks" -> textChunksSql,
+    "text_novelty" -> textNoveltySql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_mode_median" -> qModeMedianSql,
     "q_unpivot" -> qUnpivotSql,

@@ -305,4 +305,75 @@ object TextOps {
       .filter(col("df").between(dfMin, dfMax))
       .orderBy(col("phrase"))
   }
+
+  /** Fixed-size token-window chunking with overlap (`text_chunks`) —
+    * the segmentation step a pretraining / RAG pipeline runs before
+    * embedding or packing: every document becomes ⌈(n−w)/s⌉+1 windows
+    * of `window` tokens starting every `stride` tokens (the final
+    * window is the tail remainder; a doc shorter than one window is a
+    * single chunk).
+    *
+    * Scale: a pure narrow map — tokenize, integer chunk-count
+    * arithmetic, explode, slice — with NO shuffle anywhere (the
+    * orderBy is presentation-only); only (doc_id, text) are read, so
+    * column pruning reaches the scan. Chunk ids are deterministic
+    * functions of (doc_id, position): re-running a backfill yields
+    * byte-identical chunk keys, the property that makes downstream
+    * dedup-by-chunk and incremental embedding refresh stable. */
+  def chunkDocuments(spark: SparkSession, dir: String,
+                     window: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && stride <= window, "need 0 < stride <= window")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") > 0)
+    // exact integer chunk count: one window when the doc fits, else
+    // ceil((n−w)/s) strides past the first window (float ceil loses a
+    // chunk when (n−w)/s lands on an integer — same trap as the PPJoin
+    // prefix length)
+    toks
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN n_toks <= $window THEN 1L" +
+          s" ELSE (n_toks - $window + $stride - 1) DIV $stride + 1 END"))
+      .select(col("doc_id"), col("n_toks"), col("toks"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("chunk_len",
+        least(lit(window.toLong), col("n_toks") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("chunk_len"),
+        expr("concat_ws(' ', slice(toks, CAST(start_tok + 1 AS INT)," +
+          " CAST(chunk_len AS INT)))").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Inter-document novelty score (`text_novelty`): the fraction of a
+    * document's distinct word 3-gram shingles that appear in NO other
+    * document. High novelty = original content; near-zero novelty =
+    * boilerplate assembled from corpus-common phrasing — the
+    * complement of the intra-doc repetition signal
+    * ([[repetitionSignals]]) and a standard corpus-curation feature.
+    *
+    * Shape: the inverted-index aggregate (shingle → document
+    * frequency) joined back to the per-doc shingle explode, then one
+    * per-doc aggregate — two hash aggregates and one shuffle join
+    * keyed on the shingle. String keys here so the DuckDB oracle
+    * replays verbatim; at 100 TB the join key travels as an 8-byte
+    * xxhash64 (the [[DedupOps.hashedShingles]] discipline — a
+    * collision shifts one df by 1, the same negligible-odds argument
+    * as the similarity join). The division is one IEEE op over exact
+    * integer counts, so the score replays bit-for-bit. */
+  def noveltyScores(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(DedupOps.shingles(col("text"), 3)).as("s"))
+      .filter(length(col("s")) > 0)
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.join(df, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_shingles"), 6))
+      .orderBy(col("doc_id"))
+  }
 }

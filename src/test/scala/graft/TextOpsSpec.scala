@@ -43,6 +43,60 @@ class TextOpsSpec extends SparkSuite {
     TextOps.repetitionSignals(spark, d).collect()
   }
 
+  test("chunkDocuments: coverage, overlap, and reconstruction invariants") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmpDir("textops-chunks")
+    // doc 0: 10 tokens < window -> 1 chunk; doc 1: exactly one stride
+    // past the window boundary; doc 2: (n-w) % s == 0 exact tiling
+    val doc1 = (1 to 100).map(i => s"t$i").mkString(" ")   // ceil(36/48)+1 = 2
+    val doc2 = (1 to 160).map(i => s"u$i").mkString(" ")   // (160-64)/48=2 -> 3
+    Seq((0L, "a b c d e f g h i j"), (1L, doc1), (2L, doc2))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.chunkDocuments(spark, d).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id")).view.mapValues(
+      _.sortBy(_.getAs[Long]("chunk_id"))).toMap
+    assert(byDoc(0L).length == 1 && byDoc(1L).length == 2 && byDoc(2L).length == 3)
+    // short doc: the single chunk IS the document
+    assert(byDoc(0L).head.getAs[String]("chunk_text") == "a b c d e f g h i j")
+    // every chunk: start = id*stride, len = min(window, n - start), and
+    // the text has exactly len tokens
+    out.foreach { r =>
+      val (id, st, ln) = (r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("chunk_len"))
+      assert(st == id * 48)
+      assert(r.getAs[String]("chunk_text").split(" ").length == ln)
+    }
+    // tail coverage: last chunk of doc1 ends at token 100
+    val last1 = byDoc(1L).last
+    assert(last1.getAs[Long]("start_tok") + last1.getAs[Long]("chunk_len") == 100)
+    assert(last1.getAs[String]("chunk_text").endsWith("t100"))
+    // overlap: consecutive chunks share window - stride = 16 tokens
+    val c2 = byDoc(2L)
+    assert(c2(0).getAs[String]("chunk_text").split(" ").drop(48).toSeq ==
+      c2(1).getAs[String]("chunk_text").split(" ").take(16).toSeq)
+    // exact tiling: doc2's last chunk is full-width
+    assert(c2(2).getAs[Long]("chunk_len") == 64)
+  }
+
+  test("noveltyScores: unique docs score 1, cloned docs score 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmpDir("textops-novelty")
+    val unique = (1 to 30).map(i => s"w$i").mkString(" ")
+    val clonA = (1 to 30).map(i => s"c$i").mkString(" ")
+    Seq((0L, unique), (1L, clonA), (2L, clonA))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.noveltyScores(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty")).toMap
+    assert(out(0L) == 1.0)  // no shingle shared with any other doc
+    assert(out(1L) == 0.0 && out(2L) == 0.0)  // every shingle in the twin
+  }
+
   test("scrubEmails masks planted addresses and leaves clean text alone") {
     val spark2 = spark
     import spark2.implicits._
