@@ -1061,8 +1061,12 @@ object SparkEntry {
     * to list_sum(list_transform(...)) — the same contract the green
     * brute-force oracle relies on), so bucket membership, the candidate
     * set, and the verified cosines all reproduce exactly. */
-  private val simNearDupsSql: String =
-    """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+  // Shared CTE chain for the embedding near-dup faces: LCG hyperplane
+  // buckets per table, candidate equi-join, exact cosine verify.
+  // Declared RECURSIVE so the cluster face can append the reachability
+  // walk; the pair face simply doesn't use the recursion.
+  private val simNearDupCtes: String =
+    """WITH RECURSIVE emb AS (SELECT vec_id, embedding FROM embeddings),
       |tp AS (SELECT t, p FROM generate_series(0, 1) g1(t)
       |       CROSS JOIN generate_series(0, 5) g2(p)),
       |dots AS (SELECT e.vec_id, tp.t, tp.p,
@@ -1085,9 +1089,28 @@ object SparkEntry {
       |     * sqrt(list_sum(list_transform(range(1, 65),
       |         i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))))), 6) AS cos
       |  FROM cand JOIN emb ea ON ea.vec_id = vec_a
-      |            JOIN emb eb ON eb.vec_id = vec_b)
+      |            JOIN emb eb ON eb.vec_id = vec_b)""".stripMargin
+
+  private val simNearDupsSql: String =
+    s"""$simNearDupCtes
       |SELECT vec_a, vec_b, cos FROM v WHERE cos >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // sim_clusters: connected components over the verified near-dup pair
+  // set — same recursive min-label reachability walk as dedup_clusters.
+  private val simClustersSql: String =
+    s"""$simNearDupCtes,
+      |p AS (SELECT vec_a, vec_b FROM v WHERE cos >= 0.3),
+      |edges AS (SELECT vec_a AS u, vec_b AS w FROM p
+      |          UNION ALL SELECT vec_b, vec_a FROM p),
+      |walk(u, label) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, w2.label FROM edges e JOIN walk w2 ON e.w = w2.u
+      |)
+      |SELECT u AS vec_id, min(label) AS cluster,
+      |       (u = min(label)) AS is_keeper
+      |FROM walk GROUP BY u ORDER BY vec_id""".stripMargin
 
   /** Replication of the single-table multi-probe LSH top-k: 9-plane
     * buckets (same LCG planes; 512 buckets sizes the corpus/bucket
@@ -1345,6 +1368,7 @@ object SparkEntry {
     // the recall knob checked at its endpoint by the brute-force oracle
     "sim_ivf_fullprobe" -> ((s, d) => SimilarityOps.ivfTopK(s, d, nCentroids = 16, nProbe = 16)),
     "sim_near_dups" -> ((s, d) => SimilarityOps.embeddingNearDups(s, d)),
+    "sim_clusters" -> ((s, d) => SimilarityOps.semanticClusters(s, d)),
     "sim_embedding_stats" -> ((s, d) => SimilarityOps.embeddingStats(s, d)),
     "sim_label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
     "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
@@ -1587,6 +1611,7 @@ object SparkEntry {
     // dot folds are engine-exact, so the oracle replays bucketing,
     // probing, and verification bit-for-bit.
     "sim_near_dups" -> simNearDupsSql,
+    "sim_clusters" -> simClustersSql,
     "sim_lsh_topk" -> simLshTopKSql,
     "sim_embedding_stats" -> simEmbeddingStatsSql,
     "sim_label_centroids" -> simLabelCentroidsSql,

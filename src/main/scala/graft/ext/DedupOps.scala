@@ -370,9 +370,19 @@ object DedupOps {
       .orderBy(col("doc_id"))
 
   private def runClusterLoop(spark: SparkSession, dir: String,
-                             n: Int, threshold: Double): DataFrame = {
-    val pairs = ngramJaccardPairsUnsorted(spark, dir, n, threshold)
-      .select(col("doc_a"), col("doc_b"))
+                             n: Int, threshold: Double): DataFrame =
+    ccLabels(spark, ngramJaccardPairsUnsorted(spark, dir, n, threshold)
+      .select(col("doc_a"), col("doc_b")))
+
+  /** The generic connected-components min-label loop over ANY
+    * undirected pair table (2 columns, one row per edge a<b) — the
+    * machinery behind n-gram near-dup clustering, reused by semantic
+    * (embedding) clustering. Returns (doc_id, label) where `doc_id`
+    * is the generic node id (every pair endpoint) and `label` the
+    * component's minimum node id. */
+  private[graft] def ccLabels(spark: SparkSession,
+                              pairTable: DataFrame): DataFrame = {
+    val pairs = pairTable.toDF("doc_a", "doc_b")
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("u", "v")

@@ -360,6 +360,26 @@ object SimilarityOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Semantic dedup clusters (`sim_clusters`): connected components
+    * over the embedding near-dup pair set ([[embeddingNearDups]]) —
+    * the "collapse paraphrase groups to one exemplar" step a
+    * curation pipeline runs after semantic matching, exactly parallel
+    * to the n-gram cluster face (`dedup_clusters`) and sharing its CC
+    * machinery ([[DedupOps.ccLabels]]: min-label propagation +
+    * pointer jumping, O(log diameter) rounds, one materializing job
+    * per round). Keeper = minimum vec_id per component; vectors in no
+    * near-dup pair are absent (nothing to collapse). Scale: the pair
+    * set is O(near-duplicates), orders of magnitude below the corpus,
+    * so the loop runs on a table the size of the problem's answer. */
+  def semanticClusters(spark: SparkSession, dir: String,
+                       threshold: Double = 0.3): DataFrame =
+    graft.ext.DedupOps.ccLabels(spark,
+        embeddingNearDups(spark, dir, threshold)
+          .select(col("vec_a"), col("vec_b")))
+      .select(col("doc_id").as("vec_id"), col("label").as("cluster"),
+        (col("doc_id") === col("label")).as("is_keeper"))
+      .orderBy(col("vec_id"))
+
   /** Per-vector norms + global stats — oracle-checkable embedding
     * column handling (array_[EXT] F-surface). */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame = {

@@ -174,13 +174,18 @@ object StatsOps {
             + min(when(col("cum") * 2 >= col("n") + 1, col(v))))
             .as("m2"))
     }
-    val med = median2(vc, "c")
+    // med and mad are GROUP-COUNT-sized (5 rows) but each feeds TWO
+    // consumers (the next stage's broadcast + the final report join);
+    // unpersisted, each consumer re-runs the median's window pass over
+    // the cache. Persisting the 5-row results halves the window work.
+    val med = graft.ext.DedupOps.registerCache(median2(vc, "c").persist())
     val dv = graft.ext.DedupOps.registerCache(
       vc.join(broadcast(med.select(col("grp"), col("m2"))), "grp")
         .select(col("grp"), abs(col("c") * 2 - col("m2")).as("d"), col("cnt"))
         .groupBy(col("grp"), col("d")).agg(sum(col("cnt")).as("cnt"))
         .persist())
-    val mad = median2(dv, "d").select(col("grp"), col("m2").as("mad4"))
+    val mad = graft.ext.DedupOps.registerCache(
+      median2(dv, "d").select(col("grp"), col("m2").as("mad4")).persist())
     val out = dv.join(broadcast(mad), "grp")
       .groupBy(col("grp"))
       .agg(sum(when(col("d") * 2 > col("mad4") * 3, col("cnt"))

@@ -205,4 +205,23 @@ class PlanShapeSpec extends SparkSuite {
     assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).isEmpty)
     assert("Scan parquet".r.findAllIn(p).length == 2, "tables scanned repeatedly")
   }
+
+  test("chunking is a zero-shuffle narrow map (only the presentation sort exchanges)") {
+    val p = plan("text_chunks")
+    // one pruned scan (doc_id + text only), no join, no aggregate, and
+    // the ONLY exchange is the final orderBy's range partitioning
+    assert("Exchange".r.findAllIn(p).length == 1, p.take(1000))
+    assert(p.contains("Exchange rangepartitioning"), p.take(1000))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(1000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan not pruned to (doc_id, text)")
+  }
+
+  test("novelty runs two aggregates and one shingle-keyed join, no loops") {
+    val p = plan("text_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // the df aggregate and the per-doc rollup
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
+  }
 }

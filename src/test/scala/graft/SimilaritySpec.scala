@@ -215,4 +215,23 @@ class SimilaritySpec extends SparkSuite {
       assert(r.getDouble(r.fieldIndex("norm")) > 0)
     }
   }
+
+  test("semantic clusters: identical vectors cluster to min id, isolates absent") {
+    import spark.implicits._
+    // ids 1,2,3 share one vector (cos = 1, same bucket in every table
+    // -> guaranteed pairs); 7,8 share another; 99 is axis-orthogonal to
+    // both groups (cos = 0 < threshold) so it joins no pair
+    val a = Array.tabulate(64)(i => if (i < 32) 1.0f else 0.5f)
+    val b = Array.tabulate(64)(i => if (i % 2 == 0) -0.7f else 1.3f)
+    val lone = Array.tabulate(64)(i => if (i == 63) 1.0f else 0.0f)
+    val dir = tmpDir("graft-sim-cc")
+    Seq((1L, a), (2L, a), (3L, a), (7L, b), (8L, b), (99L, lone))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityOps.semanticClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSet == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (7L, 7L, true), (8L, 7L, false)), out.mkString(", "))
+  }
 }
