@@ -1096,6 +1096,45 @@ object SparkEntry {
       |SELECT vec_a, vec_b, cos FROM v WHERE cos >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // sim_decontaminate: same LCG buckets, but candidates are
+  // train(label != 0) x holdout(label = 0) bucket collisions; exact
+  // cosine verify, per-train-vector match count, flag.
+  private val simDecontaminateSql: String =
+    """WITH emb AS (SELECT vec_id, label, embedding FROM embeddings),
+      |tp AS (SELECT t, p FROM generate_series(0, 1) g1(t)
+      |       CROSS JOIN generate_series(0, 5) g2(p)),
+      |dots AS (SELECT e.vec_id, tp.t, tp.p,
+      |    list_sum(list_transform(range(1, 65),
+      |      j -> CAST(e.embedding[j] AS DOUBLE) *
+      |           (CAST((CAST(1103515245 AS BIGINT) * ((tp.t * 6 + tp.p) * 64 + j)
+      |                  + 12345) & 2147483647 AS DOUBLE) / 2147483648.0 - 0.5))) AS d
+      |  FROM emb e CROSS JOIN tp),
+      |buck AS (SELECT vec_id, t,
+      |    CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, t),
+      |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS eval_id
+      |  FROM buck a JOIN emb ta ON ta.vec_id = a.vec_id AND ta.label <> 0
+      |       JOIN buck b ON a.t = b.t AND a.bucket = b.bucket
+      |       JOIN emb tb ON tb.vec_id = b.vec_id AND tb.label = 0),
+      |hits AS (SELECT cand.vec_id AS vec_id, CAST(count(*) AS BIGINT) AS n_matches
+      |  FROM cand
+      |  JOIN emb ea ON ea.vec_id = cand.vec_id
+      |  JOIN emb eb ON eb.vec_id = cand.eval_id
+      |  WHERE round(
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))))), 6)
+      |    >= 0.3
+      |  GROUP BY cand.vec_id)
+      |SELECT e.vec_id, coalesce(h.n_matches, 0) AS n_matches,
+      |       coalesce(h.n_matches, 0) > 0 AS contaminated
+      |FROM emb e LEFT JOIN hits h ON h.vec_id = e.vec_id
+      |WHERE e.label <> 0
+      |ORDER BY e.vec_id""".stripMargin
+
   // sim_clusters: connected components over the verified near-dup pair
   // set — same recursive min-label reachability walk as dedup_clusters.
   private val simClustersSql: String =
@@ -1369,6 +1408,7 @@ object SparkEntry {
     "sim_ivf_fullprobe" -> ((s, d) => SimilarityOps.ivfTopK(s, d, nCentroids = 16, nProbe = 16)),
     "sim_near_dups" -> ((s, d) => SimilarityOps.embeddingNearDups(s, d)),
     "sim_clusters" -> ((s, d) => SimilarityOps.semanticClusters(s, d)),
+    "sim_decontaminate" -> ((s, d) => SimilarityOps.semanticDecontaminate(s, d)),
     "sim_embedding_stats" -> ((s, d) => SimilarityOps.embeddingStats(s, d)),
     "sim_label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
     "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
@@ -1612,6 +1652,7 @@ object SparkEntry {
     // probing, and verification bit-for-bit.
     "sim_near_dups" -> simNearDupsSql,
     "sim_clusters" -> simClustersSql,
+    "sim_decontaminate" -> simDecontaminateSql,
     "sim_lsh_topk" -> simLshTopKSql,
     "sim_embedding_stats" -> simEmbeddingStatsSql,
     "sim_label_centroids" -> simLabelCentroidsSql,

@@ -360,6 +360,54 @@ object SimilarityOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Semantic decontamination (`sim_decontaminate`): flag every train
+    * vector (label ≠ 0) whose cosine to ANY holdout vector (label = 0,
+    * the benchmark/eval embedding set) reaches the threshold — the
+    * embedding-space twin of the n-gram face
+    * ([[DedupOps.decontaminate]]), catching paraphrased leakage that
+    * shares no 5-gram. Both sides bucket with the same LSH
+    * hyperplanes; candidates are train×eval bucket collisions; exact
+    * cosine verifies each candidate.
+    *
+    * Scale: the eval side is a benchmark suite — bounded by
+    * construction — so its bucketed form is broadcast (the same
+    * argument as the n-gram face's broadcast eval grams); the train
+    * corpus streams once through the bucket probe, and only
+    * (vec_id, eval_id) survive to the aggregate. No shuffle of the
+    * corpus at any point. */
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+                            threshold: Double = 0.3, planesPerTable: Int = 6,
+                            nTables: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
+    val tabled = emb.select(col("vec_id"), col("label"), col("embedding"),
+        posexplode(array((0 until nTables).map(t =>
+          lshBucket(col("embedding"), planesPerTable, t * planesPerTable)): _*)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+    val train = tabled.filter(col("label") =!= 0)
+    val holdout = tabled.filter(col("label") === 0)
+    val hits = train.as("a")
+      .join(broadcast(holdout.as("b")),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("eval_id"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .dropDuplicates("vec_id", "eval_id")
+      .filter(round(cosine(col("ea"), col("eb")), 6) >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_matches"))
+    // the hit set is O(leaked vectors) — usually tiny but corpus-driven,
+    // so no broadcast hint: AQE broadcasts when the measured size allows
+    // (same reasoning as the capstone's anti-join sides)
+    emb.filter(col("label") =!= 0).select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Semantic dedup clusters (`sim_clusters`): connected components
     * over the embedding near-dup pair set ([[embeddingNearDups]]) —
     * the "collapse paraphrase groups to one exemplar" step a

@@ -6,6 +6,35 @@ import graft.operators.EventOps
 
 class EventOpsSpec extends SparkSuite {
 
+  test("events reader handles both ts physical types (long nanos and native timestamp)") {
+    import java.sql.Timestamp
+    val spark2 = spark
+    import spark2.implicits._
+    // the testdata shipped TIMESTAMP(NANOS) (surfacing as a long under
+    // nanosAsLong) through round 7 and timestamp[us] from round 8; the
+    // reader must accept both. Pin the LongType branch with a synthetic
+    // nanos-typed face and the timestamp branch against real testdata.
+    val baseUs = 1700000000000000L // 2023-11-14T22:13:20 UTC in micros
+    val d = tmpDir("events-nanos")
+    Seq((1L, baseUs * 1000L + 999L, 10L, "click", 1.0, "{}"),
+        (2L, (baseUs + 30L) * 1000L, 11L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val nanos = EventOps.events(spark, d)
+    assert(nanos.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val got = nanos.orderBy("event_id").select("ts").as[Timestamp].collect()
+    // nanos truncate (never round) to micros — DuckDB's NS→US cast
+    assert(got(0) == new Timestamp(baseUs / 1000L) ||
+      got(0).getTime * 1000L + (got(0).getNanos % 1000000L) / 1000L == baseUs,
+      s"nanos face mis-truncated: ${got(0)}")
+    assert(nanos.filter(col("ts") === expr(s"timestamp_micros(${baseUs}L)")).count() == 1,
+      "the +999ns event must truncate to exactly baseUs micros")
+    // the native-timestamp branch: real testdata reads as timestamp too
+    assert(EventOps.events(spark, sf).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("tumbling windows partition all events; counts sum to table size") {
     val total = EventOps.events(spark, sf).count()
     val winTotal = EventOps.tumblingCounts(spark, sf)

@@ -216,6 +216,23 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("semantic decontamination flags the planted leak and only the leak") {
+    import spark.implicits._
+    // train 10 = exact copy of holdout 100 (cos = 1 -> contaminated);
+    // train 11 orthogonal to the holdout (cos = 0 -> clean)
+    val leak = Array.tabulate(64)(i => if (i < 16) 2.0f else -1.0f)
+    val clean = Array.tabulate(64)(i => if (i == 60) 1.0f else 0.0f)
+    // orthogonal check: leak[60] = -1 -> cos = -1/|leak| < 0.3 OK
+    val dir = tmpDir("graft-sim-dec")
+    Seq((100L, leak, 0), (10L, leak, 3), (11L, clean, 5))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityOps.semanticDecontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSet == Set((10L, 1L, true), (11L, 0L, false)),
+      out.mkString(", "))
+  }
+
   test("semantic clusters: identical vectors cluster to min id, isolates absent") {
     import spark.implicits._
     // ids 1,2,3 share one vector (cos = 1, same bucket in every table
