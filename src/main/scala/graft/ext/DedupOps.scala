@@ -33,6 +33,7 @@ object DedupOps {
     sharedCaches.clear()
     clusterCache.synchronized(clusterCache.clear())
     shingleCaches.synchronized(shingleCaches.clear())
+    graft.ext.SimilarityOps.clearNearDupCache()
     graft.operators.GraphOps.clearGraphCaches()
   }
 

@@ -337,28 +337,51 @@ object SimilarityOps {
     * Defaults tuned to this corpus (max pairwise cos ≈ 0.51, so 0.3 is
     * the "near" regime); production near-dup would use 0.9+ where the
     * same banding gets near-perfect recall. */
+  /** Memoized verified near-dup pair set, shared by the pair face
+    * (`sim_near_dups`) and the cluster face (`sim_clusters`) — the
+    * embedding-space analogue of the ngram pair cache: the LSH
+    * bucketing + candidate join + exact-cosine verify runs once per
+    * (dir, params) session, both consumers read the persisted result.
+    * Cleared by [[DedupOps.releaseShared]]. */
+  private val nearDupCache =
+    scala.collection.mutable.Map.empty[(String, Double, Int, Int), DataFrame]
+
+  private[graft] def clearNearDupCache(): Unit = {
+    nearDupCache.synchronized(nearDupCache.clear())
+    semanticLabelCache.synchronized(semanticLabelCache.clear())
+  }
+
+  private[graft] def nearDupPairs(spark: SparkSession, dir: String,
+                                  threshold: Double, planesPerTable: Int,
+                                  nTables: Int): DataFrame =
+    nearDupCache.synchronized {
+      nearDupCache.getOrElseUpdate((dir, threshold, planesPerTable, nTables), {
+        val emb = Tables.embeddings(spark, dir)
+          .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
+        val tabled = emb.select(col("vec_id"), col("embedding"),
+            posexplode(array((0 until nTables).map(t =>
+              lshBucket(col("embedding"), planesPerTable, t * planesPerTable)): _*)))
+          .withColumnRenamed("pos", "table")
+          .withColumnRenamed("col", "bucket")
+        graft.ext.DedupOps.registerCache(tabled.as("a").join(tabled.as("b"),
+            col("a.table") === col("b.table") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+          .dropDuplicates("vec_a", "vec_b")
+          .select(col("vec_a"), col("vec_b"),
+            round(cosine(col("ea"), col("eb")), 6).as("cos"))
+          .filter(col("cos") >= threshold)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      })
+    }
+
   def embeddingNearDups(spark: SparkSession, dir: String,
                         threshold: Double = 0.3, planesPerTable: Int = 6,
-                        nTables: Int = 2): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
-    val tabled = emb.select(col("vec_id"), col("embedding"),
-        posexplode(array((0 until nTables).map(t =>
-          lshBucket(col("embedding"), planesPerTable, t * planesPerTable)): _*)))
-      .withColumnRenamed("pos", "table")
-      .withColumnRenamed("col", "bucket")
-    tabled.as("a").join(tabled.as("b"),
-        col("a.table") === col("b.table") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
-      .dropDuplicates("vec_a", "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("ea"), col("eb")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+                        nTables: Int = 2): DataFrame =
+    nearDupPairs(spark, dir, threshold, planesPerTable, nTables)
       .orderBy(col("vec_a"), col("vec_b"))
-  }
 
   /** Semantic decontamination (`sim_decontaminate`): flag every train
     * vector (label ≠ 0) whose cosine to ANY holdout vector (label = 0,
@@ -419,11 +442,20 @@ object SimilarityOps {
     * near-dup pair are absent (nothing to collapse). Scale: the pair
     * set is O(near-duplicates), orders of magnitude below the corpus,
     * so the loop runs on a table the size of the problem's answer. */
+  /** Converged semantic CC label memo (the clusterCache discipline):
+    * the loop is deterministic and localCheckpoint'ed, so one run per
+    * (dir, threshold) session serves every consumer. */
+  private val semanticLabelCache =
+    scala.collection.mutable.Map.empty[(String, Double), DataFrame]
+
   def semanticClusters(spark: SparkSession, dir: String,
                        threshold: Double = 0.3): DataFrame =
-    graft.ext.DedupOps.ccLabels(spark,
-        embeddingNearDups(spark, dir, threshold)
-          .select(col("vec_a"), col("vec_b")))
+    semanticLabelCache.synchronized {
+      semanticLabelCache.getOrElseUpdate((dir, threshold),
+        graft.ext.DedupOps.ccLabels(spark,
+          nearDupPairs(spark, dir, threshold, 6, 2)
+            .select(col("vec_a"), col("vec_b"))))
+    }
       .select(col("doc_id").as("vec_id"), col("label").as("cluster"),
         (col("doc_id") === col("label")).as("is_keeper"))
       .orderBy(col("vec_id"))
