@@ -686,6 +686,28 @@ object SparkEntry {
       |    cid * 48 + least(64, n_toks - cid * 48)), ' ') AS chunk_text
       |FROM e ORDER BY doc_id, chunk_id""".stripMargin
 
+  // text_vocab_coverage: top-k token-type coverage of all token
+  // occurrences; (cnt DESC, tok) is a total order so row_number replays
+  // the scale-safe global rank exactly.
+  private val textVocabCoverageSql: String =
+    """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |           FROM documents),
+      |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM t WHERE len(tok) > 0 GROUP BY 1),
+      |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+      |      FROM tf),
+      |a AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+      |        CAST(sum(CASE WHEN rn <= 10 THEN cnt END) AS BIGINT) AS c10,
+      |        CAST(sum(CASE WHEN rn <= 100 THEN cnt END) AS BIGINT) AS c100,
+      |        CAST(sum(CASE WHEN rn <= 1000 THEN cnt END) AS BIGINT) AS c1000
+      |      FROM r),
+      |s AS (SELECT CAST(10 AS BIGINT) AS k, c10 AS covered, total FROM a
+      |      UNION ALL SELECT 100, c100, total FROM a
+      |      UNION ALL SELECT 1000, c1000, total FROM a)
+      |SELECT k, covered, total,
+      |  round(CAST(covered AS DOUBLE) / total, 6) AS coverage
+      |FROM s ORDER BY k""".stripMargin
+
   // text_novelty: distinct word 3-gram shingles per doc (the
   // shinglesComposable recipe: window starts 0..max(n-3,0), slice
   // end-bounded), shingle -> df aggregate, join back, one IEEE division
@@ -1390,6 +1412,7 @@ object SparkEntry {
     "text_pack" -> ((s, d) => SampleOps.packSequences(s, d)),
     "text_chunks" -> ((s, d) => TextOps.chunkDocuments(s, d)),
     "text_novelty" -> ((s, d) => TextOps.noveltyScores(s, d)),
+    "text_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "q_pii_scrub" -> ((s, d) => TextOps.scrubIds(s, d)),
     "q_mode_median" -> ((s, d) => Relational.segmentModeMedian(s, d)),
     "q_unpivot" -> ((s, d) => Relational.partMeasuresLong(s, d)),
@@ -1620,6 +1643,7 @@ object SparkEntry {
     "text_pack" -> textPackSql,
     "text_chunks" -> textChunksSql,
     "text_novelty" -> textNoveltySql,
+    "text_vocab_coverage" -> textVocabCoverageSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_mode_median" -> qModeMedianSql,
     "q_unpivot" -> qUnpivotSql,

@@ -347,6 +347,40 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Vocabulary coverage curve (`text_vocab_coverage`): what fraction
+    * of all corpus token OCCURRENCES the top-k most frequent token
+    * types cover, at k = 10 / 100 / 1000 — the first question a
+    * tokenizer/vocab-size decision asks of a corpus (the BPE budget
+    * curve's word-level anchor).
+    *
+    * Scale: term frequencies are a vocab-sized aggregate with map-side
+    * combine; the global frequency rank rides
+    * [[graft.operators.Relational.withGlobalRank]] (range exchange +
+    * broadcast offsets — a web-scale corpus has billions of token
+    * types, so an un-partitioned row_number window is exactly the
+    * single-task plan this engine refuses); coverage is then ONE
+    * aggregate with k conditional sums. (cnt desc, tok asc) is a total
+    * order, so the ranks — and the IEEE division of exact counts —
+    * replay in any engine. */
+  def vocabCoverage(spark: SparkSession, dir: String,
+                    ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.Relational.withGlobalRank(
+      tf, Seq(col("cnt").desc, col("tok").asc))
+    val sums = ks.map(k =>
+      sum(when(col("rn") <= k, col("cnt"))).as(s"c$k"))
+    val agg = ranked.agg(sum(col("cnt")).as("total"), sums: _*)
+    val stackArgs = ks.map(k => s"${k}L, c$k").mkString(", ")
+    agg.select(expr(s"stack(${ks.size}, $stackArgs) AS (k, covered)"),
+        col("total"))
+      .select(col("k"), col("covered"), col("total"),
+        round(col("covered").cast("double") / col("total"), 6).as("coverage"))
+      .orderBy(col("k"))
+  }
+
   /** Inter-document novelty score (`text_novelty`): the fraction of a
     * document's distinct word 3-gram shingles that appear in NO other
     * document. High novelty = original content; near-zero novelty =

@@ -81,6 +81,25 @@ class TextOpsSpec extends SparkSuite {
     assert(c2(2).getAs[Long]("chunk_len") == 64)
   }
 
+  test("vocabCoverage: hand-built zipf-ish corpus covers exactly as computed") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmpDir("textops-vocab")
+    // token "a" x 6, "b" x 3, then c..z once each (24 singletons):
+    // total 33 occurrences, top-1 covers 6, top-2 covers 9
+    val text = ("a a a a a a b b b " + ('c' to 'z').mkString(" ")).trim
+    Seq((0L, text)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = graft.ext.TextOps.vocabCoverage(spark, d, ks = Seq(1, 2, 100))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 33L, math.rint(6.0 / 33 * 1e6) / 1e6),
+      (2L, 9L, 33L, math.rint(9.0 / 33 * 1e6) / 1e6),
+      (100L, 33L, 33L, 1.0)), out.mkString(", "))
+  }
+
   test("noveltyScores: unique docs score 1, cloned docs score 0") {
     val spark2 = spark
     import spark2.implicits._
