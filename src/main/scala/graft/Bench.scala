@@ -29,9 +29,15 @@ object Bench {
     // query names; each runs REPEAT times (cold + warm timings printed)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    // validated: a non-numeric (or empty) read must not reach the JSON
+    // line — an unparseable token there nulls the driver's whole parse
     def loadavg(): String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head
-      catch { case _: Throwable => "-1" }
+      try {
+        val head = scala.io.Source.fromFile("/proc/loadavg")
+          .mkString.split(" ").head
+        head.toDouble // throws unless numeric
+        head
+      } catch { case _: Throwable => "-1" }
     val loadStart = loadavg()
     // A crashed query must never masquerade as a fast one: record -1 and
     // list it in "errs" so the JSON line distinguishes fast from broken.
@@ -49,7 +55,10 @@ object Bench {
       }
       if (repeat > 1)
         System.err.println(f"[bench] $name: ${times.map(t => f"$t%.2f").mkString(" ")}")
-      name -> times.head
+      // a failure in ANY repeat marks the query errored — a warm-only
+      // crash (e.g. cache corruption) must not hide behind a clean
+      // cold timing
+      name -> (if (times.exists(_ < 0)) -1.0 else times.head)
     }
     val errNames = results.collect { case (n, t) if t < 0 => n }.toSeq.sorted
     // The driver records only the last 2000 chars of output (plus sbt's

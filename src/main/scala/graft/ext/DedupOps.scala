@@ -28,11 +28,17 @@ object DedupOps {
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private[graft] def registerCache(df: DataFrame): DataFrame =
     sharedCaches.synchronized { sharedCaches += df; df }
-  def releaseShared(): Unit = sharedCaches.synchronized {
-    sharedCaches.foreach(_.unpersist())
-    sharedCaches.clear()
-    clusterCache.synchronized(clusterCache.clear())
-    shingleCaches.synchronized(shingleCaches.clear())
+  def releaseShared(): Unit = {
+    sharedCaches.synchronized {
+      sharedCaches.foreach(_.unpersist())
+      sharedCaches.clear()
+      clusterCache.synchronized(clusterCache.clear())
+      shingleCaches.synchronized(shingleCaches.clear())
+    }
+    // outside the sharedCaches monitor: clearNearDupCache takes the
+    // similarity-side locks, and nearDupPairs acquires them BEFORE
+    // calling registerCache (which takes sharedCaches) — nesting the
+    // clear inside would invert that order and allow an ABBA deadlock
     graft.ext.SimilarityOps.clearNearDupCache()
     graft.operators.GraphOps.clearGraphCaches()
   }

@@ -351,18 +351,30 @@ object SimilarityOps {
     semanticLabelCache.synchronized(semanticLabelCache.clear())
   }
 
+  /** The multi-table LSH bucketing block shared by the near-dup and
+    * decontamination faces: one row per (vector, table) with the
+    * table's hyperplane-signature bucket. Plane indexing
+    * (t · planesPerTable offset) must match the SQL oracles' LCG
+    * replay — which is exactly why this exists ONCE. `extraCols` lets
+    * the decontamination face carry `label` through. */
+  private def bucketedEmbeddings(spark: SparkSession, dir: String,
+                                 planesPerTable: Int, nTables: Int,
+                                 extraCols: Seq[String] = Nil): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
+    emb.select(col("vec_id") +: extraCols.map(col) :+ col("embedding") :+
+        posexplode(array((0 until nTables).map(t =>
+          lshBucket(col("embedding"), planesPerTable, t * planesPerTable)): _*)): _*)
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+  }
+
   private[graft] def nearDupPairs(spark: SparkSession, dir: String,
                                   threshold: Double, planesPerTable: Int,
                                   nTables: Int): DataFrame =
     nearDupCache.synchronized {
       nearDupCache.getOrElseUpdate((dir, threshold, planesPerTable, nTables), {
-        val emb = Tables.embeddings(spark, dir)
-          .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
-        val tabled = emb.select(col("vec_id"), col("embedding"),
-            posexplode(array((0 until nTables).map(t =>
-              lshBucket(col("embedding"), planesPerTable, t * planesPerTable)): _*)))
-          .withColumnRenamed("pos", "table")
-          .withColumnRenamed("col", "bucket")
+        val tabled = bucketedEmbeddings(spark, dir, planesPerTable, nTables)
         graft.ext.DedupOps.registerCache(tabled.as("a").join(tabled.as("b"),
             col("a.table") === col("b.table") &&
               col("a.bucket") === col("b.bucket") &&
@@ -402,12 +414,8 @@ object SimilarityOps {
                             threshold: Double = 0.3, planesPerTable: Int = 6,
                             nTables: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
-    val tabled = emb.select(col("vec_id"), col("label"), col("embedding"),
-        posexplode(array((0 until nTables).map(t =>
-          lshBucket(col("embedding"), planesPerTable, t * planesPerTable)): _*)))
-      .withColumnRenamed("pos", "table")
-      .withColumnRenamed("col", "bucket")
+    val tabled = bucketedEmbeddings(spark, dir, planesPerTable, nTables,
+      extraCols = Seq("label"))
     val train = tabled.filter(col("label") =!= 0)
     val holdout = tabled.filter(col("label") === 0)
     val hits = train.as("a")

@@ -398,8 +398,12 @@ object TextOps {
     * as the similarity join). The division is one IEEE op over exact
     * integer counts, so the score replays bit-for-bit. */
   def noveltyScores(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(DedupOps.shingles(col("text"), 3)).as("s"))
+    // explode from the SHARED persisted string-shingle cache (the
+    // md5-MinHash face's table) rather than re-tokenizing: unpersisted,
+    // the df aggregate and the join-back probe would each re-run the
+    // corpus scan + shingle kernel — two full passes at 100 TB
+    val sh = DedupOps.stringShingles(spark, dir, 3)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
       .filter(length(col("s")) > 0)
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     sh.join(df, "s")

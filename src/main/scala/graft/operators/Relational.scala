@@ -397,20 +397,25 @@ object Relational {
     *     built-ins, so results are bit-identical (RelationalSpec pins
     *     equality against the window formulation).
     *
-    * The ranged table is PERSISTED before either consumer touches it.
-    * This is a correctness requirement, not a perf tweak:
-    * `monotonically_increasing_id` is only deterministic within one
-    * physical execution, and the offsets aggregate and the rank join
-    * are separately-pruned plans (the offsets side reads 2 columns, the
-    * join side all of them), so Spark does NOT unify them into one
-    * ReusedExchange — unpersisted, each side re-executes the subtree
-    * and any layout shift between executions (AQE coalescing, range
-    * re-sampling over a nondeterministic child) shifts the mids and
-    * corrupts ranks. Observed in the wild: triple-nested quintiles in
-    * `ev_rfm` misranked 92/1500 users once the events data grew a
-    * 90%-tie group on the leading key. The persist also REPLACES the
-    * second execution rather than adding cost — one ranged sort is
-    * written, both consumers read it. */
+    * The ranged table is MATERIALIZED (localCheckpoint) before either
+    * consumer touches it. This is a correctness requirement, not a
+    * perf tweak: `monotonically_increasing_id` is only deterministic
+    * within one physical execution, and the offsets aggregate and the
+    * rank join are separately-pruned plans (the offsets side reads 2
+    * columns, the join side all of them), so Spark does NOT unify them
+    * into one ReusedExchange — unmaterialized, each side re-executes
+    * the subtree and any layout shift between executions (AQE
+    * coalescing, range re-sampling over a nondeterministic child)
+    * shifts the mids and corrupts ranks. Observed in the wild:
+    * triple-nested quintiles in `ev_rfm` misranked 92/1500 users once
+    * the events data grew a 90%-tie group on the leading key.
+    * localCheckpoint over persist: the lineage truncation makes
+    * re-derivation IMPOSSIBLE (persist can still recompute on block
+    * loss), it replaces rather than adds a pass (one ranged sort is
+    * written, both consumers read it), and — unlike a session-registry
+    * persist — the blocks free via ContextCleaner as soon as the
+    * query's DataFrames go unreferenced, so back-to-back rank queries
+    * (a Verify/Bench sweep) don't accumulate data-sized caches. */
   /** Scale-safe global row_number over `sortKeys` (which must define a
     * TOTAL order — include a unique tiebreaker): parallel range sort,
     * per-partition offsets computed on a P-row table, broadcast back.
@@ -419,12 +424,11 @@ object Relational {
     * table, never over the data. */
   def withGlobalRank(df: DataFrame, sortKeys: Seq[Column]): DataFrame = {
     val parts = math.max(1, math.min(df.sparkSession.sparkContext.defaultParallelism, 64))
-    val ranged = graft.ext.DedupOps.registerCache(
-      df.repartitionByRange(parts, sortKeys: _*)
-        .sortWithinPartitions(sortKeys: _*)
-        .withColumn("mid", monotonically_increasing_id())
-        .withColumn("pid", spark_partition_id().cast("long"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ranged = df.repartitionByRange(parts, sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", spark_partition_id().cast("long"))
+      .localCheckpoint()
     val cumW = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
     val offs = ranged.groupBy(col("pid"))
       .agg(count(lit(1)).as("cnt"), min(col("mid")).as("min_mid"))
