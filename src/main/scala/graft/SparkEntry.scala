@@ -885,6 +885,22 @@ object SparkEntry {
       |  SELECT e.u, w2.label FROM edges e JOIN walk w2 ON e.w = w2.u
       |)""".stripMargin
 
+  // dedup_weights: count-preserving dedup — keeper carries cluster
+  // size, losers 0, unclustered 1; sum(weight) = corpus size.
+  private val dedupWeightsSql: String =
+    s"""$dedupClusterCtes,
+      |cl AS (SELECT u AS doc_id, min(label) AS cluster FROM walk GROUP BY u),
+      |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+      |       FROM cl GROUP BY 1),
+      |w AS (SELECT cl.doc_id,
+      |        CASE WHEN cl.doc_id = cl.cluster THEN sz.cluster_size
+      |             ELSE CAST(0 AS BIGINT) END AS w
+      |      FROM cl JOIN sz USING (cluster))
+      |SELECT d.doc_id, coalesce(w.w, CAST(1 AS BIGINT)) AS weight
+      |FROM (SELECT doc_id FROM documents) d
+      |LEFT JOIN w ON w.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   private val dedupClustersSql: String =
     s"""$dedupClusterCtes
       |SELECT u AS doc_id, min(label) AS cluster,
@@ -1459,6 +1475,7 @@ object SparkEntry {
     "q_pagerank" -> ((s, d) => graft.operators.GraphOps.pageRank(s, d)),
     "q_topk_native" -> ((s, d) => Relational.topOrdersPerSegmentNative(s, d)),
     "dedup_keeper_quality" -> ((s, d) => DedupOps.keeperByQuality(s, d)),
+    "dedup_weights" -> ((s, d) => DedupOps.keeperWeights(s, d)),
     "dedup_curated" -> ((s, d) => DedupOps.curatedCorpus(s, d)),
     "q_cms" -> ((s, d) => graft.operators.SketchOps.cmsFrequency(s, d)),
     "q_triangles" -> ((s, d) => graft.operators.GraphOps.triangleCount(s, d)),
@@ -1652,6 +1669,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keeper_quality" -> dedupKeeperQualitySql,
+    "dedup_weights" -> dedupWeightsSql,
     "dedup_curated" -> dedupCuratedSql,
     // dedup_minhash_lsh / dedup_simhash run in engine-neutral md5-60
     // mode, so the oracle replays the full pipeline (minhash) or the

@@ -376,6 +376,35 @@ object DedupOps {
         (col("doc_id") === col("label")).as("is_keeper"))
       .orderBy(col("doc_id"))
 
+  /** Count-preserving dedup weights (`dedup_weights`): every document
+    * gets the training weight its survivor carries after near-dup
+    * collapse — the cluster keeper (min doc_id) weights its whole
+    * cluster's size, dup losers weight 0, unclustered docs weight 1.
+    * Σ weight = corpus size by construction, the invariant that lets a
+    * deduplicated corpus reproduce the ORIGINAL distribution (dedup
+    * changes variance, not frequency mass — the "count-preserving"
+    * discipline several curation pipelines apply instead of hard
+    * dropping).
+    *
+    * Scale: cluster sizes aggregate the label table (pair-endpoint
+    * sized, not corpus sized); the corpus-wide join is one left join
+    * against that small table — AQE broadcasts it when measured small.
+    * The memoized CC labels are shared with the cluster/keeper faces. */
+  def keeperWeights(spark: SparkSession, dir: String,
+                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val labels = clusterLabels(spark, dir, n, threshold)
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val weighted = labels.join(sizes, "label")
+      .select(col("doc_id"),
+        when(col("doc_id") === col("label"), col("cluster_size"))
+          .otherwise(lit(0L)).as("w"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(weighted, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("w"), lit(1L)).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   private def runClusterLoop(spark: SparkSession, dir: String,
                              n: Int, threshold: Double): DataFrame =
     ccLabels(spark, ngramJaccardPairsUnsorted(spark, dir, n, threshold)

@@ -122,6 +122,25 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("keeper weights preserve the corpus count: sum = N, losers 0, unclustered 1") {
+    val docs = spark.read.parquet(s"$plantedDir/documents.parquet")
+    val n = docs.count()
+    val w = DedupOps.keeperWeights(spark, plantedDir, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size == n, "one weight row per document")
+    assert(w.values.map(BigInt(_)).sum == n, "count preservation: sum(weight) = N")
+    val clusters = DedupOps.dedupClusters(spark, plantedDir, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    clusters.foreach { case (doc, (cl, isKeeper)) =>
+      val size = clusters.count(_._2._1 == cl)
+      assert(w(doc) == (if (isKeeper) size.toLong else 0L),
+        s"doc $doc keeper=$isKeeper cluster=$cl size=$size weight=${w(doc)}")
+    }
+    (w.keySet -- clusters.keySet).foreach { doc =>
+      assert(w(doc) == 1L, s"unclustered doc $doc weight=${w(doc)}")
+    }
+  }
+
   test("native kernels are bit-identical to the composable formulations they replace") {
     val raw = spark.read.parquet(s"$plantedDir/documents.parquet")
     assert(raw.select(
