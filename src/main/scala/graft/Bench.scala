@@ -26,25 +26,33 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     // local-iteration subset (driver never sets this): comma-separated
-    // query names; each runs REPEAT times (cold + warm timings printed)
+    // query names; each runs REPEAT times (all timings printed)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    // Per-query schedule: 1 cold run + WARM warm repeats (default 2).
+    // The cold number keeps the round-over-round "value" contract; the
+    // warm MEDIAN is the contention-robust figure (per-query colds swing
+    // 3-10x with box load, which made every regression argument cost a
+    // probe run). REPEAT, when set, overrides the whole schedule (legacy
+    // probe knob: run exactly REPEAT times).
+    val repeatEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "0").toInt
+    val warmRepeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "2").toInt
+    val runs = if (repeatEnv > 0) repeatEnv else 1 + math.max(warmRepeat, 0)
     // validated: a non-numeric (or empty) read must not reach the JSON
     // line — an unparseable token there nulls the driver's whole parse
     def loadavg(): String =
       try {
-        val head = scala.io.Source.fromFile("/proc/loadavg")
-          .mkString.split(" ").head
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        val head = try src.mkString.split(" ").head finally src.close()
         head.toDouble // throws unless numeric
         head
       } catch { case _: Throwable => "-1" }
     val loadStart = loadavg()
     // A crashed query must never masquerade as a fast one: record -1 and
     // list it in "errs" so the JSON line distinguishes fast from broken.
-    val results = SparkEntry.queries
+    val timings = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case e: Throwable =>
@@ -53,14 +61,25 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (ok) sec else -1.0
       }
-      if (repeat > 1)
+      if (runs > 1)
         System.err.println(f"[bench] $name: ${times.map(t => f"$t%.2f").mkString(" ")}")
-      // a failure in ANY repeat marks the query errored — a warm-only
-      // crash (e.g. cache corruption) must not hide behind a clean
-      // cold timing
+      name -> times
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // a failure in ANY repeat marks the query errored — a warm-only
+    // crash (e.g. cache corruption) must not hide behind a clean
+    // cold timing
+    val results = timings.map { case (name, times) =>
       name -> (if (times.exists(_ < 0)) -1.0 else times.head)
     }
+    val warmMed = timings.collect { case (name, times)
+      if !times.exists(_ < 0) && times.size > 1 => name -> median(times.tail)
+    }
     val errNames = results.collect { case (n, t) if t < 0 => n }.toSeq.sorted
+    val nOk = results.count(_._2 >= 0)
     // The driver records only the last 2000 chars of output (plus sbt's
     // trailing [success] line), and a line whose head falls outside that
     // window is recorded unparsed. Strip trailing zeros ("0.30"->"0.3",
@@ -71,6 +90,7 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
+    val loadEnd = loadavg()
     def line(dec: Int, keep: Int): String = {
       val slowestFirst = results.toSeq.sortBy(-_._2)
       val kept = slowestFirst.take(keep)
@@ -79,16 +99,37 @@ object Bench {
       val qs = kept.map { case (k, v) =>
         "\"" + k + "\":" + (if (v < 0) "-1" else fmt(v, dec))
       }.mkString("{", ",", "}")
-      // total = sum of SUCCESSFUL query times only; errors are listed.
+      // total = sum of SUCCESSFUL query times only (n_ok/n_err say how
+      // many that is — totals over unequal query sets must not be
+      // naively compared, so the counts ride in the line itself).
       val total = results.values.filter(_ >= 0).sum
+      val wTotal = if (warmMed.nonEmpty)
+        s""","warm_total":${fmt(warmMed.values.sum, dec)}"""
+      else ""
       val omit = if (omitted > 0)
         s""","omitted_queries":$omitted,"omitted_sec":${fmt(omittedSum, dec)}"""
       else ""
       val errs = if (errNames.nonEmpty)
         s""","errs":${errNames.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       else ""
-      val load = s""","load_start":$loadStart,"load_end":${loadavg()}"""
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs$errs$load$omit,"sf":"$sfDir"}"""
+      val load = s""","load_start":$loadStart,"load_end":$loadEnd"""
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","n_ok":$nOk,"n_err":${errNames.size}$wTotal,"queries":$qs$errs$load$omit,"sf":"$sfDir"}"""
+    }
+    // Full per-query detail (cold + warm median) goes to a repo-local
+    // file — the 2000-char driver window can't carry 138 pairs, but
+    // STATUS/regression arguments can cite this file directly.
+    try {
+      val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+        "BENCH_DETAIL.json")
+      val detail = results.toSeq.sortBy(-_._2).map { case (k, v) =>
+        val w = warmMed.get(k).map(m => s""","warm_med":${fmt(m, 2)}""").getOrElse("")
+        s""""$k":{"cold":${if (v < 0) "-1" else fmt(v, 2)}$w}"""
+      }.mkString("{", ",", "}")
+      val body = s"""{"sf":"$sfDir","runs":$runs,"n_ok":$nOk,"n_err":${errNames.size},"load_start":$loadStart,"load_end":$loadEnd,"queries":$detail}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        body.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
     // window budget: 2000 chars minus sbt's ~75-char [success] tail.
     // Degrade precision first; past the registry size where even

@@ -75,7 +75,7 @@ object DedupOps {
         // single-file inputs arrive as one partition; spread the per-row
         // shingle compute across cores before persisting
         val hashed = registerCache(Tables.documents(spark, dir)
-          .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
+          .transform(FanOut(_))
           .select(col("doc_id"),
             bc(graft.functions.HashStringArray(br(shingles(col("text"), n)))).as("hs"))
           .filter(size(col("hs")) > 0)
@@ -90,7 +90,7 @@ object DedupOps {
     shingleCaches.synchronized {
       shingleCaches.getOrElseUpdate((dir, n, "strings"), {
         val docs = registerCache(Tables.documents(spark, dir)
-          .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
+          .transform(FanOut(_))
           .select(col("doc_id"), shingles(col("text"), n).as("sh"))
           .filter(size(col("sh")) > 0)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -542,7 +542,7 @@ object DedupOps {
     val widths = Array.tabulate(nBlocks)(b => 64 / nBlocks + (if (b < 64 % nBlocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val docs = Tables.documents(spark, dir)
-      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
+      .transform(FanOut(_))
       .select(col("doc_id"), simhash("text", md5Mode).as("sh"))
     // mask via -1L >>> (64 - w): the naive (1L << w) - 1 is 0 at w=64
     // (JVM shifts are mod 64), which would collapse maxHamming=0 into

@@ -34,7 +34,7 @@ object MultimodalOps {
   def toMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
+      .transform(FanOut(_))
       .select(col("doc_id").as("media_id"),
         col("text").cast("binary").as("payload"),
         lit("application/octet-stream").as("mime"))

@@ -218,7 +218,9 @@ object SampleOps {
     * Relational.withGlobalRank but carrying a SUM instead of a count. */
   def ppsSample(spark: SparkSession, dir: String, n: Int = ppsN): DataFrame = {
     import spark.implicits._
-    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism, 64))
+    // full parallelism, never capped: the per-partition-totals step is
+    // O(P) rows in one task, trivially fine at any real cluster's P
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
     val ranged = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .repartitionByRange(parts, col("doc_id").asc)

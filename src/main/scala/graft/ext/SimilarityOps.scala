@@ -56,7 +56,7 @@ object SimilarityOps {
                      maxVecId: Long = Long.MaxValue): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < maxVecId)
-      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
+      .transform(FanOut(_))
     val queries = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val sims = emb.filter(col("vec_id") >= numQueries)
@@ -119,7 +119,7 @@ object SimilarityOps {
   def lshTopK(spark: SparkSession, dir: String,
               numQueries: Int = 5, k: Int = 5, nPlanes: Int = 9): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
+      .transform(FanOut(_))
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), nPlanes).as("bucket"))
     val queries = bucketed.filter(col("vec_id") < numQueries)
@@ -280,7 +280,7 @@ object SimilarityOps {
               numQueries: Int = 5, k: Int = 5,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
+      .transform(FanOut(_))
     val cents = centroidCache.synchronized {
       centroidCache.getOrElseUpdate((dir, nCentroids, 2),
         trainCentroidsLocal(emb, nCentroids))
@@ -361,7 +361,7 @@ object SimilarityOps {
                                  planesPerTable: Int, nTables: Int,
                                  extraCols: Seq[String] = Nil): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
+      .transform(FanOut(_))
     emb.select(col("vec_id") +: extraCols.map(col) :+ col("embedding") :+
         posexplode(array((0 until nTables).map(t =>
           lshBucket(col("embedding"), planesPerTable, t * planesPerTable)): _*)): _*)
@@ -575,7 +575,7 @@ object SimilarityOps {
              maxVecId: Long = Long.MaxValue, rerank: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < maxVecId)
-      .repartition(math.min(spark.sparkContext.defaultParallelism, 16))
+      .transform(FanOut(_))
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     // memoize bounded codebooks only — a guard against a caller pinning
     // an oversized codebook in the driver for the JVM lifetime

@@ -228,4 +228,17 @@ class PlanShapeSpec extends SparkSuite {
     // the df aggregate and the per-doc rollup
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
   }
+
+  test("ext scans fan out to full default parallelism (no fixed cap)") {
+    val dp = spark.sparkContext.defaultParallelism
+    // a single-file local scan plans as 1 split; FanOut must lift it to
+    // AT LEAST dp — the round-9 min(dp, 16) cap would serialize a real
+    // cluster's whole dedup/similarity/multimodal family into 16 tasks
+    val fanned = graft.ext.FanOut(graft.model.Tables.documents(spark, sf))
+    assert(fanned.rdd.getNumPartitions >= dp,
+      s"fanned to ${fanned.rdd.getNumPartitions} < defaultParallelism $dp")
+    // an already-wide input passes through untouched: no shuffle added
+    val wide = spark.range(0, 1000, 1, dp * 4).toDF("v")
+    assert(graft.ext.FanOut(wide) eq wide, "wide scan was repartitioned")
+  }
 }
