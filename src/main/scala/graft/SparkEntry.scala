@@ -1248,29 +1248,63 @@ object SparkEntry {
       |  CAST(len(embedding) AS BIGINT) AS dim
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
-  private val mmMediaMetaSql: String =
-    """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-      |  md5(text) AS checksum,
-      |  CAST(64 + octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
-      |  CAST(64 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height,
-      |  CAST(octet_length(encode(text)) * 40 AS BIGINT) AS fake_duration_ms
-      |FROM documents ORDER BY media_id""".stripMargin
+  // Planted image fixtures (ext.MultimodalOps.Fixtures): byte lengths
+  // and checksums interpolate from the actual fixture bytes; the
+  // DIMENSIONS are hand-asserted literals — if the Spark-side header
+  // parser misreads a PNG IHDR or JPEG SOF, the hash check fails.
+  private def mmFix = graft.ext.MultimodalOps.Fixtures
+  private def mmMd5(b: Array[Byte]): String = mmFix.md5hex(b)
+  private def mmSynthW(len: Int): Long = 64L + len % 640L
+  private def mmSynthH(len: Int): Long = 64L + (len * 7L) % 480L
 
-  private val mmResizeSql: String =
-    """WITH m AS (SELECT doc_id AS media_id,
-      |    CAST(64 + octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
-      |    CAST(64 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height
-      |  FROM documents),
-      |s AS (SELECT *, least(256.0 / fake_width, 256.0 / fake_height, 1.0) AS scale FROM m)
-      |SELECT media_id, fake_width, fake_height,
-      |  CAST(floor(fake_width * scale) AS BIGINT) AS out_width,
-      |  CAST(floor(fake_height * scale) AS BIGINT) AS out_height
+  private lazy val mmPlantedMetaValues: String = {
+    val c = mmFix.corruptPng.length
+    s"""(CAST(-1 AS BIGINT), CAST(${mmFix.png64x48.length} AS BIGINT), '${mmMd5(mmFix.png64x48)}', 'png', CAST(64 AS BIGINT), CAST(48 AS BIGINT), CAST(0 AS BIGINT)),
+       |    (CAST(-2 AS BIGINT), CAST(${mmFix.jpeg320x240.length} AS BIGINT), '${mmMd5(mmFix.jpeg320x240)}', 'jpeg', CAST(320 AS BIGINT), CAST(240 AS BIGINT), CAST(0 AS BIGINT)),
+       |    (CAST(-3 AS BIGINT), CAST($c AS BIGINT), '${mmMd5(mmFix.corruptPng)}', 'synthetic', CAST(${mmSynthW(c)} AS BIGINT), CAST(${mmSynthH(c)} AS BIGINT), CAST(${c * 40L} AS BIGINT))""".stripMargin
+  }
+
+  private lazy val mmPlantedDimValues: String = {
+    val c = mmFix.corruptPng.length
+    s"""(CAST(-1 AS BIGINT), CAST(64 AS BIGINT), CAST(48 AS BIGINT)),
+       |    (CAST(-2 AS BIGINT), CAST(320 AS BIGINT), CAST(240 AS BIGINT)),
+       |    (CAST(-3 AS BIGINT), CAST(${mmSynthW(c)} AS BIGINT), CAST(${mmSynthH(c)} AS BIGINT))""".stripMargin
+  }
+
+  private lazy val mmMediaMetaSql: String =
+    s"""SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  md5(text) AS checksum, 'synthetic' AS kind,
+      |  CAST(64 + octet_length(encode(text)) % 640 AS BIGINT) AS width,
+      |  CAST(64 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+      |  CAST(octet_length(encode(text)) * 40 AS BIGINT) AS duration_ms
+      |FROM documents
+      |UNION ALL
+      |SELECT * FROM (VALUES
+      |    $mmPlantedMetaValues
+      |) v(media_id, byte_len, checksum, kind, width, height, duration_ms)
+      |ORDER BY media_id""".stripMargin
+
+  private lazy val mmResizeSql: String =
+    s"""WITH m AS (SELECT doc_id AS media_id,
+      |    CAST(64 + octet_length(encode(text)) % 640 AS BIGINT) AS width,
+      |    CAST(64 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    $mmPlantedDimValues
+      |  ) v(media_id, width, height)),
+      |s AS (SELECT *, least(256.0 / width, 256.0 / height, 1.0) AS scale FROM m)
+      |SELECT media_id, width, height,
+      |  CAST(floor(width * scale) AS BIGINT) AS out_width,
+      |  CAST(floor(height * scale) AS BIGINT) AS out_height
       |FROM s ORDER BY media_id""".stripMargin
 
-  private val mmFramesSql: String =
-    """WITH m AS (SELECT doc_id AS media_id,
+  private lazy val mmFramesSql: String =
+    s"""WITH m AS (SELECT doc_id AS media_id,
       |    CAST(octet_length(encode(text)) * 40 AS BIGINT) AS dur
-      |  FROM documents)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT CAST(-3 AS BIGINT), CAST(${mmFix.corruptPng.length * 40L} AS BIGINT))
       |SELECT media_id, CAST(frame_ms AS BIGINT) AS frame_ms,
       |       CAST(frame_ms // 40 AS BIGINT) AS frame_index
       |FROM (SELECT media_id, unnest(range(0, dur, 1000)) AS frame_ms FROM m)
@@ -1451,7 +1485,7 @@ object SparkEntry {
     "sim_embedding_stats" -> ((s, d) => SimilarityOps.embeddingStats(s, d)),
     "sim_label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
     "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
-    "mm_resize" -> ((s, d) => MultimodalOps.resizeStub(s, d)),
+    "mm_resize" -> ((s, d) => MultimodalOps.resize(s, d)),
     "mm_frames" -> ((s, d) => MultimodalOps.sampleFrames(s, d)),
     // event-time [EXT]
     "ev_tumbling" -> ((s, d) => EventOps.tumblingCounts(s, d)),

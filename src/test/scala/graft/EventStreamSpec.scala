@@ -53,6 +53,37 @@ class EventStreamSpec extends SparkSuite {
     assert(n == 2)
   }
 
+  test("watermarked dedup holds state across batches and expires it past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.dedup(input.toDF())
+      .writeStream.format("memory").queryName("dedup_xbatch")
+      .outputMode("append").trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      // batch 1: two distinct ids ⇒ watermark after this batch = 10:02-5m
+      input.addData(Event(1, ts(1), 1, "click", 1.0),
+                    Event(2, ts(2), 1, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: a CROSS-BATCH duplicate of id 1 (state still live —
+      // expiry 10:01+5m is ahead of the watermark) ⇒ dropped; the 10:30
+      // event advances the watermark to 10:25, past both ids' expiries
+      input.addData(Event(1, ts(3), 1, "click", 1.0),
+                    Event(9, ts(30), 2, "click", 1.0))
+      q.processAllAvailable()
+      // batch 3: id 2 replayed with a FRESH (non-late) timestamp after
+      // its dedup state expired ⇒ re-emitted (the WithinWatermark
+      // contract: dedup is only guaranteed inside the watermark delay)
+      input.addData(Event(2, ts(26), 1, "view", 2.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_xbatch")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 2L, 9L),
+        s"expected cross-batch dup dropped, expired id re-emitted; got $ids")
+    } finally q.stop()
+  }
+
   test("watermark drops late data beyond the 5-minute threshold (T9)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

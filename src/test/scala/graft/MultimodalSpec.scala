@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ext.MultimodalOps
+import graft.ext.MultimodalOps.Fixtures
 
 class MultimodalSpec extends SparkSuite {
 
-  test("decode stub: byte length matches text length, checksum matches md5") {
+  test("decode: byte length matches text length, checksum matches md5 (corpus rows)") {
     val meta = MultimodalOps.mediaMeta(spark, sf)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id").as("media_id"),
@@ -17,17 +18,53 @@ class MultimodalSpec extends SparkSuite {
     joined.foreach { r =>
       assert(r.getLong(r.fieldIndex("byte_len")) == r.getLong(r.fieldIndex("expected_len")))
       assert(r.getString(r.fieldIndex("checksum")) == r.getString(r.fieldIndex("expected_md5")))
+      assert(r.getString(r.fieldIndex("kind")) == "synthetic")
     }
+  }
+
+  test("PNG IHDR parse: planted 64x48 header decodes to real dimensions") {
+    assert(MultimodalOps.parseImageDims(Fixtures.png64x48)
+      .contains(("png", 64L, 48L)))
+    // and through the full distributed decode path
+    val r = MultimodalOps.mediaMeta(spark, sf)
+      .filter(col("media_id") === -1L).collect().head
+    assert(r.getString(r.fieldIndex("kind")) == "png")
+    assert(r.getLong(r.fieldIndex("width")) == 64L)
+    assert(r.getLong(r.fieldIndex("height")) == 48L)
+    assert(r.getLong(r.fieldIndex("duration_ms")) == 0L)
+  }
+
+  test("JPEG SOF parse: marker scan skips APP0 and reads 320x240 from SOF0") {
+    assert(MultimodalOps.parseImageDims(Fixtures.jpeg320x240)
+      .contains(("jpeg", 320L, 240L)))
+    val r = MultimodalOps.mediaMeta(spark, sf)
+      .filter(col("media_id") === -2L).collect().head
+    assert(r.getString(r.fieldIndex("kind")) == "jpeg")
+    assert(r.getLong(r.fieldIndex("width")) == 320L)
+    assert(r.getLong(r.fieldIndex("height")) == 240L)
+  }
+
+  test("corrupt payload falls back to synthetic features, never throws") {
+    assert(MultimodalOps.parseImageDims(Fixtures.corruptPng).isEmpty)
+    // truncated mid-segment JPEG and empty payload also parse to None
+    assert(MultimodalOps.parseImageDims(Fixtures.jpeg320x240.take(10)).isEmpty)
+    assert(MultimodalOps.parseImageDims(Array.emptyByteArray).isEmpty)
+    val r = MultimodalOps.mediaMeta(spark, sf)
+      .filter(col("media_id") === -3L).collect().head
+    assert(r.getString(r.fieldIndex("kind")) == "synthetic")
+    val len = Fixtures.corruptPng.length
+    assert(r.getLong(r.fieldIndex("width")) == 64L + len % 640L)
+    assert(r.getLong(r.fieldIndex("height")) == 64L + (len * 7L) % 480L)
   }
 
   test("frame sampling: frame count = ceil(duration/1000), strictly increasing") {
     val frames = MultimodalOps.sampleFrames(spark, sf)
     val meta = MultimodalOps.mediaMeta(spark, sf)
-      .select(col("media_id"), col("fake_duration_ms"))
+      .select(col("media_id"), col("duration_ms"))
     val counts = frames.groupBy("media_id").count()
       .join(meta, "media_id").collect()
     counts.foreach { r =>
-      val dur = r.getLong(r.fieldIndex("fake_duration_ms"))
+      val dur = r.getLong(r.fieldIndex("duration_ms"))
       val expected = (dur + 999) / 1000
       assert(r.getLong(r.fieldIndex("count")) == expected)
     }
@@ -35,19 +72,23 @@ class MultimodalSpec extends SparkSuite {
 
   test("frame sampling: zero-duration media yields no rows (no ANSI sequence error)") {
     import spark.implicits._
-    val meta = Seq((1L, 0L), (2L, 1500L)).toDF("media_id", "fake_duration_ms")
+    val meta = Seq((1L, 0L), (2L, 1500L)).toDF("media_id", "duration_ms")
     val rows = MultimodalOps.frames(meta)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.toSeq == Seq((2L, 0L), (2L, 1000L)))
   }
 
   test("resize: output dims bounded by 256, aspect preserved within rounding") {
-    val rows = MultimodalOps.resizeStub(spark, sf).collect()
+    val rows = MultimodalOps.resize(spark, sf).collect()
     rows.foreach { r =>
       val ow = r.getLong(r.fieldIndex("out_width"))
       val oh = r.getLong(r.fieldIndex("out_height"))
       assert(ow <= 256 && oh <= 256)
       assert(ow >= 1 && oh >= 1)
     }
+    // the planted 320x240 JPEG scales by 0.8 to exactly 256x192
+    val j = rows.find(_.getLong(0) == -2L).get
+    assert(j.getLong(j.fieldIndex("out_width")) == 256L)
+    assert(j.getLong(j.fieldIndex("out_height")) == 192L)
   }
 }
