@@ -331,30 +331,14 @@ object DedupOps {
   }
 
   /** Near-dup CLUSTERS from the verified pair set: connected components
-    * by iterative min-label propagation, then keeper = min doc_id per
-    * component — the selection step a dedup pipeline runs after pair
-    * generation ("keep one document per duplicate cluster").
-    *
-    * Distributed shape: each round unions three label sources — own
-    * label, neighbors' labels (edges ⋈ labels), and the label of the
-    * label (pointer jumping, labels ⋈ labels) — then takes the min per
-    * node. Neighbor propagation alone needs diameter rounds; the jump
-    * doubles the reach each round, so convergence is O(log diameter)
-    * — at a fixed per-round scheduling cost, that is the difference
-    * between 4 and 10+ Spark jobs. At true web scale swap in
-    * the large-star/small-star alternation (Kiveris et al.), same
-    * join+min building block. `localCheckpoint` caps lineage growth so
-    * round N doesn't replay rounds 1..N−1.
-    *
-    * Round pacing (the part that costs wall-clock, not data): each round
-    * runs exactly ONE materializing job. The union is TAGGED so the
-    * aggregate emits both the new label and the node's previous label;
-    * convergence is then a filter-count over the already-checkpointed
-    * round output — no second join, no separate convergence plan. The
-    * label table is orders of magnitude smaller than the corpus (only
-    * nodes that appear in a duplicate pair), so the loop runs at a
-    * handful of shuffle partitions — sized by the pair-node count, not
-    * by the corpus-wide default. */
+    * via [[ccLabels]] (large-star/small-star alternation — see there
+    * for the distributed shape and round bounds), then keeper = min
+    * doc_id per component — the selection step a dedup pipeline runs
+    * after pair generation ("keep one document per duplicate
+    * cluster"). The label table is orders of magnitude smaller than
+    * the corpus (only nodes that appear in a duplicate pair), so the
+    * loop runs at a handful of shuffle partitions — sized by the
+    * pair-node count, not by the corpus-wide default. */
   /** Converged CC label table memo: the cluster query faces
     * (`dedupClusters`, `keeperByQuality`) share one loop run per
     * (dir, n, threshold) — the labels are localCheckpoint'ed, so reuse
@@ -410,63 +394,106 @@ object DedupOps {
     ccLabels(spark, ngramJaccardPairsUnsorted(spark, dir, n, threshold)
       .select(col("doc_a"), col("doc_b")))
 
-  /** The generic connected-components min-label loop over ANY
-    * undirected pair table (2 columns, one row per edge a<b) — the
-    * machinery behind n-gram near-dup clustering, reused by semantic
-    * (embedding) clustering. Returns (doc_id, label) where `doc_id`
-    * is the generic node id (every pair endpoint) and `label` the
-    * component's minimum node id. */
+  /** The generic connected-components machinery over ANY undirected
+    * pair table (2 columns, one row per edge a<b) — behind n-gram
+    * near-dup clustering, reused by semantic (embedding) clustering.
+    * Returns (doc_id, label) where `doc_id` is the generic node id
+    * (every pair endpoint) and `label` the component's minimum node id.
+    *
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR edge rewriting
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Each round rewrites the edge set so every node hangs off
+    * the minimum of its neighborhood; the fixpoint is a star forest
+    * whose centers are the component minima. Unlike plain min-label
+    * propagation (O(diameter) rounds — the round-9 implementation,
+    * which pointer jumping only softened), the alternation closes
+    * high-diameter components in logarithmic rounds: DedupSpec pins a
+    * 1024-edge path converging within log₂(diameter)+4 rounds. Each
+    * round is two groupBy-min + join passes over the EDGE set (pair-set
+    * sized, never the corpus), driver-paced with localCheckpoint so
+    * lineage stays flat. */
   private[graft] def ccLabels(spark: SparkSession,
-                              pairTable: DataFrame): DataFrame = {
+                              pairTable: DataFrame): DataFrame =
+    ccLabelsCounted(spark, pairTable)._1
+
+  /** ccLabels plus the number of LS+SS rounds the loop ran — exposed so
+    * the spec can assert the logarithmic-round guarantee. */
+  private[graft] def ccLabelsCounted(spark: SparkSession,
+                                     pairTable: DataFrame): (DataFrame, Int) = {
     val pairs = pairTable.toDF("doc_a", "doc_b")
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("u", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the (expensive) pair generation at the session's full
     // shuffle width BEFORE narrowing the loop — the persist above is
     // lazy, and the first loop action must not drag the corpus-wide
     // shingle join down to the loop's partition count
-    edges.count()
-    // the label table holds one row per pair-endpoint node — tiny relative
-    // to the corpus. Narrow the loop's exchanges to match: 32 (or 200)
-    // two-row shuffle tasks per round is pure scheduling overhead.
+    pairs.count()
+    // the edge/label tables hold one row per duplicate pair — tiny
+    // relative to the corpus. Narrow the loop's exchanges to match: 32
+    // (or 200) two-row shuffle tasks per round is scheduling overhead.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      // seed with the first propagation round folded into init: label₀ =
-      // min(self, neighbors). Same groupBy the plain distinct would cost,
-      // one fewer loop round (and checkpoint) for every component
-      var labels = edges.groupBy(col("u"))
-        .agg(least(min(col("v")), col("u")).as("label"))
-        .select(col("u").as("doc_id"), col("label"))
-        .localCheckpoint()
-      var converged = false
-      while (!converged) {
-        val propagated = edges
-          .join(labels, edges("v") === labels("doc_id"))
-          .select(col("u").as("doc_id"), col("label"))
-        val jumped = labels.as("l1")
-          .join(labels.as("l2"), col("l1.label") === col("l2.doc_id"))
-          .select(col("l1.doc_id").as("doc_id"), col("l2.label").as("label"))
-        // tag the self rows: each doc_id occurs exactly once as `self`,
-        // so min(label WHERE self) recovers the previous label in the
-        // SAME aggregate that computes the new one
-        val next = labels.withColumn("self", lit(true))
-          .unionByName(propagated.withColumn("self", lit(false)))
-          .unionByName(jumped.withColumn("self", lit(false)))
-          .groupBy(col("doc_id"))
-          .agg(min(col("label")).as("label"),
-            min(when(col("self"), col("label"))).as("prev"))
-          .localCheckpoint() // the round's single materializing job
-        // convergence reads the checkpointed partitions — a
-        // milliseconds-scale scan, not a recomputation
-        val improved = next.filter(col("label") < col("prev")).count()
-        labels = next.select(col("doc_id"), col("label"))
-        converged = improved == 0
+      // every pair endpoint keeps a label even if its node drops out of
+      // the evolving edge set (e.g. a self-pair)
+      val nodes = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .distinct()
+      // canonical undirected form: u = min endpoint, self-loops dropped
+      def canon(e: DataFrame): DataFrame =
+        e.filter(col("u") =!= col("v"))
+          .select(least(col("u"), col("v")).as("u"),
+            greatest(col("u"), col("v")).as("v"))
+          .distinct()
+      // one star rewrite. Both directions of every edge feed each
+      // node's neighborhood; m = min(Γ(u) ∪ {u}). LARGE-STAR hangs the
+      // strictly-larger neighbors off m; SMALL-STAR hangs the smaller
+      // ones AND u itself off m (keeping every node attached).
+      def star(e: DataFrame, large: Boolean): DataFrame = {
+        val adj = e.select(col("u"), col("v"))
+          .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        val mins = adj.groupBy(col("u"))
+          .agg(least(min(col("v")), col("u")).as("m"))
+        val joined = adj.join(mins, "u")
+        if (large)
+          joined.filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+        else
+          joined.filter(col("v") < col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .unionByName(mins.select(col("u"), col("m").as("v")))
       }
-      edges.unpersist()
-      labels
+      // (count, hash-sum) signature: set equality check in one cheap
+      // scan of the checkpointed round output. The hash sum runs in
+      // decimal — a long sum of 2^63-range hashes overflows under ANSI.
+      def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+        val r = e.agg(count(lit(1)),
+          coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head()
+        (r.getLong(0), r.getDecimal(1).stripTrailingZeros)
+      }
+      var cur = canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+        .localCheckpoint()
+      var curSig = sig(cur)
+      var rounds = 0
+      var converged = curSig._1 == 0L
+      while (!converged) {
+        val next = canon(star(canon(star(cur, large = true)), large = false))
+          .localCheckpoint() // the round's single materializing job
+        rounds += 1
+        val nextSig = sig(next)
+        cur = next
+        converged = nextSig == curSig
+        curSig = nextSig
+      }
+      // fixpoint edges are (root = component min, child): label children
+      // by their root, roots and edge-less endpoints by themselves
+      val labels = nodes
+        .join(cur.select(col("v").as("doc_id"), col("u").as("label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+        .localCheckpoint()
+      pairs.unpersist()
+      (labels, rounds)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 

@@ -444,9 +444,9 @@ object SimilarityOps {
     * the "collapse paraphrase groups to one exemplar" step a
     * curation pipeline runs after semantic matching, exactly parallel
     * to the n-gram cluster face (`dedup_clusters`) and sharing its CC
-    * machinery ([[DedupOps.ccLabels]]: min-label propagation +
-    * pointer jumping, O(log diameter) rounds, one materializing job
-    * per round). Keeper = minimum vec_id per component; vectors in no
+    * machinery ([[DedupOps.ccLabels]]: large-star/small-star
+    * alternation, logarithmic rounds, one materializing job per
+    * round). Keeper = minimum vec_id per component; vectors in no
     * near-dup pair are absent (nothing to collapse). Scale: the pair
     * set is O(near-duplicates), orders of magnitude below the corpus,
     * so the loop runs on a table the size of the problem's answer. */

@@ -240,4 +240,46 @@ class DedupSpec extends SparkSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == want)
   }
+
+  test("connected components: 1024-edge path converges in logarithmic rounds") {
+    import spark.implicits._
+    // the worst case for plain min-label propagation (O(diameter)
+    // rounds); large-star/small-star must close it logarithmically
+    val d = 1024
+    val path = (0 until d).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = DedupOps.ccLabelsCounted(spark, path)
+    val lbl = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.size == d + 1, "every endpoint labeled exactly once")
+    assert(lbl.values.forall(_ == 0L), "single component, min label 0")
+    val bound = (math.log(d.toDouble) / math.log(2.0)).ceil.toInt + 4
+    assert(rounds <= bound, s"path-$d took $rounds LS+SS rounds > bound $bound")
+  }
+
+  test("connected components: random graph labels equal a union-find replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val raw = Seq.fill(400)((rnd.nextInt(250).toLong, rnd.nextInt(250).toLong))
+    val pairs = raw.filter { case (a, b) => a != b }
+    // high-id star center mixed in: a hub whose neighbors are all smaller
+    val star = (0 until 30).map(i => (240L, i.toLong * 3))
+    val all = (pairs ++ star).distinct
+    val (labels, _) = DedupOps.ccLabelsCounted(spark, all.toDF("doc_a", "doc_b"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    all.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = all.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = nodes.map { n =>
+      val root = find(n)
+      n -> nodes.filter(m => find(m) == root).min
+    }.toMap
+    assert(got == want)
+  }
 }
