@@ -1189,32 +1189,33 @@ object SparkEntry {
       |       (u = min(label)) AS is_keeper
       |FROM walk GROUP BY u ORDER BY vec_id""".stripMargin
 
-  /** Replication of the single-table multi-probe LSH top-k: 9-plane
-    * buckets (same LCG planes; 512 buckets sizes the corpus/bucket
-    * ratio for recall at the test SFs), probes = the Hamming-radius-≤2
-    * mask list interpolated from SimilarityOps.lshProbeMasks (identical
-    * probed-bucket set by construction), candidates on bucket equality,
-    * exact cosine ranking with the (cos DESC, vec_id ASC) tie-break
-    * both engines share. */
+  /** Replication of the OR-amplified multi-probe LSH top-k: 4 tables ×
+    * 9-plane buckets (same LCG planes, global plane index t·9+p; 512
+    * buckets/table sizes the corpus/bucket ratio for recall at the test
+    * SFs), probes = the Hamming-radius-≤2 mask list interpolated from
+    * SimilarityOps.lshProbeMasks (identical probed-bucket set by
+    * construction), candidates on (table, bucket) equality, exact
+    * cosine ranking with the (cos DESC, vec_id ASC) tie-break both
+    * engines share. */
   private val simLshTopKSql: String =
     s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
-      |pl AS (SELECT p FROM generate_series(0, 8) g(p)),
+      |pl AS (SELECT p FROM generate_series(0, 35) g(p)),
       |dots AS (SELECT e.vec_id, pl.p,
       |    list_sum(list_transform(range(1, 65),
       |      j -> CAST(e.embedding[j] AS DOUBLE) *
       |           (CAST((CAST(1103515245 AS BIGINT) * (pl.p * 64 + j)
       |                  + 12345) & 2147483647 AS DOUBLE) / 2147483648.0 - 0.5))) AS d
       |  FROM emb e CROSS JOIN pl),
-      |buck AS (SELECT vec_id,
-      |    CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
-      |  FROM dots GROUP BY vec_id),
-      |probes AS (SELECT q.vec_id AS qid, xor(q.bucket, m.mask) AS bucket
+      |buck AS (SELECT vec_id, p // 9 AS tbl,
+      |    CAST(sum(CASE WHEN d > 0 THEN 1 << (p % 9) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, p // 9),
+      |probes AS (SELECT q.vec_id AS qid, q.tbl, xor(q.bucket, m.mask) AS bucket
       |  FROM buck q CROSS JOIN (SELECT unnest(CAST(
-      |    [${graft.ext.SimilarityOps.lshProbeMasks(9).mkString(", ")}]
+      |    [${graft.ext.SimilarityOps.lshProbeMasks(9, 2).mkString(", ")}]
       |    AS BIGINT[])) AS mask) m
       |  WHERE q.vec_id < 5),
       |cand AS (SELECT DISTINCT p.qid, c.vec_id
-      |  FROM probes p JOIN buck c ON p.bucket = c.bucket
+      |  FROM probes p JOIN buck c ON p.tbl = c.tbl AND p.bucket = c.bucket
       |  WHERE c.vec_id >= 5),
       |sims AS (SELECT qid, cand.vec_id, round(
       |    list_sum(list_transform(range(1, 65),

@@ -103,37 +103,47 @@ object SimilarityOps {
     * vector once and never goes quadratic. Recall vs `bruteForceTopK`
     * is pinned by ScalaTest (no SQL oracle — rank ties under reduced
     * candidate sets make hash-equality too brittle). */
-  /** Probe masks for multi-probe LSH at Hamming radius ≤ 2: the query's
-    * own bucket (mask 0), every 1-bit flip, and every 2-bit flip —
-    * 1 + n + C(n,2) buckets. Shared with the oracle SQL (the mask list
+  /** Probe masks for multi-probe LSH at Hamming radius ≤ `maxRadius`:
+    * the query's own bucket (mask 0) plus every ≤ maxRadius-bit flip —
+    * Σ_{r≤R} C(n,r) buckets. Shared with the oracle SQL (the mask list
     * is interpolated into both engines) so the probed bucket SET is
-    * identical by construction. */
-  private[graft] def lshProbeMasks(nPlanes: Int): Seq[Long] = {
-    val singles = (0 until nPlanes).map(1L << _)
-    val pairs = for {
-      a <- 0 until nPlanes; b <- a + 1 until nPlanes
-    } yield (1L << a) | (1L << b)
-    0L +: (singles ++ pairs)
+    * identical by construction. The recall/cost knobs are this radius
+    * and the table count in [[lshTopK]] — see there for the measured
+    * trade-offs on a structureless corpus. */
+  private[graft] def lshProbeMasks(nPlanes: Int, maxRadius: Int = 2): Seq[Long] = {
+    def combos(start: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (start until nPlanes).flatMap(b =>
+        combos(b + 1, left - 1).map(m => m | (1L << b)))
+    (0 to maxRadius).flatMap(r => combos(0, r))
   }
 
   def lshTopK(spark: SparkSession, dir: String,
-              numQueries: Int = 5, k: Int = 5, nPlanes: Int = 9): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .transform(FanOut(_))
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), nPlanes).as("bucket"))
+              numQueries: Int = 5, k: Int = 5, nPlanes: Int = 9,
+              nTables: Int = 4, probeRadius: Int = 2): DataFrame = {
+    // OR-amplified multi-probe: `nTables` independent plane families
+    // (plane index offset t·nPlanes, the bucketedEmbeddings discipline),
+    // each probed at Hamming radius ≤ `probeRadius`. On random
+    // (clusterless) data the per-plane sign-flip probability for a true
+    // top-k neighbor is ≈ 0.4, so one radius-2 table retrieves ≈ 0.36
+    // of them; independent tables OR-amplify that: measured recall@5 on
+    // sf0.1 is 0.60 avg at 3 tables and 0.68 avg / 0.40 min at the
+    // default 4 (~4·46/512 ≈ 36% of the bucket space probed) — a better
+    // recall/candidate trade than deepening one table's radius (radius
+    // 3 single-table measured 0.48 for less probe volume). IVF stays
+    // the recommended ANN on clusterless corpora (recall 1.0 here); the
+    // candidate join stays a pure equi-join on (table, bucket) — one
+    // shuffle of each vector, never quadratic.
+    val bucketed = bucketedEmbeddings(spark, dir, nPlanes, nTables)
     val queries = bucketed.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-        col("bucket").as("qbucket"))
-    // multi-probe at Hamming radius ≤ 2: on random (clusterless) data
-    // single-bucket sign-LSH has a weak similarity gap, so the probe
-    // set — not the plane count — is the recall lever; the probed
-    // fraction stays (1+n+C(n,2))/2^n ≈ 9% of the corpus at n = 9
-    val probes = queries.select(col("qid"), col("qvec"), col("qbucket"),
-      explode(array(lshProbeMasks(nPlanes).map(lit(_)): _*)).as("mask"))
-      .select(col("qid"), col("qvec"),
+        col("table"), col("bucket").as("qbucket"))
+    val probes = queries.select(col("qid"), col("qvec"), col("table"), col("qbucket"),
+      explode(array(lshProbeMasks(nPlanes, probeRadius).map(lit(_)): _*)).as("mask"))
+      .select(col("qid"), col("qvec"), col("table"),
         col("qbucket").bitwiseXOR(col("mask")).as("bucket"))
-    val candidates = probes.join(bucketed.filter(col("vec_id") >= numQueries), Seq("bucket"))
+    val candidates = probes.join(
+      bucketed.filter(col("vec_id") >= numQueries), Seq("table", "bucket"))
     val sims = candidates.select(col("qid"), col("vec_id"),
         round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
       .dropDuplicates("qid", "vec_id")
