@@ -762,6 +762,22 @@ object SparkEntry {
     """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keeper
       |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
 
+  /** Incremental-dedup replay: the Bloom prefilter is an optimization
+    * that cannot change the answer (false positives are removed by the
+    * exact verify join), so the oracle is the plain anti-join over the
+    * same seeded-md5 batch/historical split. */
+  private val dedupIncrementalSql: String =
+    s"""WITH d AS (SELECT doc_id, md5(text) AS digest,
+       |             substr(md5('${DedupOps.incSplitSeed}:' || CAST(doc_id AS VARCHAR)), 1, 1)
+       |               < '${DedupOps.incBatchHex}' AS is_batch
+       |           FROM documents),
+       |hist AS (SELECT DISTINCT digest FROM d WHERE NOT is_batch),
+       |batch AS (SELECT digest, min(doc_id) AS doc_id
+       |          FROM d WHERE is_batch GROUP BY 1)
+       |SELECT b.doc_id, b.digest FROM batch b
+       |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.digest = b.digest)
+       |ORDER BY doc_id""".stripMargin
+
   /** True Jaccard over all shared-shingle candidate pairs — result-
     * equivalent to the Spark side's lossless prefix-filtered join. */
   private val dedupNgramJaccardSql: String =
@@ -826,6 +842,53 @@ object SparkEntry {
       |FROM v
       |WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Incremental near-dup replay: the same md5-mode signature → banding
+    * chain as `dedup_minhash_lsh`, but candidates are restricted to
+    * batch×historical (the persisted-index admission test) and rolled
+    * up per batch document. The oracle replays the INDEX's decision —
+    * LSH misses included — not ground-truth Jaccard. */
+  private val dedupIncrementalNearSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |         range(0, greatest(len(t) - 3, 0) + 1),
+       |         i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+       |       FROM toks),
+       |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0),
+       |hs AS (SELECT doc_id,
+       |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 4294967296 AS h32
+       |       FROM ex),
+       |sig AS (SELECT doc_id, j,
+       |          min((h32 * (2*j+1) + (982451653 * (j+1) % 2305843009213693951))
+       |              % 2305843009213693951) AS m
+       |        FROM hs CROSS JOIN generate_series(0, 31) AS g(j)
+       |        GROUP BY doc_id, j),
+       |band AS (SELECT doc_id, j // 4 AS band, string_agg(m, ',' ORDER BY j) AS bkey
+       |         FROM sig GROUP BY doc_id, j // 4),
+       |flag AS (SELECT doc_id,
+       |           substr(md5('${DedupOps.incSplitSeed}:' || CAST(doc_id AS VARCHAR)), 1, 1)
+       |             < '${DedupOps.incBatchHex}' AS is_batch
+       |         FROM documents),
+       |cand AS (SELECT DISTINCT h.doc_id AS hist_id, b.doc_id AS batch_id
+       |         FROM band h
+       |         JOIN flag fh ON fh.doc_id = h.doc_id AND NOT fh.is_batch
+       |         JOIN band b ON h.band = b.band AND h.bkey = b.bkey
+       |         JOIN flag fb ON fb.doc_id = b.doc_id AND fb.is_batch),
+       |v AS (SELECT hist_id, batch_id,
+       |        len(list_intersect(sa.s, sb.s)) AS common,
+       |        len(sa.s) AS na, len(sb.s) AS nb
+       |      FROM cand
+       |      JOIN sh sa ON sa.doc_id = hist_id
+       |      JOIN sh sb ON sb.doc_id = batch_id),
+       |m AS (SELECT batch_id, count(*) AS n_matches, min(hist_id) AS nearest_hist
+       |      FROM v
+       |      WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8
+       |      GROUP BY batch_id)
+       |SELECT f.doc_id, coalesce(m.n_matches, 0) AS n_near_dups, m.nearest_hist,
+       |       coalesce(m.n_matches, 0) = 0 AS kept
+       |FROM flag f LEFT JOIN m ON m.batch_id = f.doc_id
+       |WHERE f.is_batch ORDER BY f.doc_id""".stripMargin
 
   /** Oracle for the md5-mode SimHash query: the blocking scheme is
     * exhaustive at the radius (pigeonhole over maxHamming+1 blocks), so
@@ -1469,6 +1532,8 @@ object SparkEntry {
     "q_unpivot" -> ((s, d) => Relational.partMeasuresLong(s, d)),
     "ev_funnel" -> ((s, d) => EventOps.funnel(s, d)),
     "dedup_exact" -> ((s, d) => DedupOps.exactDupGroups(s, d)),
+    "dedup_incremental" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
+    "dedup_incremental_near" -> ((s, d) => DedupOps.incrementalNearDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d, md5Mode = true)),
@@ -1701,6 +1766,8 @@ object SparkEntry {
     "q_unpivot" -> qUnpivotSql,
     "ev_funnel" -> evFunnelSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental_near" -> dedupIncrementalNearSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keeper_quality" -> dedupKeeperQualitySql,

@@ -768,4 +768,152 @@ object DedupOps {
           .as("shared_frac"))
       .orderBy(col("doc_id"))
   }
+
+  /** `dedup_incremental` split: first md5 hex digit of "inc:<doc_id>"
+    * below this bound marks a document as the NEW daily batch (~19%);
+    * the rest is the already-ingested historical corpus. Same
+    * seeded-md5 determinism as SampleOps.trainValTestSplit — the oracle
+    * replays the split bit-for-bit. */
+  val incSplitSeed = "inc"
+  val incBatchHex = "3"
+
+  private def incDocs(spark: SparkSession, dir: String): DataFrame =
+    FanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), md5(col("text")).as("digest"),
+        (substring(md5(concat(lit(s"$incSplitSeed:"),
+          col("doc_id").cast("string"))), 1, 1) < lit(incBatchHex))
+          .as("is_batch"))
+
+  /** Incremental exact dedup (`dedup_incremental`): admit only the
+    * new-batch documents whose content digest has never been ingested —
+    * the steady-state shape of corpus building, where each day's crawl
+    * is deduped against everything already stored.
+    *
+    * Scale design (100 TB historical, small daily batch): the corpus is
+    * STREAMED, never shuffled, and full text never moves —
+    *   1. batch digests groupBy in-batch (narrow 128-bit keys,
+    *      batch-sized exchange);
+    *   2. a Bloom filter over historical digest hashes prefilters the
+    *      batch — rows the filter rejects are PROVABLY new and skip the
+    *      join entirely (in production the filter is a persisted
+    *      artifact maintained across runs, so the corpus is not even
+    *      scanned; this face builds it with one streamed corpus pass);
+    *   3. only Bloom hits (true dups + ~fpp of the batch) are verified:
+    *      the corpus streams once against the BROADCAST hit set
+    *      (left_semi) — false positives die here, so the result is
+    *      bit-identical to the plain anti-join (DedupSpec pins this).
+    * Both joins broadcast batch-sized sides; the corpus-side plan is
+    * scan→filter→join with zero exchanges. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = incDocs(spark, dir)
+    val batch = docs.filter(col("is_batch"))
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+    val hist = docs.filter(!col("is_batch")).select(col("digest"))
+    // expected-items from parquet metadata (count on the bare scan is
+    // footer-only — no data pass); overestimating only wastes bits
+    val expected = math.max(Tables.documents(spark, dir).count(), 1L)
+    val bf = hist.select(xxhash64(col("digest")).as("h"))
+      .stat.bloomFilter("h", expected, 0.01)
+    val bfBytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      os.toByteArray
+    }
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CLit}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def mightContain(c: Column): Column = ColumnBridge.column(
+      BloomFilterMightContain(
+        CLit(bfBytes, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(xxhash64(c))))
+    val hits = batch.filter(mightContain(col("digest")))
+    val fresh = batch.filter(!mightContain(col("digest")))
+    val realDups = hist
+      .join(broadcast(hits.select(col("digest"))), Seq("digest"), "left_semi")
+      .distinct()
+    fresh
+      .unionByName(hits.join(broadcast(realDups), Seq("digest"), "left_anti"))
+      .select(col("doc_id"), col("digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental NEAR-dup dedup (`dedup_incremental_near`): match the
+    * new batch against the historical corpus by MinHash-LSH and report,
+    * per batch document, how many verified near-duplicates (Jaccard ≥
+    * `threshold`) already exist in the corpus — the admission test a
+    * crawl pipeline runs before ingesting a day's documents.
+    *
+    * Scale design (100 TB historical, small daily batch): the
+    * historical BAND TABLE is the persisted LSH index — append-only,
+    * maintained across runs; this face derives it in-query from the
+    * same split. Candidates come from `hist_bands ⋈ broadcast(batch
+    * bands)` on (band, key): the corpus side STREAMS through a
+    * broadcast join (scan→join, zero corpus shuffles) and — unlike
+    * running the full self-join over corpus ∪ batch — no hist×hist
+    * candidate is ever generated, so incremental cost is O(batch +
+    * matches), not O(corpus pairs). Verification joins are
+    * candidate-keyed (8-byte hashed shingles; wide text never moves).
+    *
+    * md5Mode banding keeps every arithmetic step engine-neutral, so the
+    * DuckDB oracle replays signature → banding → batch×hist candidates
+    * → exact-Jaccard verify and hash-matches exactly (LSH misses and
+    * all — the oracle computes the same INDEX decision, not ground
+    * truth). */
+  def incrementalNearDedup(spark: SparkSession, dir: String,
+                           n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                           threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val (docs, hashed) = shingleTables(spark, dir, n)
+    def isBatch(id: Column): Column =
+      substring(md5(concat(lit(s"$incSplitSeed:"), id.cast("string"))), 1, 1) <
+        lit(incBatchHex)
+    val sigs = docs.select(col("doc_id"),
+      minhashSig("sh", numHashes, md5Mode = true).as("sig"))
+    val banded = sigs.select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + lit(1),
+            lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val bandHist = banded.filter(!isBatch(col("doc_id")))
+      .withColumnsRenamed(Map("doc_id" -> "hist_id"))
+    val bandBatch = banded.filter(isBatch(col("doc_id")))
+      .withColumnsRenamed(Map("doc_id" -> "batch_id"))
+    val candidates = bandHist
+      .join(broadcast(bandBatch), Seq("band", "band_key"))
+      .select(col("hist_id"), col("batch_id"))
+      .dropDuplicates("hist_id", "batch_id")
+    val verified = candidates
+      .join(hashed.select(col("doc_id").as("hist_id"), col("hs").as("hs_h")), "hist_id")
+      .join(hashed.select(col("doc_id").as("batch_id"), col("hs").as("hs_b")), "batch_id")
+      .withColumn("common", size(array_intersect(col("hs_h"), col("hs_b"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("common") / (size(col("hs_h")) + size(col("hs_b")) - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("hist_id")).as("nearest_hist"))
+    Tables.documents(spark, dir)
+      .filter(isBatch(col("doc_id")))
+      .select(col("doc_id"))
+      .join(verified.withColumnRenamed("batch_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_near_dups"),
+        col("nearest_hist"),
+        (coalesce(col("n_matches"), lit(0L)) === 0L).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The Bloom-free reference shape of `incrementalDedup` (plain
+    * in-batch dedup + anti-join) — DedupSpec asserts the Bloom path is
+    * bit-identical to this. */
+  private[graft] def incrementalDedupPlain(spark: SparkSession,
+                                           dir: String): DataFrame = {
+    val docs = incDocs(spark, dir)
+    val batch = docs.filter(col("is_batch"))
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+    val hist = docs.filter(!col("is_batch")).select(col("digest"))
+    batch.join(hist, Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("digest"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -35,6 +35,70 @@ class DedupSpec extends SparkSuite {
     groups.foreach(r => assert(r.getLong(2) < 100000L))
   }
 
+  test("incremental dedup: Bloom path is bit-identical to the plain anti-join") {
+    // the planted corpus contains cross-split exact dups (same text under
+    // ids 0-4 and 100000-100004 land in different md5-split halves with
+    // high probability), so the anti-join is exercised, not vacuous
+    val bloom = DedupOps.incrementalDedup(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val plain = DedupOps.incrementalDedupPlain(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(bloom == plain)
+    // every kept row is a batch member whose digest is absent from the
+    // historical side — replay the split predicate row-by-row
+    val docs = spark.read.parquet(s"$plantedDir/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("digest"),
+        (substring(md5(concat(lit(s"${DedupOps.incSplitSeed}:"),
+          col("doc_id").cast("string"))), 1, 1) < lit(DedupOps.incBatchHex))
+          .as("is_batch"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val histDigests = docs.collect { case (_, d, false) => d }.toSet
+    val batch = docs.collect { case (id, d, true) => (id, d) }
+    val expected = batch.groupBy(_._2).collect {
+      case (d, rows) if !histDigests.contains(d) => (rows.map(_._1).min, d)
+    }.toSeq.sortBy(_._1)
+    assert(bloom == expected)
+  }
+
+  test("incremental near-dedup: sound (verified matches only) and complete on cross-split exact dups") {
+    val rows = graft.ext.DedupOps.incrementalNearDedup(spark, plantedDir)
+      .collect().map(r => (r.getLong(0),
+        r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+    def isBatch(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${DedupOps.incSplitSeed}:$id".getBytes("UTF-8"))
+      f"${md(0) & 0xff}%02x".charAt(0) < DedupOps.incBatchHex.charAt(0)
+    }
+    val texts = spark.read.parquet(s"$plantedDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // one row per batch doc; kept <=> no match; nearest_hist is historical
+    assert(rows.map(_._1).toSet == texts.keySet.filter(isBatch))
+    rows.foreach { case (_, n, nearest, kept) =>
+      assert(kept == (n == 0L))
+      if (n > 0) assert(!isBatch(nearest))
+    }
+    // soundness: every reported nearest match really is >= 0.8 Jaccard
+    def shingles(t: String): Set[String] =
+      t.trim.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    rows.filter(_._2 > 0).foreach { case (id, _, nearest, _) =>
+      val (a, b) = (shingles(texts(id)), shingles(texts(nearest)))
+      val j = a.intersect(b).size.toDouble / a.union(b).size
+      assert(j >= 0.8, s"batch $id vs hist $nearest jaccard $j")
+    }
+    // completeness on identical text: an exact copy straddling the split
+    // shares every band, so the batch side MUST be flagged
+    val byText = texts.groupBy(_._2).values.filter(_.size > 1)
+    val straddling = byText.flatMap { g =>
+      val ids = g.keys.toSeq
+      ids.filter(isBatch).filter(b => ids.exists(h => !isBatch(h))).map(_ -> g)
+    }
+    straddling.foreach { case (batchId, _) =>
+      val row = rows.find(_._1 == batchId).get
+      assert(row._2 >= 1L, s"cross-split exact dup $batchId not flagged")
+    }
+  }
+
   test("ngram Jaccard finds planted near-dups (appended-tail docs)") {
     val pairs = DedupOps.ngramJaccardPairs(spark, plantedDir, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
