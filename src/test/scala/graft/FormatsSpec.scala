@@ -74,4 +74,39 @@ class FormatsSpec extends SparkSuite {
       .filter(col("o_orderstatus") === "F").count()
     assert(pruned.count() == direct)
   }
+
+  test("bucketed tables co-locate the join: zero shuffle exchanges, answers unchanged") {
+    // both sides bucketed on the join key with the SAME bucket count ⇒
+    // the sort-merge join consumes the on-disk layout directly — the
+    // 100 TB fact⋈fact shape where neither side can broadcast and the
+    // shuffle is the cost you pre-paid at write time
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    Formats.bucketedTable(orders, "orders_b", 4, "o_orderkey")
+    Formats.bucketedTable(lineitem, "lineitem_b", 4, "l_orderkey")
+    // disable auto-broadcast: at test SF the dim side broadcasts and the
+    // bucketed layout never engages — the shape under test is the BIG
+    // fact⋈fact case where broadcasting isn't an option
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("lineitem_b").join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      val direct = lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == direct)
+      // aggregation on the bucket key rides the same layout: no exchange
+      val agg = spark.table("lineitem_b").groupBy("l_orderkey").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
 }
