@@ -313,6 +313,62 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Build and PERSIST the IVF index as parquet artifacts — the
+    * index-as-artifact shape a production ANN service uses (train once,
+    * serve many): `centroids.parquet` (k rows) and `postings.parquet`
+    * partitioned BY CENTROID ID, so a query's probe set maps to
+    * directories and the scan reads only the probed posting lists
+    * (partition pruning — IvfIndexSpec asserts the PartitionFilters).
+    * Assignment is the same map-side argmax as [[ivfTopK]]: writing the
+    * index costs one corpus pass plus the training rounds, no joins. */
+  def ivfBuildIndex(spark: SparkSession, dir: String, indexDir: String,
+                    nCentroids: Int = 16, iters: Int = 2): Unit = {
+    val emb = Tables.embeddings(spark, dir).transform(FanOut(_))
+    val cents = trainCentroidsLocal(emb, nCentroids, iters)
+    import spark.implicits._
+    cents.toDF("cid", "cvec")
+      .select(col("cid").cast("int").as("cid"),
+        col("cvec").cast("array<float>").as("cvec"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+    emb.select(
+        element_at(topCentroids(col("embedding"), cents, 1), 1).as("cid"),
+        col("vec_id"), col("embedding"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$indexDir/postings.parquet")
+  }
+
+  /** Query a persisted IVF index: `queries` carries (qid, qvec). The
+    * probe cid set is bounded (|queries|·nProbe ints) and collected so
+    * it reaches the postings scan as LITERALS — that is what turns the
+    * probe into partition pruning instead of a full-index join. The
+    * candidate join and top-k window are the [[ivfTopK]] shapes;
+    * centroids load as one O(k·d) driver-side read (the same bounded
+    * sync training performs). */
+  def ivfQueryIndex(spark: SparkSession, indexDir: String,
+                    queries: DataFrame, k: Int = 5,
+                    nProbe: Int = 4): DataFrame = {
+    val cents: Seq[(Int, Seq[Float])] =
+      spark.read.parquet(s"$indexDir/centroids.parquet").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    val probes = queries
+      .select(col("qid"), col("qvec"),
+        explode(topCentroids(col("qvec"), cents, nProbe)).as("cid"))
+    val probeCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val postings = spark.read.parquet(s"$indexDir/postings.parquet")
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+    val sims = probes.join(postings, Seq("cid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Per-label embedding centroids (the class-centroid aggregation a
     * labeling/clustering pipeline runs): one row per (label, dimension).
     *
