@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental aggregate-view maintenance over plain parquet — the
+  * materialized-view shape a warehouse keeps fresh as facts stream in
+  * (revenue by brand, counts by status, ...), maintained by MERGING
+  * partial aggregates instead of recomputing the corpus.
+  *
+  * Scale design (100 TB of facts, small micro-batches): the view is
+  * partitioned by a hash BUCKET of the group keys. Each batch
+  *   1. pre-aggregates to per-key partial sums (map-side combine —
+  *      batch-sized, the only pass over new facts);
+  *   2. collects the batch's DISTINCT bucket ids (bounded: ≤ number of
+  *      buckets, typically a handful) so the view read is PARTITION
+  *      PRUNED to affected buckets only;
+  *   3. merges old+delta partials by re-aggregation (SUM/COUNT are
+  *      commutative monoids — merging partials is the same operator);
+  *   4. rewrites ONLY the affected bucket directories via dynamic
+  *      partition overwrite.
+  * Cost per batch is O(batch + touched buckets), independent of view
+  * (and corpus) size. The untouched-bucket invariant is what makes
+  * this a VIEW MAINTENANCE strategy rather than a recompute
+  * (IncrementalAggSpec pins it by file mtimes).
+  *
+  * Replay safety: foreachBatch may re-run a batch after a crash, and
+  * re-MERGING a delta double-counts — unlike the digest-store dedup
+  * (where re-admission is benign), so this sink records the last
+  * applied batchId and skips replays: exactly-once view contents as
+  * long as the bucket rewrite and the meta write don't BOTH fail
+  * mid-sequence (the meta write goes last; a crash between them
+  * replays one batch into an already-updated view — detectable via the
+  * recorded id, which is why it is recorded per-view, not assumed). */
+object IncrementalAgg {
+
+  val nBuckets = 32
+
+  private def bucketOf(keys: Seq[String]) =
+    pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).as("bucket")
+
+  /** Partial-aggregate a fact slice: per-key exact cent sums + row
+    * counts (long cents, not double — partials must merge exactly). */
+  private def partials(df: DataFrame, keys: Seq[String],
+                       valueCol: String): DataFrame =
+    df.groupBy(bucketOf(keys) +: keys.map(col): _*)
+      .agg(sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("sum_cents"),
+        count(lit(1)).as("n_rows"))
+
+  /** Merge two partial tables: same aggregate, applied to the union —
+    * SUM and COUNT partials form a monoid under addition. */
+  private def merge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((col("bucket") +: keys.map(col)): _*)
+      .agg(sum(col("sum_cents")).as("sum_cents"), sum(col("n_rows")).as("n_rows"))
+
+  /** Start maintaining the view at `viewDir` from `facts`. The view
+    * schema is (bucket, keys..., sum_cents, n_rows), partitioned by
+    * bucket. */
+  def maintainView(facts: DataFrame, viewDir: String, keys: Seq[String],
+                   valueCol: String,
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   checkpointDir: Option[String] = None): StreamingQuery = {
+    // restart correctness requires BOTH stores: the checkpoint makes a
+    // restarted query CONTINUE its batchId sequence (so the replay guard
+    // below compares like with like), and _last_batch makes an already-
+    // applied batch a no-op on replay
+    val base = facts.writeStream
+      .outputMode("append")
+    checkpointDir.foreach(base.option("checkpointLocation", _))
+    base
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        val metaPath = new Path(s"$viewDir/_last_batch")
+        val lastApplied: Long =
+          if (fs.exists(metaPath)) {
+            val in = fs.open(metaPath)
+            try new String(in.readAllBytes(), "UTF-8").trim.toLong
+            finally in.close()
+          } else -1L
+        if (batchId > lastApplied) {
+          val delta = partials(batch.toDF(), keys, valueCol).localCheckpoint()
+          val dataPath = new Path(s"$viewDir/data")
+          val touched = delta.select(col("bucket")).distinct()
+            .collect().map(_.getLong(0)).sorted
+          val merged =
+            if (fs.exists(dataPath)) {
+              val old = spark.read.parquet(dataPath.toString)
+                .filter(col("bucket").isin(touched.map(java.lang.Long.valueOf): _*))
+              merge(old, delta, keys).localCheckpoint()
+            } else delta
+          val prevOverwrite =
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try
+            merged.write.mode("overwrite").partitionBy("bucket")
+              .parquet(dataPath.toString)
+          finally
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevOverwrite)
+          val out = fs.create(metaPath, true)
+          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        }
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Read the maintained view back as presentation rows (keys, total,
+    * n_rows) — one pruned scan + the cents→double division. */
+  def readView(spark: org.apache.spark.sql.SparkSession,
+               viewDir: String, keys: Seq[String]): DataFrame =
+    spark.read.parquet(s"$viewDir/data")
+      .select(keys.map(col) :+
+        (col("sum_cents").cast("double") / 100.0).as("total") :+
+        col("n_rows"): _*)
+}
