@@ -708,6 +708,30 @@ object SparkEntry {
       |  round(CAST(covered AS DOUBLE) / total, 6) AS coverage
       |FROM s ORDER BY k""".stripMargin
 
+  /** Bigram-LM quality score replay: identical integer construction —
+    * add-one-smoothed (c_ab+1)/(c_a+V) quantized by EXACT integer
+    * division to the 2⁻²⁰ grid, per-doc exact integer sum, one final
+    * IEEE division — so the score hash-matches bit-for-bit (no libm
+    * ln() anywhere; parallel unnest zips the head/tail lists). */
+  private val textLmScoreSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |              FROM documents),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t)), i -> t[i])) AS a,
+      |         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS b
+      |       FROM toks WHERE len(t) >= 2),
+      |v AS (SELECT count(DISTINCT w) AS vocab
+      |      FROM (SELECT unnest(t) AS w FROM toks)),
+      |cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+      |ca AS (SELECT a, count(*) AS c_a FROM bg GROUP BY a),
+      |scored AS (SELECT doc_id, c_ab,
+      |             ((c_ab + 1) * 1048576) // (c_a + vocab) AS p_q
+      |           FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CASE WHEN c_ab = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+      |  round(CAST(sum(p_q) AS DOUBLE) / (count(*) * 1048576.0), 6) AS lm_score
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // text_novelty: distinct word 3-gram shingles per doc (the
   // shinglesComposable recipe: window starts 0..max(n-3,0), slice
   // end-bounded), shingle -> df aggregate, join back, one IEEE division
@@ -1526,6 +1550,7 @@ object SparkEntry {
     "text_pack" -> ((s, d) => SampleOps.packSequences(s, d)),
     "text_chunks" -> ((s, d) => TextOps.chunkDocuments(s, d)),
     "text_novelty" -> ((s, d) => TextOps.noveltyScores(s, d)),
+    "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "text_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "q_pii_scrub" -> ((s, d) => TextOps.scrubIds(s, d)),
     "q_mode_median" -> ((s, d) => Relational.segmentModeMedian(s, d)),
@@ -1760,6 +1785,7 @@ object SparkEntry {
     "text_pack" -> textPackSql,
     "text_chunks" -> textChunksSql,
     "text_novelty" -> textNoveltySql,
+    "text_lm_score" -> textLmScoreSql,
     "text_vocab_coverage" -> textVocabCoverageSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_mode_median" -> qModeMedianSql,

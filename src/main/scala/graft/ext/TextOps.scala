@@ -414,4 +414,52 @@ object TextOps {
         round(col("n_unique").cast("double") / col("n_shingles"), 6))
       .orderBy(col("doc_id"))
   }
+
+  /** `text_lm_score`: corpus-trained bigram language-model quality
+    * signal — the CCNet/KenLM "how predictable is this document under a
+    * model of the corpus" filter, re-expressed without logarithms so it
+    * replays engine-exactly. Each bigram scores an add-one-smoothed
+    * probability p(b|a) = (c_ab+1)/(c_a+V), quantized ONCE to the 2⁻²⁰
+    * fixed-point grid by EXACT integer division — so the per-doc mean
+    * is an exact integer sum (order-free ⇒ partial aggregation safe)
+    * with one final IEEE division, the q_linreg/fpMean discipline. A
+    * log-score would hit libm: ln() is not correctly rounded, so Spark
+    * and an external oracle could disagree in the last ulp; the mean
+    * probability ranks documents the same way for filtering purposes.
+    * Gibberish/rare-token docs score low; template-like docs score high
+    * (and carry few singleton bigrams — `n_singletons` is the
+    * complementary rarity signal).
+    *
+    * Scale shape (100 TB): bigram/head count tables are corpus-wide
+    * map-side-combining aggregates over NARROW token pairs; the
+    * score join is the inverted-index shape (bigram-keyed, AQE-sized —
+    * hot stop-bigrams are exactly the skewed keys AQE splits); the
+    * vocab size arrives as a broadcast scalar. Overflow bound:
+    * (c_ab+1)·2²⁰ < 2⁶³ holds to ~8·10¹² occurrences of one bigram;
+    * ANSI mode faults loudly past it rather than wrapping. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .transform(graft.ext.FanOut(_))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(count_distinct(col("w")).as("vocab"))
+    val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ca = bg.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    bg.join(cab, Seq("a", "b"))
+      .join(ca, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("c_ab"),
+        expr("((c_ab + 1) * 1048576L) div (c_a + vocab)").as("p_q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c_ab") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        round(sum(col("p_q")).cast("double") /
+          (count(lit(1)) * lit(1048576.0)), 6).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -116,6 +116,40 @@ class TextOpsSpec extends SparkSuite {
     assert(out(1L) == 0.0 && out(2L) == 0.0)  // every shingle in the twin
   }
 
+  test("lmScore: corpus-typical docs outscore gibberish; exact BigInt replay") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmpDir("textops-lm")
+    // 10 docs of the same common phrase, 1 gibberish doc of singletons
+    val common = "the cat sat on the mat"
+    val gibberish = (1 to 6).map(i => s"zq$i").mkString(" ")
+    val rows = (0L to 9L).map(i => (i, common)) :+ (10L, gibberish)
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.lmScore(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 11)
+    // common docs: every bigram seen 10x; gibberish: all singletons
+    assert(out(0L)._3 > out(10L)._3)
+    assert(out(10L)._2 == 5L) // all 5 gibberish bigrams are singletons
+    assert(out(0L)._2 == 0L)
+    // exact replay of doc 0 with BigInt arithmetic: bigrams of `common`
+    // each occur 10 times corpus-wide; heads' c_a counted over all docs
+    val toks = common.split(" ")
+    val allToks = rows.flatMap(_._2.split(" "))
+    val vocab = allToks.distinct.size
+    val bigrams = rows.flatMap { case (_, t) =>
+      val w = t.split(" "); w.init.zip(w.tail) }
+    val cab = bigrams.groupBy(identity).view.mapValues(_.size).toMap
+    val caM = bigrams.groupBy(_._1).view.mapValues(_.size).toMap
+    val pqs = toks.init.zip(toks.tail).map { bgm =>
+      (BigInt(cab(bgm) + 1) * 1048576) / (caM(bgm._1) + vocab) }
+    val expected = BigDecimal(pqs.sum.toDouble / (pqs.length * 1048576.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L)._3 == expected)
+  }
+
   test("scrubEmails masks planted addresses and leaves clean text alone") {
     val spark2 = spark
     import spark2.implicits._
