@@ -1329,6 +1329,39 @@ object SparkEntry {
       |FROM embeddings, range(1, 65) t(i)
       |GROUP BY label, i ORDER BY label, pos""".stripMargin
 
+  /** Label-outlier replay: identical exact arithmetic — qv = ⌊v·2²⁰⌋,
+    * n²·d² = Σ(qv·n − Σqv)² in DECIMAL(19,0)×DECIMAL(19,0) products
+    * (38-digit width holds in both engines), presentation distance via
+    * correctly-rounded sqrt + one division. */
+  private val simLabelOutliersSql: String =
+    """WITH q AS (SELECT vec_id, label, i AS pos,
+      |             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+      |           FROM embeddings, range(1, 65) t(i)),
+      |m AS (SELECT label, pos, sum(qv) AS sq, count(*) AS n
+      |      FROM q GROUP BY label, pos),
+      |d AS (SELECT vec_id, label, n,
+      |        sum(CAST(qv * n - sq AS DECIMAL(19,0)) *
+      |            CAST(qv * n - sq AS DECIMAL(19,0))) AS n2d2
+      |      FROM q JOIN m USING (label, pos) GROUP BY vec_id, label, n),
+      |r AS (SELECT label, vec_id, n, n2d2,
+      |        row_number() OVER (PARTITION BY label ORDER BY n2d2 DESC, vec_id) AS rank
+      |      FROM d)
+      |SELECT label, rank, vec_id,
+      |  round(sqrt(CAST(n2d2 AS DOUBLE)) / (CAST(n AS DOUBLE) * 1048576.0), 6) AS dist
+      |FROM r WHERE rank <= 3 ORDER BY label, rank""".stripMargin
+
+  /** Shard-balance replay: the global LPT rank is a plain ROW_NUMBER
+    * under the same total order (n_chars desc, doc_id). */
+  private val sampShardsSql: String =
+    s"""WITH r AS (SELECT doc_id, n_chars,
+       |             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+       |           FROM documents)
+       |SELECT (rn - 1) % ${SampleOps.shardCount} AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  round(CAST(sum(n_chars) AS DOUBLE) /
+       |        SUM(CAST(sum(n_chars) AS DOUBLE)) OVER (), 6) AS share
+       |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
+
   private val simEmbeddingStatsSql: String =
     """SELECT vec_id, label,
       |  round(sqrt(list_sum(list_transform(range(1, 65),
@@ -1575,6 +1608,8 @@ object SparkEntry {
     "sim_decontaminate" -> ((s, d) => SimilarityOps.semanticDecontaminate(s, d)),
     "sim_embedding_stats" -> ((s, d) => SimilarityOps.embeddingStats(s, d)),
     "sim_label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
+    "sim_label_outliers" -> ((s, d) => SimilarityOps.labelOutliers(s, d)),
+    "samp_shards" -> ((s, d) => SampleOps.shardAssignment(s, d)),
     "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
     "mm_resize" -> ((s, d) => MultimodalOps.resize(s, d)),
     "mm_frames" -> ((s, d) => MultimodalOps.sampleFrames(s, d)),
@@ -1826,6 +1861,8 @@ object SparkEntry {
     "sim_lsh_topk" -> simLshTopKSql,
     "sim_embedding_stats" -> simEmbeddingStatsSql,
     "sim_label_centroids" -> simLabelCentroidsSql,
+    "sim_label_outliers" -> simLabelOutliersSql,
+    "samp_shards" -> sampShardsSql,
     "mm_media_meta" -> mmMediaMetaSql,
     "mm_resize" -> mmResizeSql,
     "mm_frames" -> mmFramesSql,

@@ -248,4 +248,33 @@ object SampleOps {
       .select(col("doc_id"), col("lang"), col("n_chars"), col("cum"), col("hits"))
       .orderBy(col("doc_id"))
   }
+
+  val shardCount = 8
+
+  /** `samp_shards`: balanced training-shard assignment — write-time
+    * sharding where each output shard should carry a near-equal
+    * character (≈ token) budget, not just an equal row count. Documents
+    * take a global size rank (n_chars desc, doc_id tiebreak ⇒ total
+    * order) and shard `(rank-1) mod S` — round-robin by size rank, the
+    * distributed form of the LPT balancing heuristic: every shard
+    * receives one document from each consecutive size stratum, so
+    * shard totals differ by at most one stratum's spread.
+    *
+    * Scale shape: the rank rides `withGlobalRank` (range exchange +
+    * P-row broadcast offsets — no one-task window); the shard roll-up
+    * is a tiny S-row aggregate. Output is the accounting table a
+    * pipeline checks before writing shards: per-shard doc count, char
+    * total, and the share of the corpus. */
+  def shardAssignment(spark: SparkSession, dir: String,
+                      nShards: Int = shardCount): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    graft.operators.Relational
+      .withGlobalRank(docs, Seq(col("n_chars").desc, col("doc_id").asc))
+      .withColumn("shard", (col("rn") - 1) % nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("share", round(col("sum_chars").cast("double") /
+        sum(col("sum_chars")).over(Window.partitionBy()), 6))
+      .orderBy(col("shard"))
+  }
 }

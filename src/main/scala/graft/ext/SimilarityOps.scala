@@ -396,6 +396,50 @@ object SimilarityOps {
       .orderBy(col("label"), col("pos"))
   }
 
+  /** `sim_label_outliers`: per-label embedding outliers — the mislabel/
+    * noise mining pass a labeled-corpus pipeline runs (vectors farthest
+    * from their class centroid are the label errors to audit).
+    *
+    * Engine-exact WITHOUT float folds: with qv = ⌊v·2²⁰⌋ (exact long
+    * per component) and the label centroid as the exact rational
+    * (Σqv)/(n·2²⁰), the scaled squared distance n²·d² =
+    * Σ_pos (qv·n − Σqv)² is EXACT DECIMAL(38,0) arithmetic — order-free,
+    * partial-aggregation-safe, no precision bound that matters (38
+    * digits). The presentation distance √(n²d²)/(n·2²⁰) uses only
+    * correctly-rounded IEEE ops (sqrt, one division), so it replays
+    * bit-for-bit in any engine. Ranking compares the exact decimals,
+    * ties broken by vec_id — fully deterministic.
+    *
+    * Scale shape: one corpus scan + posexplode; the (label, pos) moment
+    * table is labels×dim rows — BROADCAST to the per-vector aggregate
+    * (map-side combinable: a vector's components co-locate under
+    * explode); top-k per label windows over the vector-count table. */
+  def labelOutliers(spark: SparkSession, dir: String,
+                    k: Int = 3): DataFrame = {
+    val scale = 1L << 20
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        floor(col("col").cast("double") * scale).cast("long").as("qv"))
+    val moments = q.groupBy(col("label"), col("pos"))
+      .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
+    val d2 = q.join(broadcast(moments), Seq("label", "pos"))
+      // DECIMAL(19,0) diffs so the product stays inside both engines'
+      // 38-digit decimal width (DuckDB rejects a 38×38 multiply)
+      .withColumn("diff",
+        (col("qv") * col("n") - col("sq")).cast("decimal(19,0)"))
+      .groupBy(col("vec_id"), col("label"), col("n"))
+      .agg(sum(col("diff") * col("diff")).as("n2d2"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("n2d2").desc, col("vec_id").asc)
+    d2.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col("vec_id"),
+        round(sqrt(col("n2d2").cast("double")) /
+          (col("n").cast("double") * scale.toDouble), 6).as("dist"))
+      .orderBy(col("label"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table hyperplane
     * LSH (OR-amplification across `nTables` independent plane families):
     * candidates agree on any full table signature, then verify cosine ≥

@@ -171,6 +171,27 @@ class SampleOpsSpec extends SparkSuite {
     assert(thresh(minL) > thresh(maxL))
   }
 
+  test("shard assignment: counts within one, totals preserved, balance beats naive id-mod") {
+    import org.apache.spark.sql.functions._
+    val shards = graft.ext.SampleOps.shardAssignment(spark, sf).collect()
+    assert(shards.map(_.getLong(0)).toSeq == (0L until 8L))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(count(lit(1)), sum("n_chars")).head()
+    // partition of the corpus: counts and chars add up exactly
+    assert(shards.map(_.getLong(1)).sum == docs.getLong(0))
+    assert(shards.map(_.getLong(2)).sum == docs.getLong(1))
+    // round-robin by rank: per-shard doc counts differ by at most 1
+    val counts = shards.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1)
+    // LPT balance: spread no worse than sharding by doc_id % 8
+    val spread = shards.map(_.getLong(2)).max - shards.map(_.getLong(2)).min
+    val naive = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(pmod(col("doc_id"), lit(8)).as("s"))
+      .agg(sum("n_chars").as("c")).collect().map(_.getLong(1))
+    assert(spread <= naive.max - naive.min,
+      s"LPT spread $spread vs naive ${naive.max - naive.min}")
+  }
+
   test("passage duplication: shared counts equal a naive recompute") {
     import graft.ext.DedupOps
     val sh = graft.model.Tables.documents(spark, sf)

@@ -251,4 +251,29 @@ class SimilaritySpec extends SparkSuite {
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
       (7L, 7L, true), (8L, 7L, false)), out.mkString(", "))
   }
+
+  test("label outliers: the planted far vector ranks first in its label") {
+    import spark.implicits._
+    // label 0: five near-identical vectors + one far outlier (id 50);
+    // label 1: a tight pair (no meaningful outlier, but ranking total)
+    val base = Array.tabulate(64)(_ => 0.1f)
+    def jitter(eps: Float) = Array.tabulate(64)(i => 0.1f + (if (i == 0) eps else 0f))
+    val far = Array.tabulate(64)(i => if (i < 32) 2.0f else -2.0f)
+    val other = Array.tabulate(64)(_ => -0.3f)
+    val dir = tmpDir("graft-sim-outlier")
+    (Seq((10L, base, 0), (11L, jitter(0.01f), 0), (12L, jitter(-0.01f), 0),
+      (13L, jitter(0.02f), 0), (50L, far, 0),
+      (70L, other, 1), (71L, other, 1)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityOps.labelOutliers(spark, dir, k = 1).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byLabel = out.groupBy(_._1).view.mapValues(_.head).toMap
+    assert(byLabel(0)._3 == 50L, out.mkString(", "))
+    // tight-pair label: both vectors are equidistant from the mean;
+    // tie breaks to the smaller id, distance is tiny (quantization only)
+    assert(byLabel(1)._3 == 70L && byLabel(1)._4 < 1e-4)
+    // the outlier's distance dwarfs the inlier cluster's spread
+    assert(byLabel(0)._4 > 1.0)
+  }
 }
