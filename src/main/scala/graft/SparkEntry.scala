@@ -1392,6 +1392,35 @@ object SparkEntry {
        |    (CAST(-3 AS BIGINT), CAST(${mmSynthW(c)} AS BIGINT), CAST(${mmSynthH(c)} AS BIGINT))""".stripMargin
   }
 
+  private lazy val mmPlantedAudioValues: String = {
+    def synth(id: Long, b: Array[Byte]): String = {
+      val len = b.length.toLong
+      val ch = 1L + len % 2L
+      s"(CAST($id AS BIGINT), CAST($len AS BIGINT), '${mmMd5(b)}', 'synthetic', CAST(16000 AS BIGINT), CAST($ch AS BIGINT), CAST(16 AS BIGINT), CAST(${len * 1000L / (16000L * ch * 2L)} AS BIGINT))"
+    }
+    val a = mmFix.wavStereo8k
+    val b = mmFix.wavMono44k
+    s"""(CAST(-11 AS BIGINT), CAST(${a.length} AS BIGINT), '${mmMd5(a)}', 'wav', CAST(8000 AS BIGINT), CAST(2 AS BIGINT), CAST(16 AS BIGINT), CAST(50 AS BIGINT)),
+       |    (CAST(-12 AS BIGINT), CAST(${b.length} AS BIGINT), '${mmMd5(b)}', 'wav', CAST(44100 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT), CAST(100 AS BIGINT)),
+       |    ${synth(-13L, mmFix.corruptWav)}""".stripMargin
+  }
+
+  private lazy val mmAudioMetaSql: String =
+    s"""SELECT doc_id AS media_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  md5(text) AS checksum, 'synthetic' AS kind,
+      |  CAST(16000 AS BIGINT) AS sample_rate,
+      |  CAST(1 + octet_length(encode(text)) % 2 AS BIGINT) AS channels,
+      |  CAST(16 AS BIGINT) AS bits,
+      |  CAST(octet_length(encode(text)) * 1000 //
+      |       (16000 * (1 + octet_length(encode(text)) % 2) * 2) AS BIGINT) AS duration_ms
+      |FROM documents
+      |UNION ALL
+      |SELECT * FROM (VALUES
+      |    $mmPlantedAudioValues
+      |) v(media_id, byte_len, checksum, kind, sample_rate, channels, bits, duration_ms)
+      |ORDER BY media_id""".stripMargin
+
   private lazy val mmMediaMetaSql: String =
     s"""SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
       |  md5(text) AS checksum, 'synthetic' AS kind,
@@ -1611,6 +1640,7 @@ object SparkEntry {
     "sim_label_outliers" -> ((s, d) => SimilarityOps.labelOutliers(s, d)),
     "samp_shards" -> ((s, d) => SampleOps.shardAssignment(s, d)),
     "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
+    "mm_audio_meta" -> ((s, d) => MultimodalOps.audioMeta(s, d)),
     "mm_resize" -> ((s, d) => MultimodalOps.resize(s, d)),
     "mm_frames" -> ((s, d) => MultimodalOps.sampleFrames(s, d)),
     // event-time [EXT]
@@ -1864,6 +1894,7 @@ object SparkEntry {
     "sim_label_outliers" -> simLabelOutliersSql,
     "samp_shards" -> sampShardsSql,
     "mm_media_meta" -> mmMediaMetaSql,
+    "mm_audio_meta" -> mmAudioMetaSql,
     "mm_resize" -> mmResizeSql,
     "mm_frames" -> mmFramesSql,
     "ev_tumbling" -> evTumblingSql,

@@ -91,4 +91,38 @@ class MultimodalSpec extends SparkSuite {
     assert(j.getLong(j.fieldIndex("out_width")) == 256L)
     assert(j.getLong(j.fieldIndex("out_height")) == 192L)
   }
+
+  test("WAV RIFF parse: chunk walk skips LIST, reads fmt/data, clamps truncation") {
+    import graft.ext.MultimodalOps.{parseWavMeta, Fixtures}
+    // stereo fixture: LIST chunk sits between fmt and data
+    assert(parseWavMeta(Fixtures.wavStereo8k) == Some((8000L, 2L, 16L, 50L)))
+    assert(parseWavMeta(Fixtures.wavMono44k) == Some((44100L, 1L, 8L, 100L)))
+    // corrupt: RIFF/WAVE signature but no chunks parse
+    assert(parseWavMeta(Fixtures.corruptWav).isEmpty)
+    // truncated data chunk: declared 1600 bytes but payload cut at 800
+    // data bytes -> duration reflects the bytes actually present (25 ms)
+    val cut = Fixtures.wavStereo8k.dropRight(800)
+    assert(parseWavMeta(cut) == Some((8000L, 2L, 16L, 25L)))
+    // not RIFF at all
+    assert(parseWavMeta("plain text".getBytes("UTF-8")).isEmpty)
+    assert(parseWavMeta(Array.empty[Byte]).isEmpty)
+  }
+
+  test("audioMeta face: planted rows parse, corpus rows take the synthetic path") {
+    val rows = MultimodalOps.audioMeta(spark, sf).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val wav = byId(-11L)
+    assert(wav.getString(wav.fieldIndex("kind")) == "wav")
+    assert(wav.getLong(wav.fieldIndex("sample_rate")) == 8000L)
+    assert(wav.getLong(wav.fieldIndex("duration_ms")) == 50L)
+    val corrupt = byId(-13L)
+    assert(corrupt.getString(corrupt.fieldIndex("kind")) == "synthetic")
+    // corpus rows: all synthetic, duration arithmetic holds
+    rows.filter(_.getLong(0) >= 0).take(5).foreach { r =>
+      val len = r.getLong(r.fieldIndex("byte_len"))
+      val ch = r.getLong(r.fieldIndex("channels"))
+      assert(ch == 1L + len % 2L)
+      assert(r.getLong(r.fieldIndex("duration_ms")) == len * 1000L / (16000L * ch * 2L))
+    }
+  }
 }
