@@ -1382,14 +1382,16 @@ object SparkEntry {
     val c = mmFix.corruptPng.length
     s"""(CAST(-1 AS BIGINT), CAST(${mmFix.png64x48.length} AS BIGINT), '${mmMd5(mmFix.png64x48)}', 'png', CAST(64 AS BIGINT), CAST(48 AS BIGINT), CAST(0 AS BIGINT)),
        |    (CAST(-2 AS BIGINT), CAST(${mmFix.jpeg320x240.length} AS BIGINT), '${mmMd5(mmFix.jpeg320x240)}', 'jpeg', CAST(320 AS BIGINT), CAST(240 AS BIGINT), CAST(0 AS BIGINT)),
-       |    (CAST(-3 AS BIGINT), CAST($c AS BIGINT), '${mmMd5(mmFix.corruptPng)}', 'synthetic', CAST(${mmSynthW(c)} AS BIGINT), CAST(${mmSynthH(c)} AS BIGINT), CAST(${c * 40L} AS BIGINT))""".stripMargin
+       |    (CAST(-3 AS BIGINT), CAST($c AS BIGINT), '${mmMd5(mmFix.corruptPng)}', 'synthetic', CAST(${mmSynthW(c)} AS BIGINT), CAST(${mmSynthH(c)} AS BIGINT), CAST(${c * 40L} AS BIGINT)),
+       |    (CAST(-4 AS BIGINT), CAST(${mmFix.mp4Video.length} AS BIGINT), '${mmMd5(mmFix.mp4Video)}', 'mp4', CAST(640 AS BIGINT), CAST(360 AS BIGINT), CAST(2500 AS BIGINT))""".stripMargin
   }
 
   private lazy val mmPlantedDimValues: String = {
     val c = mmFix.corruptPng.length
     s"""(CAST(-1 AS BIGINT), CAST(64 AS BIGINT), CAST(48 AS BIGINT)),
        |    (CAST(-2 AS BIGINT), CAST(320 AS BIGINT), CAST(240 AS BIGINT)),
-       |    (CAST(-3 AS BIGINT), CAST(${mmSynthW(c)} AS BIGINT), CAST(${mmSynthH(c)} AS BIGINT))""".stripMargin
+       |    (CAST(-3 AS BIGINT), CAST(${mmSynthW(c)} AS BIGINT), CAST(${mmSynthH(c)} AS BIGINT)),
+       |    (CAST(-4 AS BIGINT), CAST(640 AS BIGINT), CAST(360 AS BIGINT))""".stripMargin
   }
 
   private lazy val mmPlantedAudioValues: String = {
@@ -1454,7 +1456,9 @@ object SparkEntry {
       |    CAST(octet_length(encode(text)) * 40 AS BIGINT) AS dur
       |  FROM documents
       |  UNION ALL
-      |  SELECT CAST(-3 AS BIGINT), CAST(${mmFix.corruptPng.length * 40L} AS BIGINT))
+      |  SELECT CAST(-3 AS BIGINT), CAST(${mmFix.corruptPng.length * 40L} AS BIGINT)
+      |  UNION ALL
+      |  SELECT CAST(-4 AS BIGINT), CAST(2500 AS BIGINT))
       |SELECT media_id, CAST(frame_ms AS BIGINT) AS frame_ms,
       |       CAST(frame_ms // 40 AS BIGINT) AS frame_index
       |FROM (SELECT media_id, unnest(range(0, dur, 1000)) AS frame_ms FROM m)

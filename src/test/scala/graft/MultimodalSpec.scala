@@ -92,6 +92,18 @@ class MultimodalSpec extends SparkSuite {
     assert(j.getLong(j.fieldIndex("out_height")) == 192L)
   }
 
+  test("MP4 box walk: mvhd duration + tkhd 16.16 dims parse; corrupt falls back") {
+    import graft.ext.MultimodalOps.{parseMp4Meta, Fixtures}
+    assert(parseMp4Meta(Fixtures.mp4Video) == Some((640L, 360L, 2500L)))
+    assert(parseMp4Meta(Fixtures.corruptMp4).isEmpty)
+    assert(parseMp4Meta(Fixtures.wavStereo8k).isEmpty) // not BMFF
+    // the planted video flows through the decode face with REAL duration,
+    // so frame sampling emits ceil(2500/1000) = 3 frames for it
+    val f = MultimodalOps.sampleFrames(spark, sf).filter(col("media_id") === -4L)
+      .collect().map(_.getLong(1)).toSeq
+    assert(f == Seq(0L, 1000L, 2000L))
+  }
+
   test("WAV RIFF parse: chunk walk skips LIST, reads fmt/data, clamps truncation") {
     import graft.ext.MultimodalOps.{parseWavMeta, Fixtures}
     // stereo fixture: LIST chunk sits between fmt and data
