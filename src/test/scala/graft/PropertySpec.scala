@@ -149,4 +149,38 @@ class PropertySpec extends SparkSuite {
       assert(rows.take(2) == Seq(s"pending/$ts/manifest.json", s"pending/$ts"))
     }
   }
+
+  test("binary media parsers are total on arbitrary bytes and all fixture truncations") {
+    import graft.ext.MultimodalOps
+    val fix = MultimodalOps.Fixtures
+    def parseAll(p: Array[Byte]): Unit = {
+      MultimodalOps.parseImageDims(p)
+      MultimodalOps.parseWavMeta(p)
+      MultimodalOps.parseMp4Meta(p)
+      ()
+    }
+    // random byte soup, including payloads opening with each magic
+    val byteGen = Gen.listOf(Gen.choose(-128, 127).map(_.toByte)).map(_.toArray)
+    val magics = Seq(
+      Array(0x89, 'P', 'N', 'G').map(_.toByte),
+      Array(0xFF, 0xD8).map(_.toByte),
+      "RIFF".getBytes("US-ASCII"),
+      Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes("US-ASCII"))
+    (1L to 200L).foreach { i =>
+      val tail = sample(byteGen, i)
+      parseAll(tail)
+      magics.foreach(m => parseAll(m ++ tail))
+    }
+    // EVERY truncation of every valid fixture must parse or decline
+    // cleanly — the honest-failure contract for cut-off uploads
+    val fixtures = Seq(fix.png64x48, fix.jpeg320x240, fix.wavStereo8k,
+      fix.wavMono44k, fix.mp4Video)
+    fixtures.foreach { f =>
+      (0 to f.length).foreach(n => parseAll(f.take(n)))
+      // and corrupted single bytes at every offset
+      f.indices.foreach { j =>
+        val c = f.clone(); c(j) = (c(j) ^ 0x5A).toByte; parseAll(c)
+      }
+    }
+  }
 }
