@@ -1125,13 +1125,13 @@ object SparkEntry {
   }
 
   /** Full replay of the TRAINED PQ face (SimilarityOps.pqTopK): per
-    * subspace (m=8, dsub=8), 2 unrolled Lloyd's rounds with the same
-    * cosine-argmax assignment + fixed-point means as the IVF oracle,
-    * then encode (per-subspace nearest code), reconstruct (codebook
-    * concat in subspace order), ADC-score every candidate, keep the
-    * rerank·k = 50 ADC survivors per query and re-rank them with TRUE
-    * cosines (the standard ADC + exact-re-rank pipeline the Spark face
-    * runs). */
+    * subspace (m=8, dsub=8, ksub=64), 2 unrolled Lloyd's rounds with
+    * the same cosine-argmax assignment + fixed-point means as the IVF
+    * oracle, then encode (per-subspace nearest code), reconstruct
+    * (codebook concat in subspace order), ADC-score every candidate,
+    * keep the rerank·k = 100 ADC survivors per query and re-rank them
+    * with TRUE cosines (the standard ADC + exact-re-rank pipeline the
+    * Spark face runs). */
   private val simPqTopKSql: String = {
     val rounds = (1 to 2).map { r =>
       s"""p$r AS (SELECT s.vec_id, s.si, k.cid, ${cosSql("s.sv", "k.cv", 8)} AS cs
@@ -1153,7 +1153,7 @@ object SparkEntry {
        |sub AS (SELECT vec_id, t.si,
        |    list_transform(range(1, 9), j -> embedding[t.si * 8 + j]) AS sv
        |  FROM e CROSS JOIN range(0, 8) t(si)),
-       |k0 AS (SELECT vec_id AS cid, si, sv AS cv FROM sub WHERE vec_id < 16),
+       |k0 AS (SELECT vec_id AS cid, si, sv AS cv FROM sub WHERE vec_id < 64),
        |$rounds,
        |pe AS (SELECT s.vec_id, s.si, k.cid, ${cosSql("s.sv", "k.cv", 8)} AS cs
        |  FROM sub s JOIN k2 k ON s.si = k.si WHERE s.vec_id >= 5),
@@ -1168,7 +1168,7 @@ object SparkEntry {
        |  FROM e q CROSS JOIN rec r WHERE q.vec_id < 5),
        |cnd AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
        |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id ASC) AS crn
-       |  FROM adc) z WHERE crn <= 50),
+       |  FROM adc) z WHERE crn <= 100),
        |sims AS (SELECT c.qid, c.vec_id,
        |    round(${cosSql("q.embedding", "v.embedding")}, 6) AS cos
        |  FROM cnd c JOIN e q ON q.vec_id = c.qid JOIN e v ON v.vec_id = c.vec_id),

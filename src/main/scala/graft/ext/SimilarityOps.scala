@@ -681,8 +681,8 @@ object SimilarityOps {
     * its recall against brute force. */
   def pqTopK(spark: SparkSession, dir: String,
              numQueries: Int = 5, k: Int = 5,
-             m: Int = 8, ksub: Int = 16, iters: Int = 2,
-             maxVecId: Long = Long.MaxValue, rerank: Int = 10): DataFrame = {
+             m: Int = 8, ksub: Int = 64, iters: Int = 2,
+             maxVecId: Long = Long.MaxValue, rerank: Int = 20): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < maxVecId)
       .transform(FanOut(_))
