@@ -1319,6 +1319,58 @@ object SparkEntry {
       |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
       |ORDER BY qid, rnk""".stripMargin
 
+  /** The JL projection matrix (SimilarityOps.rpComponent) as a DuckDB
+    * nested-list literal — `Double.toString` round-trips (strtod is
+    * correctly rounded), so both engines hold the identical 16×64
+    * doubles. */
+  private def rpMatrixSql(outDim: Int = 16): String =
+    (0 until outDim).map { j =>
+      (0 until 64).map(i => graft.ext.SimilarityOps.rpComponent(j, i).toString)
+        .mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
+
+  /** The `outDim`-dim sketch of `embedding` — same in-order fold and
+    * 6-decimal component rounding as SimilarityOps.rpProject. */
+  private def rpSketchExpr(outDim: Int): String =
+    s"""list_transform(range(1, ${outDim + 1}), j ->
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) * mat[j][i])), 6))""".stripMargin
+
+  /** Replay of SimilarityOps.rpReduce — the sketch table itself. */
+  private val simRpReduceSql: String =
+    s"""WITH m AS (SELECT ${rpMatrixSql()} AS mat)
+       |SELECT vec_id, ${rpSketchExpr(16)} AS reduced
+       |FROM embeddings, m ORDER BY vec_id""".stripMargin
+
+  /** Full replay of the RP-sketch ANN (SimilarityOps.rpTopK): sketch
+    * every vector, rank candidates per query by sketch cosine
+    * (rpAnnDim dims, top rpAnnCandidates, vec_id tie-break), then
+    * exact-re-rank the survivors with the 64-dim cosine. Deterministic
+    * end to end, so unlike LSH this approximate index hash-checks. */
+  private val simRpTopKSql: String = {
+    val d = graft.ext.SimilarityOps.rpAnnDim
+    val cand = graft.ext.SimilarityOps.rpAnnCandidates
+    s"""WITH m AS (SELECT ${rpMatrixSql(d)} AS mat),
+       |e AS (SELECT vec_id, embedding, ${rpSketchExpr(d)} AS red
+       |  FROM embeddings, m),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec, red AS qred
+       |  FROM e WHERE vec_id < 5),
+       |c AS (SELECT vec_id, embedding, red FROM e WHERE vec_id >= 5),
+       |scored AS (SELECT qid, qvec, c.vec_id, c.embedding,
+       |    round(${cosSql("qred", "red", d)}, 6) AS rcos
+       |  FROM q CROSS JOIN c),
+       |surv AS (SELECT qid, qvec, vec_id, embedding FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rcos DESC, vec_id ASC) AS crank
+       |  FROM scored) z WHERE crank <= $cand),
+       |exact AS (SELECT qid, vec_id,
+       |    round(${cosSql("qvec", "embedding")}, 6) AS cos FROM surv),
+       |ranked AS (SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+       |  FROM exact)
+       |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Fixed-point replay of SimilarityOps.labelCentroids: floor(v·2^20)
     * longs sum exactly in any order, then one int→double division —
     * bit-identical across engines with no ordered fold. */
@@ -1636,6 +1688,11 @@ object SparkEntry {
     // posting list is scanned, so the result must equal brute force —
     // the recall knob checked at its endpoint by the brute-force oracle
     "sim_ivf_fullprobe" -> ((s, d) => SimilarityOps.ivfTopK(s, d, nCentroids = 16, nProbe = 16)),
+    // JL random-projection sketch family: the reduced-vector artifact
+    // and the sketch-filter/exact-verify ANN built on it — fully
+    // deterministic, so both faces hash-check against DuckDB
+    "sim_rp_reduce" -> ((s, d) => SimilarityOps.rpReduce(s, d)),
+    "sim_rp_topk" -> ((s, d) => SimilarityOps.rpTopK(s, d)),
     "sim_near_dups" -> ((s, d) => SimilarityOps.embeddingNearDups(s, d)),
     "sim_clusters" -> ((s, d) => SimilarityOps.semanticClusters(s, d)),
     "sim_decontaminate" -> ((s, d) => SimilarityOps.semanticDecontaminate(s, d)),
@@ -1893,6 +1950,8 @@ object SparkEntry {
     "sim_clusters" -> simClustersSql,
     "sim_decontaminate" -> simDecontaminateSql,
     "sim_lsh_topk" -> simLshTopKSql,
+    "sim_rp_reduce" -> simRpReduceSql,
+    "sim_rp_topk" -> simRpTopKSql,
     "sim_embedding_stats" -> simEmbeddingStatsSql,
     "sim_label_centroids" -> simLabelCentroidsSql,
     "sim_label_outliers" -> simLabelOutliersSql,

@@ -742,4 +742,95 @@ object SimilarityOps {
     * codebook. */
   def pqExact(spark: SparkSession, dir: String, cap: Int = 256): DataFrame =
     pqTopK(spark, dir, ksub = cap, iters = 0, maxVecId = cap)
+
+  // --- Johnson–Lindenstrauss random-projection sketch -----------------------
+
+  /** Deterministic JL projection-matrix component: output row `j`,
+    * input column `i` — the same integer-LCG family as
+    * [[planeComponent]], seeded into a disjoint index range (row offset
+    * 4096 ≫ any LSH plane index) so the sketch and the hyperplane
+    * tables are independent draws. Values in [-0.5, 0.5); every engine
+    * reproduces them with integer arithmetic plus one exact binary
+    * division, so the whole sketch is SQL-oracle-replayable. */
+  private[graft] def rpComponent(j: Int, i: Int): Double = {
+    val x = (1103515245L * ((j + 4096) * 64 + i + 1) + 12345L) & 0x7FFFFFFFL
+    x.toDouble / 0x80000000L.toDouble - 0.5
+  }
+
+  /** Project a 64-dim float vector to `outDim` rounded doubles: one
+    * in-order `aggregate(zip_with(...))` fold per output dimension over
+    * a literal matrix row — all map-side, whole-stage-codegen'd, zero
+    * shuffle, and bit-identical to DuckDB's `list_sum(list_transform)`
+    * replay. Components round to 6 decimals so the SKETCH (not the
+    * fold) is the cross-engine contract. */
+  def rpProject(vec: Column, outDim: Int = 16): Column =
+    array((0 until outDim).map { j =>
+      val row = array((0 until 64).map(i => lit(rpComponent(j, i))): _*)
+      round(aggregate(zip_with(vec, row, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v), 6)
+    }: _*)
+
+  /** The reduced-vector table (`sim_rp_reduce`): vec_id → 16-dim JL
+    * sketch. At 100 TB this is the cheap narrow artifact the rest of
+    * the pipeline touches instead of the raw embeddings — 4× fewer
+    * multiply-adds per comparison, small enough to cache or broadcast
+    * an order of magnitude more of it. One corpus pass, no shuffle. */
+  def rpReduce(spark: SparkSession, dir: String, outDim: Int = 16): DataFrame =
+    Tables.embeddings(spark, dir)
+      .transform(FanOut(_))
+      .select(col("vec_id"), rpProject(col("embedding"), outDim).as("reduced"))
+      .orderBy(col("vec_id"))
+
+  /** RP-sketch ANN (`sim_rp_topk`): score ALL candidates in the 16-dim
+    * sketch space (4× cheaper than full-width), keep the top
+    * `candidates` per query by sketch cosine, then exact-re-rank only
+    * those survivors with the full 64-dim kernel — the classic
+    * sketch-filter/exact-verify two-phase. Everything is deterministic
+    * (literal matrix, in-order folds, 6-decimal rounding, vec_id
+    * tie-breaks), so unlike the LSH face this approximate index is
+    * hash-oracle-checkable end to end.
+    *
+    * At scale: phase 1 is a broadcast of the (small) query sketches over
+    * one narrow corpus pass — reading 16 doubles per row instead of 64
+    * floats; phase 2 touches `candidates` full vectors per query. The
+    * full embedding rides along here because the corpus fits; at 100 TB
+    * you'd store the sketch table column-separate (see [[rpReduce]])
+    * and re-join the ≤ |q|·candidates survivors to the wide table by
+    * vec_id instead. */
+  /** Registered-face knobs, shared with the oracle SQL (SparkEntry
+    * interpolates these same constants) so the engines cannot drift.
+    * 32 dims halves the flops while keeping JL distortion ≈ 0.18 —
+    * enough to rank a 100-candidate shortlist usefully even on a
+    * structureless corpus; see STATUS for measured recall. */
+  val rpAnnDim: Int = 32
+  val rpAnnCandidates: Int = 200
+
+  def rpTopK(spark: SparkSession, dir: String,
+             numQueries: Int = 5, k: Int = 5, outDim: Int = rpAnnDim,
+             candidates: Int = rpAnnCandidates): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .transform(FanOut(_))
+      .select(col("vec_id"), col("embedding"),
+        rpProject(col("embedding"), outDim).as("red"))
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("red").as("qred"))
+    val scored = emb.filter(col("vec_id") >= numQueries)
+      .crossJoin(broadcast(queries))
+      .select(col("qid"), col("qvec"), col("vec_id"), col("embedding"),
+        round(cosineComposable(col("qred"), col("red")), 6).as("rcos"))
+    val wCand = Window.partitionBy(col("qid"))
+      .orderBy(col("rcos").desc, col("vec_id").asc)
+    val survivors = scored
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= candidates)
+    val exact = survivors.select(col("qid"), col("vec_id"),
+      round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
 }

@@ -276,4 +276,65 @@ class SimilaritySpec extends SparkSuite {
     // the outlier's distance dwarfs the inlier cluster's spread
     assert(byLabel(0)._4 > 1.0)
   }
+
+  test("RP sketch ANN with full candidate retention equals brute force") {
+    // candidates ≥ corpus size ⇒ phase 1 keeps everything and phase 2
+    // IS brute force — the rpTopK exactness endpoint (the analogue of
+    // sim_ivf_fullprobe / sim_pq_exact for the JL family)
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count().toInt
+    val rp = SimilarityOps.rpTopK(spark, sf, candidates = n)
+      .collect().map(_.toSeq).toSeq
+    val brute = SimilarityOps.bruteForceTopK(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(rp == brute)
+    assert(rp.nonEmpty)
+  }
+
+  test("RP top-k recall ≥ 0.9 for planted high-similarity neighbors") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val perturbed = base.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") - 10L)
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + (i.cast("double") % 7.0 - 3.0) * 0.0005).cast("float")))
+    val dir = tmpDir("graft-rp-q")
+    base.unionByName(perturbed)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    // queries are ids < 0; candidates are all originals (numQueries = 0)
+    val top1 = SimilarityOps.rpTopK(spark, dir, numQueries = 0, k = 1)
+      .filter(col("qid") < 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = (-10L until 0L).count(q => top1.get(q).contains(q + 10L))
+    assert(hits >= 9, s"only $hits/10 planted neighbors found: $top1")
+  }
+
+  test("RP sketch preserves cosine ordering approximately (rank correlation)") {
+    // the JL guarantee in testable form: over all candidate pairs for
+    // query 0, sketch-cosine order should agree with true-cosine order
+    // more often than not. A structureless corpus is the WORST case —
+    // every true cosine is within noise of 0, so most pairs differ by
+    // less than the sketch's distortion (16 dims ⇒ ε ≈ 0.25) and their
+    // order is a coin flip. Demand clearly-above-chance concordance
+    // (measured ≈ 0.61 here); the planted-neighbor test above covers
+    // the regime where order actually matters (separated similarities).
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        SimilarityOps.rpProject(col("embedding")).as("red"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"), col("red").as("qred"))
+    val pairs = emb.filter(col("vec_id") > 0).crossJoin(broadcast(q))
+      .select(
+        SimilarityOps.cosineComposable(col("qvec"), col("embedding")).as("tru"),
+        SimilarityOps.cosineComposable(col("qred"), col("red")).as("skt"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val sample = pairs.take(200)
+    val concordant = (for {
+      i <- sample.indices; j <- (i + 1) until sample.length
+    } yield ((sample(i)._1 - sample(j)._1) * (sample(i)._2 - sample(j)._2) > 0))
+      .count(identity)
+    val totalPairs = sample.length * (sample.length - 1) / 2
+    val tau = concordant.toDouble / totalPairs
+    assert(tau > 0.55, f"sketch/true concordance $tau%.3f — JL sketch too lossy")
+  }
 }

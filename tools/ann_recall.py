@@ -18,7 +18,8 @@ def main():
     out = sys.argv[1]
     con = duckdb.connect()
     exact = f"read_parquet('{out}/sim_bruteforce_topk/*.parquet')"
-    for name in ("sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk"):
+    for name in ("sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk",
+                 "sim_rp_topk"):
         approx = f"read_parquet('{out}/{name}/*.parquet')"
         row = con.execute(f"""
             WITH e AS (SELECT qid, vec_id FROM {exact}),
