@@ -1737,6 +1737,8 @@ object SparkEntry {
     "q_triangles_approx" -> ((s, d) => graft.operators.GraphOps.triangleEstimate(s, d)),
     "q_quantile_sketch" -> ((s, d) => graft.operators.SketchOps.bottomKQuantiles(s, d)),
     "samp_split" -> ((s, d) => SampleOps.corpusSplit(s, d)),
+    // split keyed by near-dup cluster: no train/test straddle possible
+    "samp_split_leakfree" -> ((s, d) => SampleOps.leakFreeSplit(s, d)),
     "q_window_range_frame" -> ((s, d) => Relational.trailingSpend(s, d)),
     "q_kmv_distinct" -> ((s, d) => graft.operators.SketchOps.kmvDistinct(s, d)),
     "q_skyline" -> ((s, d) => Relational.skylineParts(s, d)),
@@ -2097,6 +2099,7 @@ object SparkEntry {
     // at dyadic quantiles — both engine-replayable by construction.
     "q_quantile_sketch" -> qQuantileSketchSql,
     "samp_split" -> sampSplitSql,
+    "samp_split_leakfree" -> sampSplitLeakfreeSql,
     "q_window_range_frame" -> qWindowRangeFrameSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
     // q_skyline: the oracle states the DEFINITION (dominance NOT
@@ -2766,6 +2769,27 @@ object SparkEntry {
        |    ELSE 'test' END AS split,
        |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  /** Replay of SampleOps.leakFreeSplit: near-dup cluster labels via the
+    * shared recursive-CTE walk (same transitive closure as
+    * dedup_clusters), cluster_key = label (own doc_id when unclustered),
+    * then the identical md5 hex-threshold split keyed on the CLUSTER. */
+  private val sampSplitLeakfreeSql: String = {
+    def splitCase(key: String) =
+      s"""CASE
+         |    WHEN substr(md5('${SampleOps.splitSeed}:' || CAST($key AS VARCHAR)), 1, 4)
+         |         < '${SampleOps.splitTrainHex}' THEN 'train'
+         |    WHEN substr(md5('${SampleOps.splitSeed}:' || CAST($key AS VARCHAR)), 1, 4)
+         |         < '${SampleOps.splitValHex}' THEN 'val'
+         |    ELSE 'test' END""".stripMargin
+    s"""$dedupClusterCtes,
+       |cl AS (SELECT u AS doc_id, min(label) AS cluster FROM walk GROUP BY u),
+       |k AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster_key
+       |      FROM (SELECT doc_id FROM documents) d
+       |      LEFT JOIN cl ON cl.doc_id = d.doc_id)
+       |SELECT doc_id, cluster_key, ${splitCase("cluster_key")} AS split
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
 
   /** Trailing-30-day spend: integer day numbers + cents make the RANGE
     * frame and its sums exact in both engines. */

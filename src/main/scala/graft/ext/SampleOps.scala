@@ -193,6 +193,38 @@ object SampleOps {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Leakage-safe train/val/test assignment (`samp_split_leakfree`):
+    * the split is a pure function of the document's NEAR-DUP CLUSTER,
+    * not the document itself. Per-doc hash splits ([[trainValTestSplit]])
+    * have a known failure mode in LLM corpora: near-identical documents
+    * hash independently, so one copy lands in train and its twin in
+    * test — silent eval contamination. Here every member of a dedup
+    * cluster shares its cluster's key (the min doc_id label from
+    * [[graft.ext.DedupOps.dedupClusters]]; unclustered docs key on
+    * themselves), so a cluster can never straddle a split boundary —
+    * the grouped-split discipline decontamination papers prescribe.
+    *
+    * Scale: the cluster labels come from the banded near-dup pair set
+    * (pair-table-sized, ≪ corpus) and join back to the corpus as one
+    * AQE-broadcast join; the hash compare itself is a narrow map. The
+    * label table is the same memoized artifact the dedup family shares,
+    * so the marginal cost over [[trainValTestSplit]] is one small join. */
+  def leakFreeSplit(spark: SparkSession, dir: String,
+                    seed: String = splitSeed): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val clusters = graft.ext.DedupOps.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster"))
+    val keyed = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_key", coalesce(col("cluster"), col("doc_id")))
+    val h = substring(
+      md5(concat(lit(seed + ":"), col("cluster_key").cast("string"))), 1, 4)
+    keyed.select(col("doc_id"), col("cluster_key"),
+        when(h < lit(splitTrainHex), "train")
+          .when(h < lit(splitValHex), "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val ppsN = 100
 
   /** Systematic probability-proportional-to-size sampling (`samp_pps`):

@@ -114,6 +114,47 @@ class SampleOpsSpec extends SparkSuite {
     half.foreach { case (id, s) => assert(full(id) == s, s"doc $id flipped") }
   }
 
+  test("leak-free split: clusters never straddle splits; doc-keyed split can leak") {
+    val spark2 = spark
+    import spark2.implicits._
+    val lf = SampleOps.leakFreeSplit(spark, sf)
+    // structural guarantee: one split per cluster_key, by construction
+    val straddles = lf.groupBy("cluster_key")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(straddles == 0)
+    // every document is assigned exactly once
+    val nDocs = graft.model.Tables.documents(spark, sf).count()
+    assert(lf.count() == nDocs)
+    assert(lf.select("doc_id").distinct().count() == nDocs)
+    // distribution still ≈ 80/10/10 (cluster sizes are small relative
+    // to the corpus, so grouping barely moves the split masses)
+    val frac = lf.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / nDocs.toDouble).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.07, s"train $frac")
+    // the property the face exists for: among multi-doc clusters, the
+    // per-DOC hash split assigns its members independently — if any such
+    // cluster gets split apart under doc-keying, that is exactly the
+    // train/test leak the cluster-keyed face prevents
+    val clustered = lf.filter(col("cluster_key") =!= col("doc_id"))
+      .select("doc_id", "cluster_key")
+    if (clustered.count() > 0) {
+      val docKeyed = SampleOps.trainValTestSplit(
+        graft.model.Tables.documents(spark, sf), "doc_id")
+      val perDoc = clustered.join(docKeyed.select("doc_id", "split"), "doc_id")
+        .unionByName(
+          // the keeper itself (cluster_key = doc_id rows were excluded)
+          lf.select(col("cluster_key").as("doc_id"), col("cluster_key")).distinct()
+            .join(clustered.select(col("cluster_key")).distinct(), Seq("cluster_key"))
+            .join(docKeyed.select("doc_id", "split"), "doc_id"))
+      val docKeyStraddles = perDoc.groupBy("cluster_key")
+        .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count()
+      // not an invariant of the corpus, but on sf0.01+ the generator
+      // plants enough dup groups that independent hashing splits some
+      info(s"doc-keyed split straddles $docKeyStraddles cluster(s); cluster-keyed: 0")
+    }
+  }
+
   test("PPS sample: exactly n draws, ~proportional to weight, equals the global-window form") {
     import org.apache.spark.sql.expressions.Window
     val n = SampleOps.ppsN
