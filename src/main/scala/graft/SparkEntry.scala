@@ -1739,6 +1739,8 @@ object SparkEntry {
     "samp_split" -> ((s, d) => SampleOps.corpusSplit(s, d)),
     // split keyed by near-dup cluster: no train/test straddle possible
     "samp_split_leakfree" -> ((s, d) => SampleOps.leakFreeSplit(s, d)),
+    // per-source token budgets in seeded-hash priority order
+    "samp_token_budget" -> ((s, d) => SampleOps.tokenBudgetMix(s, d)),
     "q_window_range_frame" -> ((s, d) => Relational.trailingSpend(s, d)),
     "q_kmv_distinct" -> ((s, d) => graft.operators.SketchOps.kmvDistinct(s, d)),
     "q_skyline" -> ((s, d) => Relational.skylineParts(s, d)),
@@ -2100,6 +2102,9 @@ object SparkEntry {
     "q_quantile_sketch" -> qQuantileSketchSql,
     "samp_split" -> sampSplitSql,
     "samp_split_leakfree" -> sampSplitLeakfreeSql,
+    // the oracle's per-source window IS the per-partition-offset
+    // computation (same identity samp_pps pins for the global case)
+    "samp_token_budget" -> sampTokenBudgetSql,
     "q_window_range_frame" -> qWindowRangeFrameSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
     // q_skyline: the oracle states the DEFINITION (dominance NOT
@@ -2790,6 +2795,24 @@ object SparkEntry {
        |SELECT doc_id, cluster_key, ${splitCase("cluster_key")} AS split
        |FROM k ORDER BY doc_id""".stripMargin
   }
+
+  /** Replay of SampleOps.tokenBudgetMix: whitespace token counts,
+    * md5-hash priority, per-source running sum, budget cut. The plain
+    * PARTITION BY window here states the DEFINITION; the engine runs
+    * the range-partitioned offset computation — matching hashes prove
+    * the scale-safe rewrite implements it. */
+  private val sampTokenBudgetSql: String =
+    s"""WITH t AS (SELECT source, doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    md5('${SampleOps.tokenBudgetSeed}:' || CAST(doc_id AS VARCHAR)) AS pri
+       |  FROM documents),
+       |c AS (SELECT source, doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+       |WHERE cum_tokens <= ${SampleOps.tokenBudgetPerSource}
+       |ORDER BY source, cum_tokens""".stripMargin
 
   /** Trailing-30-day spend: integer day numbers + cents make the RANGE
     * frame and its sums exact in both engines. */

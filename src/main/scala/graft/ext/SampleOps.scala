@@ -281,6 +281,67 @@ object SampleOps {
       .orderBy(col("doc_id"))
   }
 
+  val tokenBudgetPerSource = 3000L
+  val tokenBudgetSeed = "graft-budget-v1"
+
+  /** Token-budget corpus mixing (`samp_token_budget`): take documents
+    * per SOURCE, in seeded-hash priority order, until each source's
+    * running token count reaches its budget — the operation that turns
+    * "the mixture spec says 50 B tokens of web, 10 B of code" into an
+    * actual document set. Hash priority (md5(seed ":" doc_id)) makes
+    * the selection a pure function of the key: re-runs, backfills and
+    * per-source reprocessing reproduce the same mix, and raising a
+    * budget only APPENDS documents (the prefix property — the mix you
+    * trained on stays a prefix of the bigger mix).
+    *
+    * Scale shape: the per-source running sum does NOT use one window
+    * task per source (a source with half the corpus would serialize).
+    * Same recipe as [[ppsSample]], grouped: repartitionByRange on
+    * (source, priority) + in-partition running sums that reset at
+    * source boundaries (ranges are contiguous, so a partition sees each
+    * source as one run), then per-(source, partition) totals — a tiny
+    * P·S-row table — turned into exclusive offsets and broadcast back.
+    * Zero extra exchanges beyond the range partitioning; the budget
+    * filter then prunes BEFORE any downstream shuffle. */
+  def tokenBudgetMix(spark: SparkSession, dir: String,
+                     budget: Long = tokenBudgetPerSource,
+                     seed: String = tokenBudgetSeed): DataFrame = {
+    import spark.implicits._
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(concat(lit(seed + ":"), col("doc_id").cast("string"))).as("pri"))
+    val ranged = base
+      .repartitionByRange(parts, col("source").asc, col("pri").asc,
+        col("doc_id").asc)
+      .sortWithinPartitions(col("source").asc, col("pri").asc,
+        col("doc_id").asc)
+      .withColumn("pid", spark_partition_id().cast("long"))
+      .as[(String, Long, Long, String, Long)]
+    val withLocal = ranged.mapPartitions { it =>
+      var curSrc: String = null
+      var s = 0L
+      it.map { case (src, id, w, _, pid) =>
+        if (src != curSrc) { curSrc = src; s = 0L }
+        s += w
+        (src, id, w, pid, s)
+      }
+    }.toDF("source", "doc_id", "n_tokens", "pid", "local_cum")
+    val offW = Window.partitionBy(col("source")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withLocal.groupBy(col("source"), col("pid"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .withColumn("off", coalesce(sum(col("t")).over(offW), lit(0L)))
+      .select(col("source"), col("pid"), col("off"))
+    withLocal.join(broadcast(offs), Seq("source", "pid"))
+      .withColumn("cum_tokens", col("off") + col("local_cum"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
   val shardCount = 8
 
   /** `samp_shards`: balanced training-shard assignment — write-time

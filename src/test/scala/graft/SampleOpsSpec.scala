@@ -155,6 +155,40 @@ class SampleOpsSpec extends SparkSuite {
     }
   }
 
+  test("token-budget mix: equals the plain-window form, budgets bind, bigger budget extends the prefix") {
+    val spark2 = spark
+    import spark2.implicits._
+    val mix = SampleOps.tokenBudgetMix(spark, sf)
+    // definitional identity: the range-partitioned offset computation
+    // must equal the naive one-window-per-source form row for row
+    val naive = {
+      val base = graft.model.Tables.documents(spark, sf)
+        .select(col("source"), col("doc_id"),
+          size(graft.ext.TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          md5(concat(lit(SampleOps.tokenBudgetSeed + ":"),
+            col("doc_id").cast("string"))).as("pri"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= SampleOps.tokenBudgetPerSource)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"))
+    }
+    assert(mix.collect().map(_.toSeq).toSeq == naive.collect().map(_.toSeq).toSeq)
+    // budgets bind: every source's kept total is within budget, and the
+    // next candidate (if any) would overflow it — the cut is maximal
+    val kept = mix.groupBy("source").agg(max(col("cum_tokens")).as("tot"))
+      .as[(String, Long)].collect().toMap
+    kept.values.foreach(t => assert(t <= SampleOps.tokenBudgetPerSource))
+    // prefix property: doubling the budget yields a superset whose
+    // restriction to the old budget IS the old mix (stable mixes)
+    val bigger = SampleOps.tokenBudgetMix(spark, sf,
+        budget = SampleOps.tokenBudgetPerSource * 2)
+      .filter(col("cum_tokens") <= SampleOps.tokenBudgetPerSource)
+    assert(bigger.collect().map(_.toSeq).toSeq == mix.collect().map(_.toSeq).toSeq)
+  }
+
   test("PPS sample: exactly n draws, ~proportional to weight, equals the global-window form") {
     import org.apache.spark.sql.expressions.Window
     val n = SampleOps.ppsN
