@@ -1741,6 +1741,8 @@ object SparkEntry {
     "samp_split_leakfree" -> ((s, d) => SampleOps.leakFreeSplit(s, d)),
     // per-source token budgets in seeded-hash priority order
     "samp_token_budget" -> ((s, d) => SampleOps.tokenBudgetMix(s, d)),
+    // capstone: keepers ∩ leak-free train split → budget fill
+    "samp_training_mix" -> ((s, d) => SampleOps.trainingMix(s, d)),
     "q_window_range_frame" -> ((s, d) => Relational.trailingSpend(s, d)),
     "q_kmv_distinct" -> ((s, d) => graft.operators.SketchOps.kmvDistinct(s, d)),
     "q_skyline" -> ((s, d) => Relational.skylineParts(s, d)),
@@ -2105,6 +2107,7 @@ object SparkEntry {
     // the oracle's per-source window IS the per-partition-offset
     // computation (same identity samp_pps pins for the global case)
     "samp_token_budget" -> sampTokenBudgetSql,
+    "samp_training_mix" -> sampTrainingMixSql,
     "q_window_range_frame" -> qWindowRangeFrameSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
     // q_skyline: the oracle states the DEFINITION (dominance NOT
@@ -2779,14 +2782,17 @@ object SparkEntry {
     * shared recursive-CTE walk (same transitive closure as
     * dedup_clusters), cluster_key = label (own doc_id when unclustered),
     * then the identical md5 hex-threshold split keyed on the CLUSTER. */
+  /** The md5 hex-threshold split as a SQL CASE over any key expression
+    * — shared by the doc-keyed, cluster-keyed, and capstone replays. */
+  private def splitCase(key: String): String =
+    s"""CASE
+       |    WHEN substr(md5('${SampleOps.splitSeed}:' || CAST($key AS VARCHAR)), 1, 4)
+       |         < '${SampleOps.splitTrainHex}' THEN 'train'
+       |    WHEN substr(md5('${SampleOps.splitSeed}:' || CAST($key AS VARCHAR)), 1, 4)
+       |         < '${SampleOps.splitValHex}' THEN 'val'
+       |    ELSE 'test' END""".stripMargin
+
   private val sampSplitLeakfreeSql: String = {
-    def splitCase(key: String) =
-      s"""CASE
-         |    WHEN substr(md5('${SampleOps.splitSeed}:' || CAST($key AS VARCHAR)), 1, 4)
-         |         < '${SampleOps.splitTrainHex}' THEN 'train'
-         |    WHEN substr(md5('${SampleOps.splitSeed}:' || CAST($key AS VARCHAR)), 1, 4)
-         |         < '${SampleOps.splitValHex}' THEN 'val'
-         |    ELSE 'test' END""".stripMargin
     s"""$dedupClusterCtes,
        |cl AS (SELECT u AS doc_id, min(label) AS cluster FROM walk GROUP BY u),
        |k AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster_key
@@ -2810,6 +2816,31 @@ object SparkEntry {
        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
        |  FROM t)
+       |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+       |WHERE cum_tokens <= ${SampleOps.tokenBudgetPerSource}
+       |ORDER BY source, cum_tokens""".stripMargin
+
+  /** Replay of SampleOps.trainingMix — the full capstone: cluster
+    * labels (recursive walk), keeper/unclustered admission
+    * (cluster_key = doc_id), cluster-keyed 'train' split, then the
+    * per-source token-budget window over the survivors. */
+  private val sampTrainingMixSql: String =
+    s"""$dedupClusterCtes,
+       |cl AS (SELECT u AS doc_id, min(label) AS cluster FROM walk GROUP BY u),
+       |k AS (SELECT d.doc_id, d.source, d.n_tokens,
+       |        coalesce(cl.cluster, d.doc_id) AS cluster_key
+       |      FROM (SELECT doc_id, source,
+       |          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |        FROM documents) d
+       |      LEFT JOIN cl ON cl.doc_id = d.doc_id),
+       |surv AS (SELECT source, doc_id, n_tokens FROM k
+       |  WHERE doc_id = cluster_key
+       |    AND ${splitCase("cluster_key")} = 'train'),
+       |c AS (SELECT source, doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY md5('${SampleOps.tokenBudgetSeed}:' || CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM surv)
        |SELECT source, doc_id, n_tokens, cum_tokens FROM c
        |WHERE cum_tokens <= ${SampleOps.tokenBudgetPerSource}
        |ORDER BY source, cum_tokens""".stripMargin

@@ -305,12 +305,21 @@ object SampleOps {
     * filter then prunes BEFORE any downstream shuffle. */
   def tokenBudgetMix(spark: SparkSession, dir: String,
                      budget: Long = tokenBudgetPerSource,
-                     seed: String = tokenBudgetSeed): DataFrame = {
+                     seed: String = tokenBudgetSeed): DataFrame =
+    tokenBudgetOver(spark,
+      Tables.documents(spark, dir).select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+      budget, seed)
+
+  /** The budget-fill core over any (source, doc_id, n_tokens) base —
+    * shared by [[tokenBudgetMix]] (whole corpus) and
+    * [[trainingMix]] (keepers ∩ leak-free train). */
+  private[graft] def tokenBudgetOver(spark: SparkSession, baseDf: DataFrame,
+                                     budget: Long, seed: String): DataFrame = {
     import spark.implicits._
     val parts = math.max(1, spark.sparkContext.defaultParallelism)
-    val base = Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+    val base = baseDf
+      .select(col("source"), col("doc_id"), col("n_tokens"),
         md5(concat(lit(seed + ":"), col("doc_id").cast("string"))).as("pri"))
     val ranged = base
       .repartitionByRange(parts, col("source").asc, col("pri").asc,
@@ -340,6 +349,35 @@ object SampleOps {
       .select(col("source"), col("doc_id"), col("n_tokens"),
         col("cum_tokens"))
       .orderBy(col("source"), col("cum_tokens"))
+  }
+
+  /** Training-mix capstone (`samp_training_mix`) — the end-to-end
+    * "build the training set" rule a corpus pipeline runs after
+    * curation: drop near-dup losers (keepers only), keep only the
+    * LEAK-FREE train split (cluster-keyed, so no test twin of any
+    * training doc exists), then fill each source's token budget in
+    * hash priority order. Every stage is a pure function of keys, so
+    * the whole mix is reproducible and SQL-oracle-checkable — the
+    * sampling-side counterpart of the dedup_curated capstone.
+    *
+    * Scale: the cluster-label artifact is shared (memoized) across the
+    * dedup/split faces; the two admission joins are pair-table-sized
+    * broadcasts; the budget fill is the [[tokenBudgetOver]] recipe. The
+    * corpus text itself never shuffles. */
+  def trainingMix(spark: SparkSession, dir: String,
+                  budget: Long = tokenBudgetPerSource,
+                  seed: String = tokenBudgetSeed): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val losers = graft.ext.DedupOps.dedupClusters(spark, dir)
+      .filter(!col("is_keeper")).select(col("doc_id"))
+    val train = leakFreeSplit(spark, dir)
+      .filter(col("split") === "train").select(col("doc_id"))
+    val base = docs
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(train, Seq("doc_id"), "left_semi")
+    tokenBudgetOver(spark, base, budget, seed)
   }
 
   val shardCount = 8

@@ -189,6 +189,35 @@ class SampleOpsSpec extends SparkSuite {
     assert(bigger.collect().map(_.toSeq).toSeq == mix.collect().map(_.toSeq).toSeq)
   }
 
+  test("training mix: only keepers, only train, within budget, and no test twin exists") {
+    val spark2 = spark
+    import spark2.implicits._
+    val mix = SampleOps.trainingMix(spark, sf)
+    val mixIds = mix.select("doc_id").as[Long].collect().toSet
+    assert(mixIds.nonEmpty)
+    // no near-dup loser is in the mix
+    val losers = graft.ext.DedupOps.dedupClusters(spark, sf)
+      .filter(!col("is_keeper")).select("doc_id").as[Long].collect().toSet
+    assert(mixIds.intersect(losers).isEmpty)
+    // every mixed doc sits in the cluster-keyed train split — and
+    // therefore NO member of its cluster can be in val/test (that's the
+    // leak-freedom the capstone inherits by keying on the cluster)
+    val split = SampleOps.leakFreeSplit(spark, sf)
+    val nonTrain = split.filter(col("split") =!= "train")
+      .select("doc_id").as[Long].collect().toSet
+    assert(mixIds.intersect(nonTrain).isEmpty)
+    val mixClusters = split.filter(col("doc_id").isin(mixIds.toSeq: _*))
+      .select("cluster_key").as[Long].collect().toSet
+    val leakedClusters = split
+      .filter(col("cluster_key").isin(mixClusters.toSeq: _*))
+      .filter(col("split") =!= "train").count()
+    assert(leakedClusters == 0)
+    // budgets bind
+    mix.groupBy("source").agg(max(col("cum_tokens")).as("t"))
+      .as[(String, Long)].collect()
+      .foreach { case (_, t) => assert(t <= SampleOps.tokenBudgetPerSource) }
+  }
+
   test("PPS sample: exactly n draws, ~proportional to weight, equals the global-window form") {
     import org.apache.spark.sql.expressions.Window
     val n = SampleOps.ppsN
