@@ -686,6 +686,35 @@ object SparkEntry {
       |    cid * 48 + least(64, n_toks - cid * 48)), ' ') AS chunk_text
       |FROM e ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Replay of TextOps.boilerplateScrub: non-overlapping 8-token
+    * chunks, chunk-df over distinct docs, drop df > 2, reassemble in
+    * chunk order. string_agg over zero kept rows is NULL — matching
+    * Spark's explicit null for all-boilerplate docs. */
+  private val textBoilerplateSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |s AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+      |      FROM t WHERE len(toks) > 0),
+      |ch AS (SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+      |         array_to_string(list_slice(toks, cid * 8 + 1,
+      |           cid * 8 + least(8, n_toks - cid * 8)), ' ') AS chunk
+      |       FROM (SELECT doc_id, toks, n_toks,
+      |               unnest(generate_series(0, (n_toks + 7) // 8 - 1)) AS cid
+      |             FROM s) e),
+      |boiler AS (SELECT chunk FROM (
+      |    SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1) z
+      |  WHERE df > 2),
+      |kept AS (SELECT c.doc_id, c.chunk_id, c.chunk FROM ch c
+      |         WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.chunk = c.chunk)),
+      |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+      |        FROM ch GROUP BY 1),
+      |cl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |         string_agg(chunk, ' ' ORDER BY chunk_id) AS clean_text
+      |       FROM kept GROUP BY 1)
+      |SELECT t.doc_id, t.n_chunks,
+      |  t.n_chunks - coalesce(cl.n_kept, 0) AS n_dropped, cl.clean_text
+      |FROM tot t LEFT JOIN cl USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   // text_vocab_coverage: top-k token-type coverage of all token
   // occurrences; (cnt DESC, tok) is a total order so row_number replays
   // the scale-safe global rank exactly.
@@ -1667,6 +1696,8 @@ object SparkEntry {
     "text_sample" -> ((s, d) => SampleOps.mixtureSample(s, d)),
     "text_pack" -> ((s, d) => SampleOps.packSequences(s, d)),
     "text_chunks" -> ((s, d) => TextOps.chunkDocuments(s, d)),
+    // CCNet-style repeated-passage removal over non-overlapping chunks
+    "text_boilerplate" -> ((s, d) => TextOps.boilerplateScrub(s, d)),
     "text_novelty" -> ((s, d) => TextOps.noveltyScores(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "text_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
@@ -1916,6 +1947,7 @@ object SparkEntry {
     "text_sample" -> textSampleSql,
     "text_pack" -> textPackSql,
     "text_chunks" -> textChunksSql,
+    "text_boilerplate" -> textBoilerplateSql,
     "text_novelty" -> textNoveltySql,
     "text_lm_score" -> textLmScoreSql,
     "text_vocab_coverage" -> textVocabCoverageSql,

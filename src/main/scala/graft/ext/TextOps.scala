@@ -347,6 +347,59 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Boilerplate scrub (`text_boilerplate`): remove repeated passages —
+    * the CCNet/RefinedWeb line-dedup discipline, expressed over
+    * NON-overlapping `window`-token chunks (this corpus has no line
+    * structure). A chunk whose text occurs in more than `maxDf`
+    * distinct documents is boilerplate (headers, footers, license
+    * blurbs — content that repeats verbatim across pages); each
+    * document is reassembled from its surviving chunks in order.
+    * `clean_text` is null when every chunk was boilerplate — the
+    * "document was nothing but chrome" signal a filter stage keys on.
+    *
+    * Scale shape: the chunk-df aggregate is map-side combining over
+    * chunk keys; the BOILERPLATE set (df > maxDf) is tiny by
+    * construction — repeats are the anomaly — so the removal join is a
+    * broadcast LEFT ANTI and the corpus chunks never shuffle for it.
+    * The reassembly groupBy is doc-keyed (the corpus's natural key).
+    * String chunk keys exist for oracle-verbatim replay; at corpus
+    * scale the key travels as xxhash64 longs (the hashedShingles
+    * discipline, same trade as [[graft.ext.DedupOps]] passage-df). */
+  def boilerplateScrub(spark: SparkSession, dir: String,
+                       window: Int = 8, maxDf: Long = 2L): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .transform(graft.ext.FanOut(_))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") > 0)
+    val ch = toks
+      .withColumn("n_chunks", expr(s"(n_toks + $window - 1) DIV $window"))
+      .select(col("doc_id"), col("toks"), col("n_toks"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+      .withColumn("chunk", expr(
+        s"concat_ws(' ', slice(toks, CAST(chunk_id * $window + 1 AS INT)," +
+          s" CAST(least(CAST($window AS BIGINT)," +
+          s" n_toks - chunk_id * $window) AS INT)))"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk"))
+    val boiler = ch.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("chunk"))
+    val kept = ch.join(broadcast(boiler), Seq("chunk"), "left_anti")
+    val totals = ch.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+    totals.join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Vocabulary coverage curve (`text_vocab_coverage`): what fraction
     * of all corpus token OCCURRENCES the top-k most frequent token
     * types cover, at k = 10 / 100 / 1000 — the first question a

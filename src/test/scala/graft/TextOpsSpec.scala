@@ -248,4 +248,39 @@ class TextOpsSpec extends SparkSuite {
       assert(ids.sameElements(ids.sorted) && ids.distinct.length == ids.length)
     }
   }
+
+  test("boilerplate scrub drops the planted shared header, keeps unique content") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmpDir("textops-boiler")
+    // an 8-token "header" shared by 4 docs (df=4 > maxDf=2) followed by
+    // unique bodies; doc 10 is NOTHING but the header (all-boilerplate);
+    // doc 11 shares a body chunk with doc 12 only (df=2 <= maxDf: kept)
+    val header = "terms of service apply to all rights reserved"  // 8 tokens
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    def body(tag: String) = (1 to 8).map(i => s"$tag$i").mkString(" ")
+    Seq(
+      (1L, s"$header ${body("a")}"),
+      (2L, s"$header ${body("b")}"),
+      (3L, s"$header ${body("c")}"),
+      (10L, header),
+      (11L, s"$header $shared"),
+      (12L, s"$shared ${body("d")}"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.boilerplateScrub(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_text")))).toMap
+    // header chunk dropped everywhere (df=4); bodies intact
+    assert(out(1L) == ((2L, 1L, body("a"))))
+    assert(out(2L) == ((2L, 1L, body("b"))))
+    assert(out(3L) == ((2L, 1L, body("c"))))
+    // all-boilerplate doc: every chunk dropped, clean_text is null
+    assert(out(10L) == ((1L, 1L, null)))
+    // df=2 chunk survives the default maxDf=2 threshold in both docs
+    assert(out(11L) == ((2L, 1L, shared)))
+    assert(out(12L) == ((2L, 0L, s"$shared ${body("d")}")))
+  }
 }
