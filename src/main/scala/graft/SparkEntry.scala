@@ -1400,6 +1400,23 @@ object SparkEntry {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Replay of SimilarityOps.int8Quantize: per-dimension exact min/max
+    * (float→double values compare exactly), then the identical IEEE
+    * expression tree — sub, mul-by-255, div, floor, clamp — per
+    * component. Degenerate dimensions (max = min) code to 0. */
+  private val simInt8QuantSql: String =
+    """WITH mm AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+      |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+      |       FROM embeddings, range(1, 65) t(i) GROUP BY i),
+      |m AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+      |      FROM mm)
+      |SELECT vec_id, list_transform(range(1, 65), i ->
+      |    CASE WHEN maxs[i] = mins[i] THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(least(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
+      |                 * 255.0 / (maxs[i] - mins[i])), 255.0) AS BIGINT)
+      |    END) AS codes
+      |FROM embeddings, m ORDER BY vec_id""".stripMargin
+
   /** Fixed-point replay of SimilarityOps.labelCentroids: floor(v·2^20)
     * longs sum exactly in any order, then one int→double division —
     * bit-identical across engines with no ordered fold. */
@@ -1724,6 +1741,8 @@ object SparkEntry {
     // deterministic, so both faces hash-check against DuckDB
     "sim_rp_reduce" -> ((s, d) => SimilarityOps.rpReduce(s, d)),
     "sim_rp_topk" -> ((s, d) => SimilarityOps.rpTopK(s, d)),
+    // int8 scalar quantization: per-dim [min,max] grid, 4× compression
+    "sim_int8_quant" -> ((s, d) => SimilarityOps.int8Quantize(s, d)),
     "sim_near_dups" -> ((s, d) => SimilarityOps.embeddingNearDups(s, d)),
     "sim_clusters" -> ((s, d) => SimilarityOps.semanticClusters(s, d)),
     "sim_decontaminate" -> ((s, d) => SimilarityOps.semanticDecontaminate(s, d)),
@@ -1989,6 +2008,7 @@ object SparkEntry {
     "sim_decontaminate" -> simDecontaminateSql,
     "sim_lsh_topk" -> simLshTopKSql,
     "sim_rp_reduce" -> simRpReduceSql,
+    "sim_int8_quant" -> simInt8QuantSql,
     "sim_rp_topk" -> simRpTopKSql,
     "sim_embedding_stats" -> simEmbeddingStatsSql,
     "sim_label_centroids" -> simLabelCentroidsSql,

@@ -578,6 +578,42 @@ object SimilarityOps {
         (col("doc_id") === col("label")).as("is_keeper"))
       .orderBy(col("vec_id"))
 
+  /** Int8 scalar quantization (`sim_int8_quant`): per-dimension
+    * min/max over the corpus, then each component maps to an 8-bit
+    * code on its dimension's [min, max] grid — 4× smaller embeddings
+    * (64 floats → 64 bytes) with error ≤ range/255 per component, the
+    * storage format embedding services actually serve from. Completes
+    * the compression ladder: int8 (4×, per-component) → RP sketch
+    * (flops) → PQ (32×, sub-vector codebooks).
+    *
+    * Determinism: min/max of exactly-representable float→double values
+    * are exact in any engine; the code arithmetic is the same IEEE
+    * expression tree in both (one sub, one mul, one div, floor, clamp)
+    * — so the codes hash-check. The 64-row min/max table collects to
+    * the driver (bounded O(d), the centroid-training discipline) and
+    * travels as plan literals: the encode pass is one narrow map over
+    * the scan, zero joins, zero shuffles. */
+  def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).transform(FanOut(_))
+    val mm = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val codes = array((0 until 64).map { i =>
+      val (mn, mx) = mm(i)
+      if (mx == mn) lit(0L)
+      else {
+        val v = col("embedding").getItem(i).cast("double")
+        least(floor((v - lit(mn)) * 255.0 / lit(mx - mn)), lit(255.0))
+          .cast("long")
+      }
+    }: _*)
+    emb.select(col("vec_id"), codes.as("codes")).orderBy(col("vec_id"))
+  }
+
   /** Per-vector norms + global stats — oracle-checkable embedding
     * column handling (array_[EXT] F-surface). */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame = {

@@ -337,4 +337,32 @@ class SimilaritySpec extends SparkSuite {
     val tau = concordant.toDouble / totalPairs
     assert(tau > 0.55, f"sketch/true concordance $tau%.3f — JL sketch too lossy")
   }
+
+  test("int8 quantization: codes span [0,255], dequantization error within one grid step") {
+    val codes = SimilarityOps.int8Quantize(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(codes.keySet == emb.keySet)
+    val dim = 64
+    val byDim = (0 until dim).map(i => emb.values.map(_(i).toDouble))
+    val mins = byDim.map(_.min)
+    val maxs = byDim.map(_.max)
+    codes.foreach { case (id, cs) =>
+      assert(cs.length == dim)
+      cs.foreach(c => assert(c >= 0L && c <= 255L))
+      // error bound: reconstructing at the code's grid cell start is
+      // within one step of the true value
+      (0 until dim).foreach { i =>
+        val step = (maxs(i) - mins(i)) / 255.0
+        val recon = mins(i) + cs(i) * step
+        assert(math.abs(recon - emb(id)(i)) <= step + 1e-9,
+          s"vec $id dim $i: |$recon - ${emb(id)(i)}| > $step")
+      }
+    }
+    // the grid is actually used: some dimension's extremes hit both ends
+    val allCodes = codes.values.flatten
+    assert(allCodes.min == 0L)
+    assert(allCodes.max >= 254L)
+  }
 }

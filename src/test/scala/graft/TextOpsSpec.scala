@@ -283,4 +283,24 @@ class TextOpsSpec extends SparkSuite {
     assert(out(11L) == ((2L, 1L, shared)))
     assert(out(12L) == ((2L, 0L, s"$shared ${body("d")}")))
   }
+
+  test("boilerplate scrub round-trips every document when nothing repeats") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmpDir("textops-boiler-rt")
+    // all-unique tokens across varied lengths that exercise the chunk
+    // boundary arithmetic (1, W-1, W, W+1, 2W, 2W+3 tokens)
+    val docs = Seq(1, 7, 8, 9, 16, 19).zipWithIndex.map { case (n, ix) =>
+      (ix.toLong, (1 to n).map(i => s"w${ix}_$i").mkString(" "))
+    }
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.boilerplateScrub(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dropped"), r.getAs[String]("clean_text")))).toMap
+    docs.foreach { case (id, text) =>
+      assert(out(id) == ((0L, text)), s"doc $id did not round-trip")
+    }
+  }
 }
