@@ -216,12 +216,8 @@ object SampleOps {
       .select(col("doc_id"), col("cluster"))
     val keyed = docs.join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_key", coalesce(col("cluster"), col("doc_id")))
-    val h = substring(
-      md5(concat(lit(seed + ":"), col("cluster_key").cast("string"))), 1, 4)
-    keyed.select(col("doc_id"), col("cluster_key"),
-        when(h < lit(splitTrainHex), "train")
-          .when(h < lit(splitValHex), "val")
-          .otherwise("test").as("split"))
+    trainValTestSplit(keyed, "cluster_key", seed)
+      .select(col("doc_id"), col("cluster_key"), col("split"))
       .orderBy(col("doc_id"))
   }
 

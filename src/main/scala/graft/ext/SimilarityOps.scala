@@ -602,6 +602,9 @@ object SimilarityOps {
         max(col("v").cast("double")).as("mx"))
       .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
       .toMap
+    require(mm.size == 64,
+      s"int8Quantize needs a 64-dim corpus; min/max covered ${mm.size} dims " +
+        "(empty table or shorter embedding arrays)")
     val codes = array((0 until 64).map { i =>
       val (mn, mx) = mm(i)
       if (mx == mn) lit(0L)

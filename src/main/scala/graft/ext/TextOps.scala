@@ -372,8 +372,8 @@ object TextOps {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .filter(col("n_toks") > 0)
-    val ch = toks
       .withColumn("n_chunks", expr(s"(n_toks + $window - 1) DIV $window"))
+    val ch = toks
       .select(col("doc_id"), col("toks"), col("n_toks"),
         explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
       .withColumn("chunk", expr(
@@ -386,8 +386,9 @@ object TextOps {
       .filter(col("df") > maxDf)
       .select(col("chunk"))
     val kept = ch.join(broadcast(boiler), Seq("chunk"), "left_anti")
-    val totals = ch.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"))
+    // per-doc totals are pure arithmetic on the token counts — no need
+    // to re-aggregate the exploded chunk table (a third corpus pass)
+    val totals = toks.select(col("doc_id"), col("n_chunks"))
     val cleaned = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(

@@ -87,7 +87,23 @@ object HeavyHitterStream {
     * superseded, not merged). Keys live in exactly one bucket, so the
     * union IS the global Misra-Gries candidate table. */
   def candidates(spark: SparkSession, snapshotDir: String): DataFrame = {
-    val log = spark.read.parquet(s"$snapshotDir/log")
+    val logPath = new org.apache.hadoop.fs.Path(s"$snapshotDir/log")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logPath)) {
+      // no batch has committed a snapshot yet — an empty summary, not
+      // an AnalysisException
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("bucket", "user_id", "mg_count")
+    }
+    val log = spark.read.parquet(logPath.toString)
+      // a crash between the foreachBatch append and the checkpoint
+      // commit replays the batch from the same state version, appending
+      // an IDENTICAL snapshot — drop the replay copies (the same
+      // idempotence concern IncrementalAgg solves with _last_batch;
+      // here the replayed rows are bit-equal, so a distinct suffices)
+      .dropDuplicates("bucket", "batch_id", "user_id")
     val latest = log.groupBy(col("bucket"))
       .agg(max(col("batch_id")).as("batch_id"))
     log.join(latest, Seq("bucket", "batch_id"))
