@@ -183,4 +183,40 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("grouped prefix-sum rewrite equals the naive window on arbitrary mixes") {
+    // tokenBudgetOver's range-partitioned offset computation must equal
+    // a plain per-source running-sum window for ANY (source, tokens)
+    // distribution: skewed sources, single-row sources, all-one-source,
+    // token counts at and around the budget boundary
+    import org.apache.spark.sql.functions._
+    import graft.ext.SampleOps
+    val spark0 = spark
+    import spark0.implicits._
+    val rowGen = for {
+      src <- Gen.frequency(6 -> Gen.const("hot"), 2 -> Gen.oneOf("a", "b"),
+        1 -> Gen.alphaLowerStr.map(s => "s" + s.take(3)))
+      w <- Gen.frequency(5 -> Gen.choose(1L, 9L), 1 -> Gen.choose(90L, 110L))
+    } yield (src, w)
+    (1L to 5L).foreach { trial =>
+      val rows = sample(Gen.listOfN(300, rowGen), trial).zipWithIndex
+        .map { case ((s, w), ix) => (s, ix.toLong, w) }
+      val base = rows.toDF("source", "doc_id", "n_tokens")
+      val budget = 100L
+      val got = SampleOps.tokenBudgetOver(spark, base, budget, "prop-seed")
+        .collect().map(_.toSeq).toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("pri"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val naive = base
+        .withColumn("pri", md5(concat(lit("prop-seed:"), col("doc_id").cast("string"))))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"))
+        .collect().map(_.toSeq).toSeq
+      assert(got == naive, s"trial $trial diverged")
+    }
+  }
 }
