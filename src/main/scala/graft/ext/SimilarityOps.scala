@@ -617,6 +617,54 @@ object SimilarityOps {
     emb.select(col("vec_id"), codes.as("codes")).orderBy(col("vec_id"))
   }
 
+  /** Persist the JL sketch as a parquet artifact (the ivfBuildIndex
+    * discipline for the RP family): build once with one corpus pass,
+    * then every query phase-1 scans ONLY this narrow table — 16 doubles
+    * per row instead of 64 floats — and the wide corpus is touched just
+    * for the ≤ |q|·candidates survivors. */
+  def rpBuildSketch(spark: SparkSession, dir: String, sketchDir: String,
+                    outDim: Int = rpAnnDim): Unit =
+    Tables.embeddings(spark, dir)
+      .transform(FanOut(_))
+      .select(col("vec_id"), rpProject(col("embedding"), outDim).as("red"))
+      .write.mode("overwrite").parquet(sketchDir)
+
+  /** Query the persisted sketch: identical math to [[rpTopK]] (RpSketchSpec
+    * pins row-for-row equality), but structured the way 100 TB demands —
+    * the candidate scoring pass never reads the embedding column (the
+    * sketch artifact IS the scan), and the full vectors are fetched by a
+    * broadcast join of the tiny survivor set against the wide table. */
+  def rpQuerySketch(spark: SparkSession, dir: String, sketchDir: String,
+                    numQueries: Int = 5, k: Int = 5,
+                    candidates: Int = rpAnnCandidates): DataFrame = {
+    val sk = spark.read.parquet(sketchDir)
+    val q = sk.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("red").as("qred"))
+    val scored = sk.filter(col("vec_id") >= numQueries)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        round(cosineComposable(col("qred"), col("red")), 6).as("rcos"))
+    val wCand = Window.partitionBy(col("qid"))
+      .orderBy(col("rcos").desc, col("vec_id").asc)
+    val survivors = scored
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= candidates)
+      .select(col("qid"), col("vec_id"))
+    val emb = Tables.embeddings(spark, dir).transform(FanOut(_))
+    val qvec = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = emb.join(broadcast(survivors), Seq("vec_id"))
+      .join(broadcast(qvec), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Per-vector norms + global stats — oracle-checkable embedding
     * column handling (array_[EXT] F-surface). */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
