@@ -715,6 +715,32 @@ object SparkEntry {
       |  t.n_chunks - coalesce(cl.n_kept, 0) AS n_dropped, cl.clean_text
       |FROM tot t LEFT JOIN cl USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  /** Replay of TextOps.sourceDrift: exact token counts, the identical
+    * IEEE (obs−exp)²/exp tree, 2⁻²⁰ fixed-point quantization, exact
+    * long sums — the log-free drift statistic. */
+  private val textDriftSql: String = {
+    val exp = "CAST(g AS DOUBLE) * CAST(st AS DOUBLE) / CAST(tot AS DOUBLE)"
+    s"""WITH t AS (SELECT source,
+       |        unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |      FROM documents),
+       |f AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS obs
+       |      FROM t WHERE len(tok) > 0 GROUP BY 1, 2),
+       |g AS (SELECT tok, CAST(sum(obs) AS BIGINT) AS g FROM f GROUP BY 1),
+       |s AS (SELECT source, CAST(sum(obs) AS BIGINT) AS st FROM f GROUP BY 1),
+       |tt AS (SELECT CAST(sum(g) AS BIGINT) AS tot FROM g),
+       |grid AS (SELECT s.source, s.st, g.tok, g.g, tt.tot,
+       |        CAST(coalesce(f.obs, 0) AS DOUBLE) AS obs_d
+       |      FROM s CROSS JOIN g CROSS JOIN tt
+       |      LEFT JOIN f ON f.source = s.source AND f.tok = g.tok),
+       |terms AS (SELECT source, st,
+       |    CAST(floor((obs_d - $exp) * (obs_d - $exp) / ($exp)
+       |      * 1048576) AS BIGINT) AS q
+       |  FROM grid)
+       |SELECT source, max(st) AS n_tokens,
+       |  round(CAST(sum(q) AS DOUBLE) / 1048576, 4) AS chi2
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // text_vocab_coverage: top-k token-type coverage of all token
   // occurrences; (cnt DESC, tok) is a total order so row_number replays
   // the scale-safe global rank exactly.
@@ -1715,6 +1741,8 @@ object SparkEntry {
     "text_chunks" -> ((s, d) => TextOps.chunkDocuments(s, d)),
     // CCNet-style repeated-passage removal over non-overlapping chunks
     "text_boilerplate" -> ((s, d) => TextOps.boilerplateScrub(s, d)),
+    // per-source chi-squared token-distribution drift (log-free)
+    "text_drift" -> ((s, d) => TextOps.sourceDrift(s, d)),
     "text_novelty" -> ((s, d) => TextOps.noveltyScores(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "text_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
@@ -1967,6 +1995,7 @@ object SparkEntry {
     "text_pack" -> textPackSql,
     "text_chunks" -> textChunksSql,
     "text_boilerplate" -> textBoilerplateSql,
+    "text_drift" -> textDriftSql,
     "text_novelty" -> textNoveltySql,
     "text_lm_score" -> textLmScoreSql,
     "text_vocab_coverage" -> textVocabCoverageSql,

@@ -338,6 +338,29 @@ object SimilarityOps {
       .parquet(s"$indexDir/postings.parquet")
   }
 
+  /** Append a batch of new vectors to a persisted IVF index WITHOUT
+    * retraining — the serving-path maintenance op (nightly corpus
+    * grows; re-running Lloyd's per batch would re-scan the whole
+    * corpus). New vectors are assigned to the EXISTING centroids by the
+    * same map-side argmax and appended into their posting-list
+    * partitions; the centroid artifact is untouched, so concurrent
+    * readers keep partition-pruning correctly. Cost: one batch-sized
+    * pass, zero joins, zero corpus reads. The standard IVF trade
+    * applies: as the corpus drifts from the trained centroids, recall
+    * decays — re-train on a cadence, append in between (IvfIndexSpec
+    * pins append ≡ full rebuild given the same centroids). */
+  def ivfAppendIndex(spark: SparkSession, indexDir: String,
+                     batch: DataFrame): Unit = {
+    val cents: Seq[(Int, Seq[Float])] =
+      spark.read.parquet(s"$indexDir/centroids.parquet").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    batch.select(
+        element_at(topCentroids(col("embedding"), cents, 1), 1).as("cid"),
+        col("vec_id"), col("embedding"))
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$indexDir/postings.parquet")
+  }
+
   /** Query a persisted IVF index: `queries` carries (qid, qvec). The
     * probe cid set is bounded (|queries|·nProbe ints) and collected so
     * it reaches the postings scan as LITERALS — that is what turns the

@@ -401,6 +401,53 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Source drift monitor (`text_drift`): a chi-squared statistic of
+    * each source's token distribution against the corpus-wide
+    * distribution — the data-quality dashboard number that catches a
+    * crawl source going bad (spam injection, template change, encoding
+    * rot) between snapshots. Log-free by design (libm ln() is not
+    * correctly rounded across engines): per-token terms
+    * (obs − exp)²/exp are one identical IEEE expression tree in both
+    * engines, then quantized to the 2⁻²⁰ grid and summed as EXACT longs
+    * (order-free ⇒ partial-aggregation safe ⇒ engine-exact) — the
+    * lmScore discipline. Absent tokens contribute their full expected
+    * mass (obs = 0), as chi-squared requires.
+    *
+    * Scale: token counts are vocab-sized map-side-combining aggregates;
+    * the (source × vocab) grid is |sources|·|vocab| rows — the vocab
+    * table broadcast against the source list; one small final
+    * aggregate. The corpus text is scanned once. */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .transform(graft.ext.FanOut(_))
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val bySrcTok = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("obs"))
+    val byTok = bySrcTok.groupBy(col("tok"))
+      .agg(sum(col("obs")).as("g"))
+    val bySrc = bySrcTok.groupBy(col("source"))
+      .agg(sum(col("obs")).as("st"))
+    val grid = bySrc.crossJoin(broadcast(byTok))
+      .join(bySrcTok, Seq("source", "tok"), "left")
+      .withColumn("obs_d", coalesce(col("obs"), lit(0L)).cast("double"))
+      .withColumn("exp_d",
+        col("g").cast("double") * col("st").cast("double") /
+          sum(col("g")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))).cast("double"))
+    // NOTE the window above: Σg within one source's grid rows IS the
+    // grand total (every token appears once per source) — no second
+    // global aggregate needed, and the partition is source-keyed
+    val terms = grid.withColumn("term",
+      (col("obs_d") - col("exp_d")) * (col("obs_d") - col("exp_d")) / col("exp_d"))
+    terms.groupBy(col("source"))
+      .agg(max(col("st")).as("n_tokens"),
+        (sum(floor(col("term") * lit(1048576.0)).cast("long"))
+          .cast("double") / 1048576.0).as("chi2"))
+      .select(col("source"), col("n_tokens"), round(col("chi2"), 4).as("chi2"))
+      .orderBy(col("source"))
+  }
+
   /** Vocabulary coverage curve (`text_vocab_coverage`): what fraction
     * of all corpus token OCCURRENCES the top-k most frequent token
     * types cover, at k = 10 / 100 / 1000 — the first question a

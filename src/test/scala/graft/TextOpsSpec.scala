@@ -284,6 +284,32 @@ class TextOpsSpec extends SparkSuite {
     assert(out(12L) == ((2L, 0L, s"$shared ${body("d")}")))
   }
 
+  test("source drift: the planted skewed source scores far above conforming ones") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmpDir("textops-drift")
+    // sources a/b draw from the same distribution; source z is spam
+    // (one token repeated) — its chi2 must dominate
+    val normal = "alpha beta gamma delta epsilon"
+    val docs =
+      (1 to 10).map(i => (i.toLong, normal, "a")) ++
+      (11 to 20).map(i => (i.toLong, normal, "b")) ++
+      (21 to 30).map(i => (i.toLong, "spam spam spam spam spam", "z"))
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.sourceDrift(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set("a", "b", "z"))
+    // a and b are identical to each other (and half the corpus is
+    // spam, so both carry SOME drift vs the blended baseline — but
+    // symmetric: equal scores), z is the outlier by a wide margin
+    assert(out("a") == out("b"))
+    assert(out("z") > out("a") * 1.5, s"spam source not flagged: $out")
+    // non-negativity (chi-squared is a sum of squares)
+    out.values.foreach(v => assert(v >= 0.0))
+  }
+
   test("boilerplate scrub round-trips every document when nothing repeats") {
     val spark2 = spark
     import spark2.implicits._
