@@ -380,7 +380,7 @@ object SimilarityOps {
     val probeCids = probes.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).sorted
     val postings = spark.read.parquet(s"$indexDir/postings.parquet")
-      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+      .filter(col("cid").isin(probeCids.toIndexedSeq.map(Integer.valueOf): _*))
     val sims = probes.join(postings, Seq("cid"))
       .select(col("qid"), col("vec_id"),
         round(cosine(col("qvec"), col("embedding")), 6).as("cos"))

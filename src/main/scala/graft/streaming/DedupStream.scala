@@ -53,8 +53,8 @@ object DedupStream {
         val compact = batch.toDF()
           .withColumn("digest", md5(col("text")))
           .groupBy(col("digest"))
-          .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("r"))
-          .select(col("digest") +: cols.map(c => col(s"r.$c")): _*)
+          .agg(min_by(struct(cols.toIndexedSeq.map(col): _*), col("doc_id")).as("r"))
+          .select((col("digest") +: cols.toIndexedSeq.map(c => col(s"r.$c"))): _*)
         val admitted =
           if (fs.exists(store))
             compact.join(spark.read.parquet(storeDir), Seq("digest"), "left_anti")

@@ -89,7 +89,7 @@ object IncrementalAgg {
           val merged =
             if (fs.exists(dataPath)) {
               val old = spark.read.parquet(dataPath.toString)
-                .filter(col("bucket").isin(touched.map(java.lang.Long.valueOf): _*))
+                .filter(col("bucket").isin(touched.toIndexedSeq.map(java.lang.Long.valueOf): _*))
               merge(old, delta, keys).localCheckpoint()
             } else delta
           val prevOverwrite =
