@@ -348,7 +348,9 @@ object SimilarityOps {
     * pass, zero joins, zero corpus reads. The standard IVF trade
     * applies: as the corpus drifts from the trained centroids, recall
     * decays — re-train on a cadence, append in between (IvfIndexSpec
-    * pins append ≡ full rebuild given the same centroids). */
+    * pins the exactness endpoint: full probe over the append-grown
+    * index ≡ brute force over the grown corpus, which holds for ANY
+    * centroid set and so catches lost or misfiled appends). */
   def ivfAppendIndex(spark: SparkSession, indexDir: String,
                      batch: DataFrame): Unit = {
     val cents: Seq[(Int, Seq[Float])] =
@@ -642,9 +644,12 @@ object SimilarityOps {
 
   /** Persist the JL sketch as a parquet artifact (the ivfBuildIndex
     * discipline for the RP family): build once with one corpus pass,
-    * then every query phase-1 scans ONLY this narrow table — 16 doubles
-    * per row instead of 64 floats — and the wide corpus is touched just
-    * for the ≤ |q|·candidates survivors. */
+    * then every query phase-1 scans ONLY this table — at the default
+    * 32 dims the row is byte-equal to the 64-float embedding but costs
+    * 2× fewer multiply-adds per comparison and prunes the wide column
+    * out of the scan entirely; at 16 dims ([[rpReduce]]'s artifact
+    * width) it is also 2× smaller on disk. The wide corpus is touched
+    * just for the ≤ |q|·candidates survivors. */
   def rpBuildSketch(spark: SparkSession, dir: String, sketchDir: String,
                     outDim: Int = rpAnnDim): Unit =
     Tables.embeddings(spark, dir)
@@ -901,12 +906,14 @@ object SimilarityOps {
     * hash-oracle-checkable end to end.
     *
     * At scale: phase 1 is a broadcast of the (small) query sketches over
-    * one narrow corpus pass — reading 16 doubles per row instead of 64
-    * floats; phase 2 touches `candidates` full vectors per query. The
-    * full embedding rides along here because the corpus fits; at 100 TB
-    * you'd store the sketch table column-separate (see [[rpReduce]])
-    * and re-join the ≤ |q|·candidates survivors to the wide table by
-    * vec_id instead. */
+    * one corpus pass scoring 32-dim sketches — 2× fewer multiply-adds
+    * than full width (byte-equal rows at 32 float64, 2× smaller at 16);
+    * phase 2 touches `candidates` full vectors per query. The full
+    * embedding rides along here because the corpus fits; at 100 TB
+    * you'd store the sketch table column-separate (the
+    * [[rpBuildSketch]]/[[rpQuerySketch]] artifact path, plan-asserted
+    * by RpSketchSpec) and re-join the ≤ |q|·candidates survivors to
+    * the wide table by vec_id instead. */
   /** Registered-face knobs, shared with the oracle SQL (SparkEntry
     * interpolates these same constants) so the engines cannot drift.
     * 32 dims halves the flops while keeping JL distortion ≈ 0.18 —

@@ -422,8 +422,14 @@ object TextOps {
       .transform(graft.ext.FanOut(_))
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
+    // the (source, tok) count table feeds THREE consumers (global
+    // counts, source totals, the grid join) — persist makes the
+    // single-corpus-scan property structural rather than relying on
+    // AQE exchange reuse to collapse three identical tokenize subtrees
+    // (the table itself is |sources|·|vocab| rows — tiny)
     val bySrcTok = toks.groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("obs"))
+      .persist()
     val byTok = bySrcTok.groupBy(col("tok"))
       .agg(sum(col("obs")).as("g"))
     val bySrc = bySrcTok.groupBy(col("source"))

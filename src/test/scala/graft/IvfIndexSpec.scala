@@ -77,12 +77,14 @@ class IvfIndexSpec extends SparkSuite {
     }
   }
 
-  test("incremental append equals a full rebuild over the grown corpus (same centroids)") {
+  test("incremental append: the grown index serves the whole corpus exactly at full probe") {
     // split the corpus: build the index on the first half, append the
-    // second half, and compare full-probe queries against an index
-    // built in ONE shot over everything — identical centroid artifact
-    // (the build trains on the first half both times), so assignment
-    // and therefore results must match bit-for-bit
+    // second half. A one-shot rebuild over everything would train
+    // DIFFERENT centroids, so bit-equality against it is not a valid
+    // contract; the binding check is the exactness endpoint — full
+    // probe over the append-grown index must equal brute force over
+    // the grown corpus (full probe is exact for ANY centroid set, so
+    // this catches lost/misfiled/duplicated appended vectors)
     val half1 = tmpDir("graft-ivf-h1")
     val grown = tmpDir("graft-ivf-grown")
     val corpus = spark.read.parquet(s"$corpusDir/embeddings.parquet")
@@ -93,19 +95,8 @@ class IvfIndexSpec extends SparkSuite {
     SimilarityOps.ivfBuildIndex(spark, half1, idxInc)
     SimilarityOps.ivfAppendIndex(spark, idxInc,
       corpus.filter(col("vec_id") % 2 === 0))
-
-    val idxFull = tmpDir("graft-ivf-full")
-    SimilarityOps.ivfBuildIndex(spark, half1, idxFull) // same training run
-    SimilarityOps.ivfAppendIndex(spark, idxFull,
-      corpus.filter(col("vec_id") % 2 === 0))
-    // sanity of the spec itself: two identical build+append paths agree
     val a = SimilarityOps.ivfQueryIndex(spark, idxInc, queries, k = 5, nProbe = 16)
       .collect().map(_.toSeq).toSeq
-    val b = SimilarityOps.ivfQueryIndex(spark, idxFull, queries, k = 5, nProbe = 16)
-      .collect().map(_.toSeq).toSeq
-    assert(a == b)
-    // the real assertion: the appended index serves the WHOLE corpus —
-    // full probe over it equals brute force over the grown corpus
     corpus.write.mode(SaveMode.Overwrite).parquet(s"$grown/embeddings.parquet")
     val brute = {
       val emb = spark.read.parquet(s"$grown/embeddings.parquet")
