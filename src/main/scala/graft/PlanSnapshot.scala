@@ -53,7 +53,10 @@ object PlanSnapshot {
     }
 
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      if (iterative(name)) None
+      // explicit sentinel instead of silent omission: snapshot keys must
+      // equal registry keys so the machine-diffable contract is total
+      if (iterative(name)) Some(name ->
+        Map[String, Any]("iterative_loop_derived_unsnapshotable" -> 1))
       else {
         try {
           val plan = fn(spark, dir).queryExecution.executedPlan

@@ -1391,10 +1391,14 @@ object SparkEntry {
        |    round(list_sum(list_transform(range(1, 65),
        |      i -> CAST(embedding[i] AS DOUBLE) * mat[j][i])), 6))""".stripMargin
 
-  /** Replay of SimilarityOps.rpReduce — the sketch table itself. */
+  /** Replay of SimilarityOps.rpReduceCsv — the sketch table serialized
+    * as micro-unit CSV (components are pre-rounded to 6 decimals, so
+    * ×10⁶ + round is an exact integer; long→string renders identically
+    * cross-engine where raw double→string does not). */
   private val simRpReduceSql: String =
     s"""WITH m AS (SELECT ${rpMatrixSql()} AS mat)
-       |SELECT vec_id, ${rpSketchExpr(16)} AS reduced
+       |SELECT vec_id, array_to_string(list_transform(${rpSketchExpr(16)},
+       |    x -> CAST(round(x * 1000000) AS BIGINT)), ',') AS reduced
        |FROM embeddings, m ORDER BY vec_id""".stripMargin
 
   /** Full replay of the RP-sketch ANN (SimilarityOps.rpTopK): sketch
@@ -1426,21 +1430,23 @@ object SparkEntry {
        |ORDER BY qid, rnk""".stripMargin
   }
 
-  /** Replay of SimilarityOps.int8Quantize: per-dimension exact min/max
-    * (float→double values compare exactly), then the identical IEEE
-    * expression tree — sub, mul-by-255, div, floor, clamp — per
-    * component. Degenerate dimensions (max = min) code to 0. */
+  /** Replay of SimilarityOps.int8QuantizeCsv: per-dimension exact
+    * min/max (float→double values compare exactly), then the identical
+    * IEEE expression tree — sub, mul-by-255, div, floor, clamp — per
+    * component, serialized as a CSV string (array results are
+    * unhashable in the driver's comparator). Degenerate dimensions
+    * (max = min) code to 0. */
   private val simInt8QuantSql: String =
     """WITH mm AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
       |         max(CAST(embedding[i] AS DOUBLE)) AS mx
       |       FROM embeddings, range(1, 65) t(i) GROUP BY i),
       |m AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
       |      FROM mm)
-      |SELECT vec_id, list_transform(range(1, 65), i ->
+      |SELECT vec_id, array_to_string(list_transform(range(1, 65), i ->
       |    CASE WHEN maxs[i] = mins[i] THEN CAST(0 AS BIGINT)
       |         ELSE CAST(least(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
       |                 * 255.0 / (maxs[i] - mins[i])), 255.0) AS BIGINT)
-      |    END) AS codes
+      |    END), ',') AS codes
       |FROM embeddings, m ORDER BY vec_id""".stripMargin
 
   /** Fixed-point replay of SimilarityOps.labelCentroids: floor(v·2^20)
@@ -1764,13 +1770,25 @@ object SparkEntry {
     // posting list is scanned, so the result must equal brute force —
     // the recall knob checked at its endpoint by the brute-force oracle
     "sim_ivf_fullprobe" -> ((s, d) => SimilarityOps.ivfTopK(s, d, nCentroids = 16, nProbe = 16)),
+    // the PERSISTED index on its serving path: build the parquet
+    // artifact once per session, query with literal-cid partition
+    // pruning; identical training ⇒ row-identical to sim_ivf_topk, so
+    // the trained-replay oracle hash-checks the pruned artifact path
+    "sim_ivf_served" -> ((s, d) => SimilarityOps.ivfServedTopK(s, d)),
     // JL random-projection sketch family: the reduced-vector artifact
     // and the sketch-filter/exact-verify ANN built on it — fully
-    // deterministic, so both faces hash-check against DuckDB
-    "sim_rp_reduce" -> ((s, d) => SimilarityOps.rpReduce(s, d)),
+    // deterministic. The artifact face registers CSV-serialized (raw
+    // array columns are unhashable in the driver's pandas comparator —
+    // the orderKeyArraysCsv precedent); the typed array stays pinned by
+    // RpSketchSpec.
+    "sim_rp_reduce" -> ((s, d) => SimilarityOps.rpReduceCsv(s, d)),
     "sim_rp_topk" -> ((s, d) => SimilarityOps.rpTopK(s, d)),
+    // the persisted sketch artifact on its serving path (the candidate
+    // scan never reads the wide embedding column); ≡ sim_rp_topk
+    "sim_rp_served" -> ((s, d) => SimilarityOps.rpServedTopK(s, d)),
     // int8 scalar quantization: per-dim [min,max] grid, 4× compression
-    "sim_int8_quant" -> ((s, d) => SimilarityOps.int8Quantize(s, d)),
+    // (CSV-serialized codes for the gate; typed face in SimilaritySpec)
+    "sim_int8_quant" -> ((s, d) => SimilarityOps.int8QuantizeCsv(s, d)),
     "sim_near_dups" -> ((s, d) => SimilarityOps.embeddingNearDups(s, d)),
     "sim_clusters" -> ((s, d) => SimilarityOps.semanticClusters(s, d)),
     "sim_decontaminate" -> ((s, d) => SimilarityOps.semanticDecontaminate(s, d)),
@@ -2028,6 +2046,11 @@ object SparkEntry {
     // (fixed-point Lloyd's means, cosine-argmax assignment), so the
     // oracle replays training end to end — see simIvfTopKSql/simPqTopKSql.
     "sim_ivf_topk" -> simIvfTopKSql,
+    // the persisted-index serving path trains identically to the inline
+    // face (same deterministic Lloyd's, same probe math), so the same
+    // trained replay covers it — now exercised through cid partition
+    // pruning over the parquet artifact
+    "sim_ivf_served" -> simIvfTopKSql,
     "sim_pq_topk" -> simPqTopKSql,
     // sim_lsh_topk / sim_near_dups: the LCG hyperplanes and in-order
     // dot folds are engine-exact, so the oracle replays bucketing,
@@ -2039,6 +2062,9 @@ object SparkEntry {
     "sim_rp_reduce" -> simRpReduceSql,
     "sim_int8_quant" -> simInt8QuantSql,
     "sim_rp_topk" -> simRpTopKSql,
+    // row-identical to sim_rp_topk (RpSketchSpec pins it), served from
+    // the persisted sketch artifact
+    "sim_rp_served" -> simRpTopKSql,
     "sim_embedding_stats" -> simEmbeddingStatsSql,
     "sim_label_centroids" -> simLabelCentroidsSql,
     "sim_label_outliers" -> simLabelOutliersSql,

@@ -426,13 +426,22 @@ object DedupOps {
     // shuffle width BEFORE narrowing the loop — the persist above is
     // lazy, and the first loop action must not drag the corpus-wide
     // shingle join down to the loop's partition count
-    pairs.count()
-    // the edge/label tables hold one row per duplicate pair — tiny
-    // relative to the corpus. Narrow the loop's exchanges to match: 32
-    // (or 200) two-row shuffle tasks per round is scheduling overhead.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    val edgeCount = pairs.count()
+    // The edge tables hold one row per duplicate pair. Size the loop's
+    // exchanges from that materialized count (~100k edges/partition)
+    // rather than a hardcoded constant: at test scale the loop runs a
+    // handful of tasks per round (32 two-row shuffle tasks is pure
+    // scheduling overhead), while a web-scale pair table with billions
+    // of edges still fans out wide — the r10 hardcoded "4" would have
+    // serialized exactly the loop the large-star/small-star upgrade
+    // made logarithmic. Applied via explicit repartition on the loop
+    // tables (the groupBy/distinct reuse the hash layout, so no second
+    // exchange); mutating session-global spark.sql.shuffle.partitions
+    // inside an operator is racy under concurrent query execution.
+    val loopParts: Int = math.max(1L, math.min(
+      math.max(spark.sparkContext.defaultParallelism.toLong, 4096L),
+      edgeCount / 100000L + 1L)).toInt
+    locally {
       // every pair endpoint keeps a label even if its node drops out of
       // the evolving edge set (e.g. a self-pair)
       val nodes = pairs.select(col("doc_a").as("doc_id"))
@@ -443,6 +452,10 @@ object DedupOps {
         e.filter(col("u") =!= col("v"))
           .select(least(col("u"), col("v")).as("u"),
             greatest(col("u"), col("v")).as("v"))
+          // the explicit exchange IS the distinct's clustering
+          // (HashPartitioning(u,v) satisfies it — no second shuffle),
+          // pinned at the pair-count-derived width
+          .repartition(loopParts, col("u"), col("v"))
           .distinct()
       // one star rewrite. Both directions of every edge feed each
       // node's neighborhood; m = min(Γ(u) ∪ {u}). LARGE-STAR hangs the
@@ -451,6 +464,10 @@ object DedupOps {
       def star(e: DataFrame, large: Boolean): DataFrame = {
         val adj = e.select(col("u"), col("v"))
           .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+          // one explicit u-exchange serves BOTH the min aggregate and
+          // the adj⋈mins join (each requires clustering by u, which
+          // HashPartitioning(u, loopParts) already satisfies)
+          .repartition(loopParts, col("u"))
         val mins = adj.groupBy(col("u"))
           .agg(least(min(col("v")), col("u")).as("m"))
         val joined = adj.join(mins, "u")
@@ -494,7 +511,7 @@ object DedupOps {
         .localCheckpoint()
       pairs.unpersist()
       (labels, rounds)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   /** Quality-aware keeper selection: among each near-dup cluster, keep

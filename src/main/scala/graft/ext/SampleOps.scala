@@ -255,10 +255,16 @@ object SampleOps {
       .sortWithinPartitions(col("doc_id").asc)
       .withColumn("pid", spark_partition_id().cast("long"))
       .as[(Long, String, Long, Long)]
+    // localCheckpoint: the running sum is partition-position-derived and
+    // this table is consumed by TWO plans (the offsets aggregate and the
+    // final join). The round-9 materialization rule (STATUS "Global-rank
+    // determinism", the withGlobalRank precedent at Relational.scala)
+    // requires pinning one layout so both consumers see the same pids.
     val withLocal = ranged.mapPartitions { it =>
       var s = 0L
       it.map { case (id, lang, w, pid) => s += w; (id, lang, w, pid, s) }
     }.toDF("doc_id", "lang", "n_chars", "pid", "local_cum")
+      .localCheckpoint()
     // per-partition totals -> exclusive offsets (P rows; the only
     // single-partition step in the plan) and the grand total W
     val cumW = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
@@ -333,6 +339,13 @@ object SampleOps {
         (src, id, w, pid, s)
       }
     }.toDF("source", "doc_id", "n_tokens", "pid", "local_cum")
+      // localCheckpoint (round-9 materialization rule): trainingMix feeds
+      // this an AQE-layout-unstable anti-join ∩ semi-join base, and the
+      // pid-derived running sum is consumed by BOTH the offsets aggregate
+      // and the final join — without pinning, the two executions can
+      // repartition differently and cum_tokens silently misattributes
+      // (the exact failure shape of the r9 ev_rfm misrank).
+      .localCheckpoint()
     val offW = Window.partitionBy(col("source")).orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = withLocal.groupBy(col("source"), col("pid"))

@@ -356,9 +356,26 @@ object SimilarityOps {
     val cents: Seq[(Int, Seq[Float])] =
       spark.read.parquet(s"$indexDir/centroids.parquet").collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
-    batch.select(
+    val assigned = batch.select(
         element_at(topCentroids(col("embedding"), cents, 1), 1).as("cid"),
         col("vec_id"), col("embedding"))
+    // Idempotence guard: a retried batch (crash between the append and
+    // the caller's bookkeeping) must not file duplicate (vec_id) rows —
+    // duplicates would surface as repeated candidates in every query.
+    // Anti-join the batch against the existing postings, reading ONLY
+    // the partitions the batch would land in (cid pruning; assignment
+    // is deterministic given the untouched centroid artifact, so a
+    // retry maps each vec_id to the same cid as the original run). The
+    // batch side is the small side — broadcast it into the probe.
+    val batchCids = assigned.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existing = spark.read.parquet(s"$indexDir/postings.parquet")
+      .filter(col("cid").isin(batchCids.toIndexedSeq.map(Integer.valueOf): _*))
+      .select(col("vec_id"))
+    assigned.join(existing, Seq("vec_id"), "left_anti")
+      // materialize (batch-sized) BEFORE the write: the append's input
+      // otherwise reads the very path it is writing to
+      .localCheckpoint()
       .write.mode("append").partitionBy("cid")
       .parquet(s"$indexDir/postings.parquet")
   }
@@ -372,7 +389,8 @@ object SimilarityOps {
     * sync training performs). */
   def ivfQueryIndex(spark: SparkSession, indexDir: String,
                     queries: DataFrame, k: Int = 5,
-                    nProbe: Int = 4): DataFrame = {
+                    nProbe: Int = 4,
+                    minVecId: Long = Long.MinValue): DataFrame = {
     val cents: Seq[(Int, Seq[Float])] =
       spark.read.parquet(s"$indexDir/centroids.parquet").collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
@@ -383,6 +401,10 @@ object SimilarityOps {
       .collect().map(_.getInt(0)).sorted
     val postings = spark.read.parquet(s"$indexDir/postings.parquet")
       .filter(col("cid").isin(probeCids.toIndexedSeq.map(Integer.valueOf): _*))
+      // candidate-id floor (pushed-down row filter): lets a full-corpus
+      // index serve query sets that are themselves indexed vectors
+      // without self-matches — the registered sim_ivf_served face
+      .filter(col("vec_id") >= minVecId)
     val sims = probes.join(postings, Seq("cid"))
       .select(col("qid"), col("vec_id"),
         round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
@@ -392,6 +414,55 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Session-scoped artifact dirs for the registered served faces:
+    * build the persisted index/sketch once per (kind, corpus), serve
+    * every subsequent call from the artifact — the train-once /
+    * serve-many production shape, registered so the driver's oracle
+    * exercises the partition-pruned serving path, not just the inline
+    * one. */
+  private val servedArtifactCache =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  private def servedDir(kind: String, dir: String)
+                       (build: String => Unit): String =
+    servedArtifactCache.synchronized {
+      servedArtifactCache.getOrElseUpdate((kind, dir), {
+        val d = java.nio.file.Files
+          .createTempDirectory(s"graft_${kind}_").toString
+        build(d); d
+      })
+    }
+
+  /** `sim_ivf_served`: the PERSISTED IVF index on the serving path —
+    * [[ivfBuildIndex]] once per session (full corpus, default
+    * 16-centroid/2-iter training — the identical deterministic Lloyd's
+    * run [[ivfTopK]]'s centroid cache performs), then [[ivfQueryIndex]]
+    * with the probe set reaching the postings scan as literal cid
+    * partition filters. With matching centroids and the query-id floor,
+    * the served ranking is row-identical to the inline [[ivfTopK]], so
+    * the trained-replay DuckDB oracle (`simIvfTopKSql`) hash-checks the
+    * genuinely pruned artifact path end to end. */
+  def ivfServedTopK(spark: SparkSession, dir: String,
+                    numQueries: Int = 5, k: Int = 5,
+                    nProbe: Int = 4): DataFrame = {
+    val idx = servedDir("ivfidx", dir)(d => ivfBuildIndex(spark, dir, d))
+    val queries = Tables.embeddings(spark, dir).transform(FanOut(_))
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    ivfQueryIndex(spark, idx, queries, k, nProbe, minVecId = numQueries)
+  }
+
+  /** `sim_rp_served`: the persisted JL-sketch artifact on the serving
+    * path — [[rpBuildSketch]] once per session, then [[rpQuerySketch]]
+    * whose candidate-scoring scan reads ONLY the sketch table
+    * (RpSketchSpec plan-asserts the wide `embedding` column never
+    * appears in that scan). Deterministic end to end and row-identical
+    * to [[rpTopK]], so the `simRpTopKSql` oracle hash-checks it. */
+  def rpServedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val sk = servedDir("rpsketch", dir)(d => rpBuildSketch(spark, dir, d))
+    rpQuerySketch(spark, dir, sk)
   }
 
   /** Per-label embedding centroids (the class-centroid aggregation a
@@ -641,6 +712,15 @@ object SimilarityOps {
     }: _*)
     emb.select(col("vec_id"), codes.as("codes")).orderBy(col("vec_id"))
   }
+
+  /** The gate-facing face of [[int8Quantize]] (`sim_int8_quant`): codes
+    * rendered as a CSV string — array<long> results are unhashable in
+    * pandas-based comparators (the orderKeyArraysCsv precedent), and
+    * long→string is trivially engine-identical. The typed array face
+    * stays pinned by SimilaritySpec. */
+  def int8QuantizeCsv(spark: SparkSession, dir: String): DataFrame =
+    int8Quantize(spark, dir)
+      .withColumn("codes", concat_ws(",", col("codes")))
 
   /** Persist the JL sketch as a parquet artifact (the ivfBuildIndex
     * discipline for the RP family): build once with one corpus pass,
@@ -895,6 +975,22 @@ object SimilarityOps {
       .transform(FanOut(_))
       .select(col("vec_id"), rpProject(col("embedding"), outDim).as("reduced"))
       .orderBy(col("vec_id"))
+
+  /** The gate-facing face of [[rpReduce]] (`sim_rp_reduce`): the sketch
+    * serialized as a canonical micro-unit CSV string. Array-typed result
+    * columns are not hashable by pandas-based comparators (the
+    * [[graft.operators.Relational.orderKeyArraysCsv]] precedent), so the
+    * cross-engine check runs on the serialized form. Components are
+    * already rounded to 6 decimals; ×10⁶ + round gives an exact integer
+    * micro-unit per component (long→string renders identically in every
+    * engine, unlike raw doubles), which DuckDB replays with
+    * `array_to_string(list_transform(...))`. The typed array face stays
+    * pinned by RpSketchSpec. */
+  def rpReduceCsv(spark: SparkSession, dir: String,
+                  outDim: Int = 16): DataFrame =
+    rpReduce(spark, dir, outDim)
+      .withColumn("reduced", concat_ws(",",
+        transform(col("reduced"), x => round(x * 1000000).cast("long"))))
 
   /** RP-sketch ANN (`sim_rp_topk`): score ALL candidates in the 16-dim
     * sketch space (4× cheaper than full-width), keep the top

@@ -414,9 +414,13 @@ object TextOps {
     * mass (obs = 0), as chi-squared requires.
     *
     * Scale: token counts are vocab-sized map-side-combining aggregates;
-    * the (source × vocab) grid is |sources|·|vocab| rows — the vocab
-    * table broadcast against the source list; one small final
-    * aggregate. The corpus text is scanned once. */
+    * the (source × vocab) grid is |sources|·|vocab| rows, built by
+    * streaming the (unbounded) vocab side against a BROADCAST of the
+    * (bounded, |sources|-row) source-total table — never the reverse:
+    * a vocabulary-sized broadcast would blow the limit on a web-scale
+    * corpus. The grand total rides as a one-row broadcast scalar, so no
+    * per-source window ever holds a source's full vocab in one task.
+    * The corpus text is scanned once. */
   def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .transform(graft.ext.FanOut(_))
@@ -434,24 +438,32 @@ object TextOps {
       .agg(sum(col("obs")).as("g"))
     val bySrc = bySrcTok.groupBy(col("source"))
       .agg(sum(col("obs")).as("st"))
-    val grid = bySrc.crossJoin(broadcast(byTok))
+    // grand total as a one-row broadcast scalar: exact long sum, same
+    // value the per-source window used to compute (every token appears
+    // once per source in the grid) without ever collecting a source's
+    // full vocabulary into a single window task
+    val total = byTok.agg(sum(col("g")).as("tt"))
+    val grid = byTok.crossJoin(broadcast(bySrc))
       .join(bySrcTok, Seq("source", "tok"), "left")
+      .crossJoin(broadcast(total))
       .withColumn("obs_d", coalesce(col("obs"), lit(0L)).cast("double"))
       .withColumn("exp_d",
         col("g").cast("double") * col("st").cast("double") /
-          sum(col("g")).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("source"))).cast("double"))
-    // NOTE the window above: Σg within one source's grid rows IS the
-    // grand total (every token appears once per source) — no second
-    // global aggregate needed, and the partition is source-keyed
+          col("tt").cast("double"))
     val terms = grid.withColumn("term",
       (col("obs_d") - col("exp_d")) * (col("obs_d") - col("exp_d")) / col("exp_d"))
-    terms.groupBy(col("source"))
+    val out = terms.groupBy(col("source"))
       .agg(max(col("st")).as("n_tokens"),
         (sum(floor(col("term") * lit(1048576.0)).cast("long"))
           .cast("double") / 1048576.0).as("chi2"))
       .select(col("source"), col("n_tokens"), round(col("chi2"), 4).as("chi2"))
       .orderBy(col("source"))
+      // eager |sources|-row materialization so the persist below can be
+      // released before returning (a leaked cache outlives the query in
+      // a long-lived session)
+      .localCheckpoint()
+    bySrcTok.unpersist()
+    out
   }
 
   /** Vocabulary coverage curve (`text_vocab_coverage`): what fraction

@@ -140,6 +140,59 @@ object IngestPipeline {
   def manifestPresent(listing: DataFrame, ingestName: String): Boolean =
     !listing.filter(col("key") === s"pending/$ingestName/manifest.json").isEmpty
 
+  /** The reference's `start` loop (ingestor.js:71–103) with an
+    * INJECTABLE listing supplier — the mock-sequenced jest contract
+    * (s3-client.spec.js:8–14 over __mocks__/s3-client.js:95–101): a
+    * poll that errors, lists an empty bucket, has no timestamped
+    * folders, or has timestamped folders but no valid marker file
+    * keeps polling; the first listing with a valid oldest ingest
+    * returns it together with the number of polls spent, so the spec
+    * can assert the exact poll count per wait state like the jest
+    * mocks do. Driver-paced like the reference's setTimeout loop (the
+    * production face is IngestStream's ProcessingTime trigger). */
+  def pollForIngest(nextListing: () => DataFrame,
+                    maxPolls: Int = 1000): (IngestParams, Int) = {
+    var polls = 0
+    while (polls < maxPolls) {
+      polls += 1
+      val attempt: Option[IngestParams] =
+        try {
+          val listing = nextListing()
+          if (listing.isEmpty) None // ingestor.js:81 (empty bucket)
+          else {
+            val hasTs = ListingOps.hasTimestampFolders(listing)
+              .collect().headOption.exists(_.getBoolean(0))
+            if (!hasTs) None // ingestor.js:85 (no timestamped folders)
+            else oldestPending(listing) // :91–95 (None ⇒ invalid folders)
+          }
+        } catch { // ingestor.js:76–80 (AWS error ⇒ log + poll again)
+          case scala.util.control.NonFatal(_) => None
+        }
+      attempt match {
+        case Some(p) => return (p, polls)
+        case None => ()
+      }
+    }
+    throw new IllegalStateException(s"no valid ingest after $maxPolls polls")
+  }
+
+  /** `waitForManifest` (ingestor.js:109–118) with an injectable
+    * supplier: polls until `pending/<name>/manifest.json` appears,
+    * returning the poll count (the jest mock sequence asserts 4:
+    * empty → no ts folders → folder without manifest → manifest,
+    * __mocks__/s3-client.js:103–107). */
+  def pollForManifest(nextListing: () => DataFrame, ingestName: String,
+                      maxPolls: Int = 1000): Int = {
+    var polls = 0
+    while (polls < maxPolls) {
+      polls += 1
+      val ok = try manifestPresent(nextListing(), ingestName)
+               catch { case scala.util.control.NonFatal(_) => false }
+      if (ok) return polls
+    }
+    throw new IllegalStateException(s"manifest absent after $maxPolls polls")
+  }
+
   /** J3: files present vs declared; returns (undeclared, missing) names. */
   def reconcile(spark: SparkSession, listing: DataFrame, bucket: String,
                 ingestName: String): (Seq[String], Seq[String]) = {

@@ -238,4 +238,58 @@ class IngestPipelineSpec extends SparkSuite {
     assert(undeclared.contains("person_extra.csv.gz"))
     assert(missing.isEmpty)
   }
+
+  /** A listing DataFrame from literal keys — the Spark face of the
+    * reference's `s3_samples` fixtures (__mocks__/s3-client.js:3–92). */
+  private def listingOf(keys: String*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    keys.toSeq.toDF("key")
+  }
+
+  test("start loop keeps polling through error, empty, no-ts-folders and " +
+       "invalid-folder listings — 6 polls to the first valid ingest " +
+       "(s3-client.spec.js:8–14 / __mocks__/s3-client.js:95–101)") {
+    // the jest ts_folders mock sequence, state for state:
+    val script = Iterator[() => org.apache.spark.sql.DataFrame](
+      () => throw new RuntimeException("aws error"), // poll 1: error
+      () => listingOf(),                             // poll 2: empty
+      () => listingOf(),                             // poll 3: empty
+      () => listingOf(                               // poll 4: no ts folders
+        "pending/.DS_Store", "pending/manifest.json"),
+      () => listingOf(                               // poll 5: bad folders
+        "pending/.DS_Store",                         //   (ts folder, no
+        "pending/1538055240/person/person_headers.csv.gz"), // marker file)
+      () => listingOf(                               // poll 6: valid
+        "pending/.DS_Store", "pending/manifest.json",
+        "pending/1538055240/person/person_headers.csv.gz",
+        "pending/1538055240/bulk.txt",
+        "pending/1538055240/manifest.json",
+        "pending/1538055250/person/person_headers.csv.gz",
+        "pending/1538055250/person/person_sample.csv.gz"))
+    val (params, polls) = IngestPipeline.pollForIngest(() => script.next()())
+    assert(params.ingestName == "1538055240")
+    assert(params.ingestType == "bulk")
+    assert(polls == 6) // expect(s3.listObjectsV2.mock.calls.length).toBe(6)
+  }
+
+  test("waitForManifest polls until the commit marker appears — 4 polls " +
+       "(ingestor.js:109–118 / __mocks__/s3-client.js:103–107)") {
+    val withManifest = listingOf(
+      "pending/1538055240/person/person_headers.csv.gz",
+      "pending/1538055240/bulk.txt",
+      "pending/1538055240/manifest.json")
+    val script = Iterator[() => org.apache.spark.sql.DataFrame](
+      () => listingOf(),                             // poll 1: empty
+      () => listingOf(                               // poll 2: no ts folders
+        "pending/.DS_Store", "pending/manifest.json"),
+      () => listingOf(                               // poll 3: no manifest yet
+        "pending/1538055240/person/person_headers.csv.gz",
+        "pending/1538055240/bulk.txt",
+        "pending/1538055250/person/person_headers.csv.gz",
+        "pending/1538055250/person/person_sample.csv.gz"),
+      () => withManifest)                            // poll 4: manifest
+    val polls =
+      IngestPipeline.pollForManifest(() => script.next()(), "1538055240")
+    assert(polls == 4) // the jest manifest_folders sequence length
+  }
 }

@@ -114,5 +114,17 @@ class IvfIndexSpec extends SparkSuite {
         .collect().map(_.toSeq).toSeq
     }
     assert(a == brute)
+
+    // idempotence: a RETRIED batch (crash between the append write and
+    // the caller's bookkeeping) must not file duplicate postings — the
+    // anti-join guard drops already-indexed vec_ids
+    val before = spark.read.parquet(s"$idxInc/postings.parquet").count()
+    SimilarityOps.ivfAppendIndex(spark, idxInc,
+      corpus.filter(col("vec_id") % 2 === 0))
+    val after = spark.read.parquet(s"$idxInc/postings.parquet").count()
+    assert(after == before, s"retried append duplicated postings: $before -> $after")
+    val a2 = SimilarityOps.ivfQueryIndex(spark, idxInc, queries, k = 5, nProbe = 16)
+      .collect().map(_.toSeq).toSeq
+    assert(a2 == brute)
   }
 }

@@ -365,4 +365,39 @@ class SimilaritySpec extends SparkSuite {
     assert(allCodes.min == 0L)
     assert(allCodes.max >= 254L)
   }
+
+  test("gate-facing CSV faces decode back to the typed arrays (sim_int8_quant, sim_rp_reduce)") {
+    // the registered faces serialize (array columns are unhashable in
+    // the driver's pandas comparator); these pins keep the serialized
+    // and typed faces from drifting apart
+    val typedCodes = SimilarityOps.int8Quantize(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    SimilarityOps.int8QuantizeCsv(spark, sf).collect().foreach { r =>
+      val decoded = r.getString(1).split(',').map(_.toLong).toSeq
+      assert(decoded == typedCodes(r.getLong(0)))
+    }
+    val typedRed = SimilarityOps.rpReduce(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    SimilarityOps.rpReduceCsv(spark, sf).collect().foreach { r =>
+      // micro-unit fixed point: component × 10⁶, rounded — exact for
+      // values pre-rounded to 6 decimals
+      val decoded = r.getString(1).split(',').map(_.toLong).toSeq
+      val expected = typedRed(r.getLong(0))
+        .map(x => math.round(x * 1000000.0))
+      assert(decoded == expected)
+    }
+  }
+
+  test("served faces are row-identical to the inline faces (sim_ivf_served, sim_rp_served)") {
+    val servedIvf = SimilarityOps.ivfServedTopK(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val inlineIvf = SimilarityOps.ivfTopK(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(servedIvf == inlineIvf)
+    val servedRp = SimilarityOps.rpServedTopK(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val inlineRp = SimilarityOps.rpTopK(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(servedRp == inlineRp)
+  }
 }

@@ -101,6 +101,21 @@ def main():
         spark_cols = list(spark_rel.columns)
         spark_types = list(spark_rel.types)
         spark_rows = spark_rel.fetchall()
+        # The driver's pandas-based comparator cannot sort/hash ndarray
+        # cells ('unhashable type: numpy.ndarray'), so ANY oracle-checked
+        # query with an array/list result column errs there even when the
+        # values are right (r10: sim_rp_reduce, sim_int8_quant). Fail it
+        # here at registration time instead of list-normalizing it away:
+        # serialize such columns (concat_ws / array_to_string — the
+        # orderKeyArraysCsv precedent) before registering.
+        arr_cols = [c for c, t in zip(spark_cols, spark_types)
+                    if "[]" in str(t) or str(t).upper().startswith(("LIST", "STRUCT", "MAP"))]
+        if name in oracle and arr_cols:
+            print(f"FAIL {name}: array/list result columns {arr_cols} — "
+                  "the driver's pandas comparator cannot hash these; "
+                  "register a CSV-serialized face instead")
+            failures += 1
+            continue
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(spark_rows)} rows")
             continue
