@@ -763,6 +763,97 @@ object SparkEntry {
       |  round(CAST(covered AS DOUBLE) / total, 6) AS coverage
       |FROM s ORDER BY k""".stripMargin
 
+  /** BPE word-count reduction shared by both tokenizer-training
+    * oracles: whitespace words (the tokens() regex), separator-bearing
+    * words excluded in BOTH engines (chr(31) = the Spark side's
+    * BpeSep). */
+  private val bpeWordsCte: String =
+    """w AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |        FROM documents) t
+      |  WHERE len(w) > 0 AND NOT contains(w, chr(31))
+      |  GROUP BY w)""".stripMargin
+
+  /** Replay of TextOps.bpePairs: within-word adjacent character pairs
+    * weighted by word frequency; top-20 under the (n desc, pair asc)
+    * total order. substr/substring are character-based in both
+    * engines. */
+  private val textBpePairsSql: String =
+    s"""WITH $bpeWordsCte
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+       |FROM (SELECT unnest(list_transform(range(1, len(w)),
+       |        i -> substr(w, i, 2))) AS pair, freq
+       |      FROM w WHERE len(w) >= 2) p
+       |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
+
+  /** Replay of TextOps.bpeMerges (3 rounds): the segmentation rides as
+    * a chr(31)-anchored symbol string; each round is a pair-count
+    * aggregate, a (n desc, a, b) argmax, and the SAME greedy
+    * left-to-right fold the Spark side runs — Spark `aggregate()` with
+    * a string accumulator ≡ DuckDB `list_reduce(list_prepend(␟, …))`
+    * with the identical lambda, so the segmentations agree
+    * string-for-string and every round hash-checks. */
+  private val textBpeMergesSql: String = {
+    def pairCte(p: String, e: String): String =
+      s"""$p AS (SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT unnest(list_transform(range(1, len(syms)),
+         |          i -> {'a': syms[i], 'b': syms[i+1]})) AS p, freq
+         |        FROM (SELECT string_split(trim(enc, chr(31)), chr(31)) AS syms,
+         |                     freq
+         |              FROM $e) s) t
+         |  GROUP BY a, b)""".stripMargin
+    def bestCte(b: String, p: String): String =
+      s"$b AS (SELECT a, b, n FROM $p ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
+    def rewriteCte(eNext: String, e: String, b: String): String =
+      s"""$eNext AS (SELECT list_reduce(
+         |    list_prepend(chr(31), string_split(trim(enc, chr(31)), chr(31))),
+         |    (acc, x) -> CASE
+         |      WHEN ends_with(acc, chr(31) || mb.a || chr(31)) AND x = mb.b
+         |      THEN left(acc, len(acc) - len(mb.a) - 1) || mb.a || mb.b || chr(31)
+         |      ELSE acc || x || chr(31) END) AS enc,
+         |  freq FROM $e CROSS JOIN (SELECT a, b FROM $b) mb)""".stripMargin
+    s"""WITH $bpeWordsCte,
+       |e1 AS (SELECT chr(31) || array_to_string(string_split(w, ''), chr(31))
+       |         || chr(31) AS enc, freq FROM w),
+       |${pairCte("p1", "e1")},
+       |${bestCte("b1", "p1")},
+       |${rewriteCte("e2", "e1", "b1")},
+       |${pairCte("p2", "e2")},
+       |${bestCte("b2", "p2")},
+       |${rewriteCte("e3", "e2", "b2")},
+       |${pairCte("p3", "e3")},
+       |${bestCte("b3", "p3")}
+       |SELECT merge_rank, lhs, rhs, lhs || rhs AS merged, n FROM (
+       |  SELECT CAST(1 AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, n FROM b1
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), a, b, n FROM b2
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), a, b, n FROM b3) u
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Replay of Relational.corpusDiff: snapshot B derives from the same
+    * deterministic %13/%17/%19 rules, digests compare md5 over the
+    * text's UTF-8 bytes in both engines, USING resolves the full-outer
+    * key to the coalesced doc_id. */
+  private val qCorpusDiffSql: String =
+    """WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents),
+      |v2 AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 17 = 0 THEN text || ' [rev2]' ELSE text END AS text
+      |       FROM documents WHERE doc_id % 13 <> 0
+      |       UNION ALL
+      |       SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 19 = 0),
+      |b AS (SELECT doc_id, md5(text) AS h_b FROM v2),
+      |d AS (SELECT doc_id,
+      |        CASE WHEN h_a IS NULL THEN 'added'
+      |             WHEN h_b IS NULL THEN 'removed'
+      |             WHEN h_a = h_b THEN 'unchanged'
+      |             ELSE 'changed' END AS status
+      |      FROM a FULL OUTER JOIN b USING (doc_id))
+      |SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM d GROUP BY status ORDER BY status""".stripMargin
+
   /** Bigram-LM quality score replay: identical integer construction —
     * add-one-smoothed (c_ab+1)/(c_a+V) quantized by EXACT integer
     * division to the 2⁻²⁰ grid, per-doc exact integer sum, one final
@@ -1751,6 +1842,10 @@ object SparkEntry {
     "text_drift" -> ((s, d) => TextOps.sourceDrift(s, d)),
     "text_novelty" -> ((s, d) => TextOps.noveltyScores(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
+    // tokenizer-aware curation: corpus digraph stats and real BPE
+    // training (first 3 merges, driver-paced vocab-sized rounds)
+    "text_bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
+    "text_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
     "text_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "q_pii_scrub" -> ((s, d) => TextOps.scrubIds(s, d)),
     "q_mode_median" -> ((s, d) => Relational.segmentModeMedian(s, d)),
@@ -1800,6 +1895,10 @@ object SparkEntry {
     "mm_audio_meta" -> ((s, d) => MultimodalOps.audioMeta(s, d)),
     "mm_resize" -> ((s, d) => MultimodalOps.resize(s, d)),
     "mm_frames" -> ((s, d) => MultimodalOps.sampleFrames(s, d)),
+    // the file-granularity landing zone: binaryFile source → decode
+    "mm_binary_ingest" -> ((s, d) => MultimodalOps.binaryIngest(s, d)),
+    // incremental-pipeline bookkeeping: snapshot diff summary
+    "q_corpus_diff" -> ((s, d) => Relational.corpusDiff(s, d)),
     // event-time [EXT]
     "ev_tumbling" -> ((s, d) => EventOps.tumblingCounts(s, d)),
     "ev_sliding" -> ((s, d) => EventOps.slidingCounts(s, d)),
@@ -2016,6 +2115,8 @@ object SparkEntry {
     "text_drift" -> textDriftSql,
     "text_novelty" -> textNoveltySql,
     "text_lm_score" -> textLmScoreSql,
+    "text_bpe_pairs" -> textBpePairsSql,
+    "text_bpe_merges" -> textBpeMergesSql,
     "text_vocab_coverage" -> textVocabCoverageSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_mode_median" -> qModeMedianSql,
@@ -2073,6 +2174,14 @@ object SparkEntry {
     "mm_audio_meta" -> mmAudioMetaSql,
     "mm_resize" -> mmResizeSql,
     "mm_frames" -> mmFramesSql,
+    // the binaryFile chain must land on the same literal expected
+    // metadata as the parquet-column chain
+    "mm_binary_ingest" ->
+      s"""SELECT * FROM (VALUES
+         |    $mmPlantedMetaValues
+         |) v(media_id, byte_len, checksum, kind, width, height, duration_ms)
+         |ORDER BY media_id""".stripMargin,
+    "q_corpus_diff" -> qCorpusDiffSql,
     "ev_tumbling" -> evTumblingSql,
     "ev_sliding" -> evSlidingSql,
     "ev_sessionize" -> evSessionizeSql,

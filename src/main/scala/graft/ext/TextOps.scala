@@ -430,10 +430,14 @@ object TextOps {
     // counts, source totals, the grid join) — persist makes the
     // single-corpus-scan property structural rather than relying on
     // AQE exchange reuse to collapse three identical tokenize subtrees
-    // (the table itself is |sources|·|vocab| rows — tiny)
-    val bySrcTok = toks.groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).as("obs"))
-      .persist()
+    // (the table is observed-|sources×vocab| rows, far below the
+    // corpus). Registered with the session cache registry so
+    // releaseShared() frees it — a bare persist leaked in long
+    // sessions.
+    val bySrcTok = graft.ext.DedupOps.registerCache(
+      toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("obs"))
+        .persist())
     val byTok = bySrcTok.groupBy(col("tok"))
       .agg(sum(col("obs")).as("g"))
     val bySrc = bySrcTok.groupBy(col("source"))
@@ -452,18 +456,12 @@ object TextOps {
           col("tt").cast("double"))
     val terms = grid.withColumn("term",
       (col("obs_d") - col("exp_d")) * (col("obs_d") - col("exp_d")) / col("exp_d"))
-    val out = terms.groupBy(col("source"))
+    terms.groupBy(col("source"))
       .agg(max(col("st")).as("n_tokens"),
         (sum(floor(col("term") * lit(1048576.0)).cast("long"))
           .cast("double") / 1048576.0).as("chi2"))
       .select(col("source"), col("n_tokens"), round(col("chi2"), 4).as("chi2"))
       .orderBy(col("source"))
-      // eager |sources|-row materialization so the persist below can be
-      // released before returning (a leaked cache outlives the query in
-      // a long-lived session)
-      .localCheckpoint()
-    bySrcTok.unpersist()
-    out
   }
 
   /** Vocabulary coverage curve (`text_vocab_coverage`): what fraction
@@ -580,5 +578,121 @@ object TextOps {
         round(sum(col("p_q")).cast("double") /
           (count(lit(1)) * lit(1048576.0)), 6).as("lm_score"))
       .orderBy(col("doc_id"))
+  }
+
+  // --- BPE merge mining -------------------------------------------------------
+
+  /** Symbol separator for the BPE segmentation encoding — U+001F (unit
+    * separator). Words containing it are excluded up front (in both
+    * engines, so the exclusion itself is oracle-replayed). */
+  private val BpeSep = "\u001f"
+
+  /** The word-count reduction every BPE trainer runs first (the
+    * HuggingFace-tokenizers / SentencePiece shape): merges are learned
+    * from the VOCAB-sized (word, freq) table, so each training round
+    * costs aggregates over the vocabulary, never another corpus scan.
+    * At 100 TB the corpus is touched exactly once, here. */
+  private def wordCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .transform(graft.ext.FanOut(_))
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains(BpeSep))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** `text_bpe_pairs`: adjacent character-pair frequencies within words,
+    * weighted by word frequency — the statistic the first BPE merge
+    * maximizes, and the tokenizer-budget report a vocab decision reads
+    * (which digraphs dominate the corpus). Top-k via a total order
+    * (count desc, pair asc) + LIMIT, which plans as
+    * TakeOrderedAndProject — no single-partition window. */
+  def bpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    wordCounts(spark, dir)
+      .filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+
+  /** `text_bpe_merges`: the first `rounds` byte-pair-encoding merges
+    * learned from the corpus — actual BPE training (Sennrich et al.
+    * 2016), driver-paced like the graph loops, engine-exact so the
+    * DuckDB oracle replays every round end to end.
+    *
+    * Representation: a word's segmentation is its symbols joined and
+    * anchored by [[BpeSep]] (`␟sym␟sym␟…␟`), so "the last symbol is
+    * exactly `a`" is the literal suffix test `endsWith(␟a␟)` — the
+    * anchors guarantee whole-symbol matches (a trailing `xa` can never
+    * pass for `a`). Applying a merge is the canonical GREEDY
+    * left-to-right fold: walk the symbols, gluing `b` onto a
+    * just-emitted `a` (self-runs collapse pairwise, `aaa → [aa, a]`).
+    * Spark runs it as `aggregate()` over the split symbols with a
+    * string accumulator; DuckDB replays the identical lambda with
+    * `list_reduce(list_prepend(␟, …))` — same fold, same strings,
+    * so the oracle hash-checks every round (BpeSpec pins the fold
+    * against hand-computed merges on a planted adversarial corpus).
+    *
+    * Each round: one vocab-sized pair aggregate, a 1-row argmax
+    * collect (count desc, then lexicographic — a total order), one
+    * narrow rewrite map, localCheckpoint to keep lineage flat. Driver
+    * state is O(rounds), the centroid-training discipline. */
+  def bpeMerges(spark: SparkSession, dir: String,
+                rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sepLit = lit(BpeSep)
+    val sepRe = java.util.regex.Pattern.quote(BpeSep)
+    var enc = wordCounts(spark, dir)
+      .select(concat(sepLit,
+          array_join(expr("filter(split(w, ''), s -> s != '')"), BpeSep),
+          sepLit).as("enc"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = enc
+        .select(col("freq"),
+          split(trim(col("enc"), BpeSep), sepRe).as("syms"))
+        // guard single-symbol words: Spark's sequence(1, 0) DESCENDS,
+        // so an unguarded transform would index past the array
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS a,
+            |              element_at(syms, i + 1) AS b))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((r.toLong, a, b, a + b, n))
+        // greedy left-to-right fold over the symbols (corpus-derived a/b
+        // ride as lit() Columns, never spliced into SQL text); lengths
+        // via Column length() so both engines count codepoints
+        def rw(encCol: Column): Column = {
+          val syms = split(trim(encCol, BpeSep), sepRe)
+          aggregate(syms, lit(BpeSep),
+            (acc, x) =>
+              when(acc.endsWith(lit(BpeSep + a + BpeSep)) && x === lit(b),
+                concat(
+                  call_function("left", acc,
+                    length(acc) - length(lit(a)) - lit(1)),
+                  lit(a + b + BpeSep)))
+                .otherwise(concat(acc, x, lit(BpeSep))))
+        }
+        enc = enc.select(rw(col("enc")).as("enc"), col("freq"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "n")
+      .orderBy(col("merge_rank"))
   }
 }

@@ -193,6 +193,44 @@ object IngestPipeline {
     throw new IllegalStateException(s"manifest absent after $maxPolls polls")
   }
 
+  /** `checkJobStatus` (ingestor.js:211–224) with an injectable kubectl
+    * supplier: polls the job JSON until status.succeeded is truthy —
+    * exec error (supplier throws), empty stdout, and a still-running job
+    * all poll again (the jest get_job_status sequence asserts 4:
+    * error → "" → running → complete, __mocks__/child_process.js:51–54,
+    * ingestor.spec.js "should wait for a job to finish"). */
+  def pollForJobComplete(spark: SparkSession, nextJobsJson: () => String,
+                         maxPolls: Int = 1000): Int = {
+    var polls = 0
+    while (polls < maxPolls) {
+      polls += 1
+      val ok = try KubeOps.jobCompleteJson(spark, nextJobsJson())
+               catch { case scala.util.control.NonFatal(_) => false }
+      if (ok) return polls
+    }
+    throw new IllegalStateException(s"job not complete after $maxPolls polls")
+  }
+
+  /** `checkPodStatus` (ingestor.js:196–209) with an injectable supplier:
+    * polls the pod JSON until the build container reports ready — exec
+    * error and a not-ready build container poll again (the jest
+    * get_pod_status sequence asserts 3: error → build-not-ready →
+    * build-ready, __mocks__/child_process.js:45–48, ingestor.spec.js
+    * "should wait for a pod to be in a ready state"; note the third
+    * fixture is ready for THIS check — its staleness only matters to
+    * the rolling-update freshness poller, [[awaitRollingUpdate]]). */
+  def pollForPodReady(spark: SparkSession, nextPodJson: () => String,
+                      maxPolls: Int = 1000): Int = {
+    var polls = 0
+    while (polls < maxPolls) {
+      polls += 1
+      val ok = try KubeOps.podReadyJson(spark, nextPodJson())
+               catch { case scala.util.control.NonFatal(_) => false }
+      if (ok) return polls
+    }
+    throw new IllegalStateException(s"pod not ready after $maxPolls polls")
+  }
+
   /** J3: files present vs declared; returns (undeclared, missing) names. */
   def reconcile(spark: SparkSession, listing: DataFrame, bucket: String,
                 ingestName: String): (Seq[String], Seq[String]) = {

@@ -107,4 +107,32 @@ object KubeOps {
       .select(
         podReady(col("pod")).as("ready"),
         podStartedAt(col("pod")).as("startedAt"))
+
+  /** Schema of a SINGLE job document (`kubectl get jobs <name> -o json`,
+    * helpers.spec.js:18–39 — status at the top level, no items array). */
+  val singleJobSchema: StructType = StructType(Seq(
+    StructField("status", StructType(Seq(
+      StructField("succeeded", LongType),
+      StructField("active", LongType))))))
+
+  /** `getStatus` over one kubectl reply (helpers.js:56, checkJobStatus
+    * ingestor.js:211–224): true iff status.succeeded is truthy. Empty or
+    * malformed stdout parses to a null doc ⇒ false, exactly the
+    * reference's try/catch-to-false. */
+  def jobCompleteJson(spark: SparkSession, raw: String): Boolean = {
+    import spark.implicits._
+    Seq(Option(raw).getOrElse("")).toDF("json")
+      .select(from_json(col("json"), singleJobSchema).as("doc"))
+      .select(jobSucceeded(col("doc.status.succeeded")).as("done"))
+      .collect().headOption.exists(_.getBoolean(0))
+  }
+
+  /** `getPodStatus` over one kubectl reply (helpers.js:75–80,
+    * checkPodStatus ingestor.js:196–209): build-container ready flag,
+    * false on empty/malformed stdout. */
+  def podReadyJson(spark: SparkSession, raw: String): Boolean = {
+    import spark.implicits._
+    parsePods(Seq(Option(raw).getOrElse("")).toDF("json"))
+      .collect().headOption.exists(r => !r.isNullAt(0) && r.getBoolean(0))
+  }
 }

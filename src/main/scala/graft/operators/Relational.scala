@@ -694,4 +694,49 @@ object Relational {
           .otherwise(0L)).as("n_half_coverage"))
       .orderBy(col("n_name"))
   }
+
+  // --- snapshot diff ----------------------------------------------------------
+
+  /** Classify every key across two snapshots of a table as added /
+    * removed / changed / unchanged by comparing content digests — the
+    * bookkeeping pass an incremental pipeline runs between corpus
+    * snapshots to size the downstream work (only added+changed re-enter
+    * dedup/quality; removed retire from serving indexes).
+    *
+    * Scale shape: each side reduces to (key, md5) BEFORE the join, so
+    * the full-outer join carries 16-byte digests instead of documents;
+    * both sides shuffle once on the key and co-partition. No driver
+    * state, no broadcast needed (both sides are corpus-sized). */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String = "doc_id",
+                   payload: String = "text"): DataFrame = {
+    val da = a.select(col(key), md5(col(payload).cast("binary")).as("h_a"))
+    val db = b.select(col(key), md5(col(payload).cast("binary")).as("h_b"))
+    da.join(db, Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") === col("h_b"), "unchanged")
+          .otherwise("changed"))
+      .select(col(key), col("status"))
+  }
+
+  /** `q_corpus_diff`: [[snapshotDiff]] over the documents table and a
+    * deterministically-derived "next crawl" (doc_id % 13 == 0 removed,
+    * % 17 == 0 edited, % 19 == 0 re-crawled under a new id) — so the
+    * DuckDB oracle replays snapshot B and the whole diff. Output is the
+    * per-status summary an ops dashboard reads. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val edited = docs.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text", when(col("doc_id") % 17 === 0,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+    val added = docs.filter(col("doc_id") % 19 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+    val v2 = edited.unionByName(added)
+    snapshotDiff(docs, v2)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("status"))
+  }
 }

@@ -292,4 +292,46 @@ class IngestPipelineSpec extends SparkSuite {
       IngestPipeline.pollForManifest(() => script.next()(), "1538055240")
     assert(polls == 4) // the jest manifest_folders sequence length
   }
+
+  // kubectl status fixtures, verbatim shapes from helpers.spec.js:18–110
+  private val completeJob =
+    """{"status": {"startTime": "2016-09-22T13:56:42Z",
+      |            "completionTime": "2016-09-22T13:59:03Z",
+      |            "succeeded": 1}}""".stripMargin
+  private val runningJob =
+    """{"status": {"startTime": "2016-09-22T13:56:42Z", "active": 1}}"""
+  private val podBuildReady =
+    """{"status": {"containerStatuses": [
+      |  {"name": "build", "ready": true, "restartCount": 0,
+      |   "state": {"running": {"startedAt": "2018-10-09T10:10:00Z"}}}]}}"""
+      .stripMargin
+  private val podBuildNotReady =
+    """{"status": {"containerStatuses": [
+      |  {"name": "build", "ready": false, "restartCount": 0,
+      |   "state": {"running": {"startedAt": "2018-10-09T10:10:00Z"}}}]}}"""
+      .stripMargin
+
+  test("checkJobStatus polls through error, empty stdout and a running job " +
+       "— 4 polls to completion (ingestor.spec.js 'wait for a job to " +
+       "finish' / __mocks__/child_process.js:51–54)") {
+    val script = Iterator[() => String](
+      () => throw new RuntimeException("kubectl get jobs error"), // poll 1
+      () => "",           // poll 2: empty stdout
+      () => runningJob,   // poll 3: active, not succeeded
+      () => completeJob)  // poll 4: succeeded = 1
+    val polls = IngestPipeline.pollForJobComplete(spark, () => script.next()())
+    assert(polls == 4) // expect(child_process.exec.mock.calls.length).toBe(4)
+  }
+
+  test("checkPodStatus polls through error and a not-ready build container " +
+       "— 3 polls to ready (ingestor.spec.js 'wait for a pod to be in a " +
+       "ready state' / __mocks__/child_process.js:45–48)") {
+    val script = Iterator[() => String](
+      () => throw new RuntimeException("kubectl get pods error"), // poll 1
+      () => podBuildNotReady, // poll 2: build ready = false
+      () => podBuildReady)    // poll 3: build ready = true (staleness is
+                              //   the rolling poller's concern, not this one's)
+    val polls = IngestPipeline.pollForPodReady(spark, () => script.next()())
+    assert(polls == 3) // expect(child_process.exec.mock.calls.length).toBe(3)
+  }
 }
