@@ -793,7 +793,10 @@ object SparkEntry {
     * a string accumulator ≡ DuckDB `list_reduce(list_prepend(␟, …))`
     * with the identical lambda, so the segmentations agree
     * string-for-string and every round hash-checks. */
-  private val textBpeMergesSql: String = {
+  /** The 3-round BPE training chain (shared by the merges and
+    * fertility oracles): w → e1 → (p1, b1, e2) → … → e4, the word
+    * riding through so fertility can weight by character length. */
+  private val bpeChainCtes: String = {
     def pairCte(p: String, e: String): String =
       s"""$p AS (SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS n
          |  FROM (SELECT unnest(list_transform(range(1, len(syms)),
@@ -805,16 +808,17 @@ object SparkEntry {
     def bestCte(b: String, p: String): String =
       s"$b AS (SELECT a, b, n FROM $p ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
     def rewriteCte(eNext: String, e: String, b: String): String =
-      s"""$eNext AS (SELECT list_reduce(
+      s"""$eNext AS (SELECT w, list_reduce(
          |    list_prepend(chr(31), string_split(trim(enc, chr(31)), chr(31))),
          |    (acc, x) -> CASE
          |      WHEN ends_with(acc, chr(31) || mb.a || chr(31)) AND x = mb.b
          |      THEN left(acc, len(acc) - len(mb.a) - 1) || mb.a || mb.b || chr(31)
          |      ELSE acc || x || chr(31) END) AS enc,
          |  freq FROM $e CROSS JOIN (SELECT a, b FROM $b) mb)""".stripMargin
-    s"""WITH $bpeWordsCte,
-       |e1 AS (SELECT chr(31) || array_to_string(string_split(w, ''), chr(31))
-       |         || chr(31) AS enc, freq FROM w),
+    s"""$bpeWordsCte,
+       |e1 AS (SELECT w, chr(31) ||
+       |    array_to_string(string_split(w, ''), chr(31)) || chr(31) AS enc,
+       |    freq FROM w),
        |${pairCte("p1", "e1")},
        |${bestCte("b1", "p1")},
        |${rewriteCte("e2", "e1", "b1")},
@@ -822,7 +826,12 @@ object SparkEntry {
        |${bestCte("b2", "p2")},
        |${rewriteCte("e3", "e2", "b2")},
        |${pairCte("p3", "e3")},
-       |${bestCte("b3", "p3")}
+       |${bestCte("b3", "p3")},
+       |${rewriteCte("e4", "e3", "b3")}""".stripMargin
+  }
+
+  private val textBpeMergesSql: String =
+    s"""WITH $bpeChainCtes
        |SELECT merge_rank, lhs, rhs, lhs || rhs AS merged, n FROM (
        |  SELECT CAST(1 AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, n FROM b1
        |  UNION ALL
@@ -830,7 +839,21 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT CAST(3 AS BIGINT), a, b, n FROM b3) u
        |ORDER BY merge_rank""".stripMargin
-  }
+
+  /** Replay of TextOps.bpeFertility: exact integer counts off the
+    * final (e4) segmentation, one IEEE division for the ratio. */
+  private val textBpeFertilitySql: String =
+    s"""WITH $bpeChainCtes
+       |SELECT CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(freq) AS BIGINT) AS total_freq,
+       |  CAST(sum(freq * len(w)) AS BIGINT) AS chars_weighted,
+       |  CAST(sum(freq * n_syms) AS BIGINT) AS syms_weighted,
+       |  round(CAST(sum(freq * n_syms) AS DOUBLE) /
+       |        CAST(sum(freq * len(w)) AS DOUBLE), 6) AS compression
+       |FROM (SELECT w, freq,
+       |        CAST(len(string_split(trim(enc, chr(31)), chr(31))) AS BIGINT)
+       |          AS n_syms
+       |      FROM e4) t""".stripMargin
 
   /** Replay of Relational.corpusDiff: snapshot B derives from the same
     * deterministic %13/%17/%19 rules, digests compare md5 over the
@@ -1846,6 +1869,7 @@ object SparkEntry {
     // training (first 3 merges, driver-paced vocab-sized rounds)
     "text_bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
     "text_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
+    "text_bpe_fertility" -> ((s, d) => TextOps.bpeFertility(s, d)),
     "text_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "q_pii_scrub" -> ((s, d) => TextOps.scrubIds(s, d)),
     "q_mode_median" -> ((s, d) => Relational.segmentModeMedian(s, d)),
@@ -2117,6 +2141,7 @@ object SparkEntry {
     "text_lm_score" -> textLmScoreSql,
     "text_bpe_pairs" -> textBpePairsSql,
     "text_bpe_merges" -> textBpeMergesSql,
+    "text_bpe_fertility" -> textBpeFertilitySql,
     "text_vocab_coverage" -> textVocabCoverageSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_mode_median" -> qModeMedianSql,

@@ -637,13 +637,16 @@ object TextOps {
     * collect (count desc, then lexicographic — a total order), one
     * narrow rewrite map, localCheckpoint to keep lineage flat. Driver
     * state is O(rounds), the centroid-training discipline. */
-  def bpeMerges(spark: SparkSession, dir: String,
-                rounds: Int = 3): DataFrame = {
-    import spark.implicits._
+  /** The training chain shared by [[bpeMerges]] and [[bpeFertility]]:
+    * returns the learned merges and the FINAL (w, enc, freq)
+    * segmentation table. */
+  private def bpeTrainChain(spark: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val sepLit = lit(BpeSep)
     val sepRe = java.util.regex.Pattern.quote(BpeSep)
     var enc = wordCounts(spark, dir)
-      .select(concat(sepLit,
+      .select(col("w"),
+        concat(sepLit,
           array_join(expr("filter(split(w, ''), s -> s != '')"), BpeSep),
           sepLit).as("enc"),
         col("freq"))
@@ -687,12 +690,44 @@ object TextOps {
                   lit(a + b + BpeSep)))
                 .otherwise(concat(acc, x, lit(BpeSep))))
         }
-        enc = enc.select(rw(col("enc")).as("enc"), col("freq"))
+        enc = enc.select(col("w"), rw(col("enc")).as("enc"), col("freq"))
           .localCheckpoint()
         r += 1
       }
     }
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "n")
+    (merges.toSeq, enc)
+  }
+
+  def bpeMerges(spark: SparkSession, dir: String,
+                rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    bpeTrainChain(spark, dir, rounds)._1
+      .toDF("merge_rank", "lhs", "rhs", "merged", "n")
       .orderBy(col("merge_rank"))
+  }
+
+  /** `text_bpe_fertility`: what the learned merges actually buy — the
+    * corpus-weighted symbols-per-word before (characters) and after
+    * the [[bpeMerges]] rounds, i.e. the compression curve a tokenizer
+    * budget decision reads (more merges → fewer symbols per word →
+    * fewer tokens per document). All counts are exact integers off the
+    * final segmentation table; the single ratio division is one IEEE
+    * op, so the row hash-checks against the oracle's replay of the
+    * same chain. */
+  def bpeFertility(spark: SparkSession, dir: String,
+                   rounds: Int = 3): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(BpeSep)
+    val enc = bpeTrainChain(spark, dir, rounds)._2
+    enc
+      .select(col("freq"), length(col("w")).cast("long").as("n_chars"),
+        size(split(trim(col("enc"), BpeSep), sepRe)).cast("long")
+          .as("n_syms"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("freq")).as("total_freq"),
+        sum(col("freq") * col("n_chars")).as("chars_weighted"),
+        sum(col("freq") * col("n_syms")).as("syms_weighted"))
+      .withColumn("compression",
+        round(col("syms_weighted").cast("double") /
+          col("chars_weighted").cast("double"), 6))
   }
 }

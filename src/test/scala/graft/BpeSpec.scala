@@ -42,6 +42,14 @@ class BpeSpec extends SparkSuite {
       (1L, "a", "b", "ab", 6L),
       (2L, "a", "a", "aa", 4L),
       (3L, "ab", "ab", "abab", 3L)))
+    // fertility after those merges: abab → [abab] (1 sym), aaa → [aa, a]
+    // (2 syms), cd → [c, d] (2 syms, never merged)
+    val f = TextOps.bpeFertility(spark, dir, rounds = 3).collect().head
+    assert(f.getLong(0) == 3L)                 // n_words
+    assert(f.getLong(1) == 6L)                 // total_freq (3 + 2 + 1)
+    assert(f.getLong(2) == 3 * 4 + 2 * 3 + 1 * 2) // chars_weighted = 20
+    assert(f.getLong(3) == 3 * 1 + 2 * 2 + 1 * 2) // syms_weighted = 9
+    assert(f.getDouble(4) == 0.45)             // 9 / 20
   }
 
   test("corpus diff statuses partition both snapshots and match the derivation rules") {
