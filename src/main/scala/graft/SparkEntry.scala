@@ -1985,6 +1985,7 @@ object SparkEntry {
     "ev_rfm" -> ((s, d) => EventOps.rfmScores(s, d)),
     "q_linreg" -> ((s, d) => graft.operators.StatsOps.linregByBrand(s, d)),
     "dedup_passages" -> ((s, d) => graft.ext.DedupOps.passageDuplication(s, d)),
+    "dedup_spans" -> ((s, d) => graft.ext.DedupOps.duplicatedSpans(s, d)),
     "samp_temperature" -> ((s, d) => graft.ext.SampleOps.temperatureSample(s, d)),
     "ev_attribution" -> ((s, d) => EventOps.attribution(s, d)),
     "ev_conversion_lag" -> ((s, d) => EventOps.conversionLag(s, d)),
@@ -2420,6 +2421,7 @@ object SparkEntry {
     // dedup_passages: shingle strings replay verbatim (the dedup_ngram
     // tokenizer CTE with n=8); counts exact, frac one IEEE division.
     "dedup_passages" -> dedupPassagesSql,
+    "dedup_spans" -> dedupSpansSql,
     // samp_temperature: ⌊√n·2²⁰⌋ keeps the normalizer an exact integer
     // sum; rate is one IEEE division and md5-60 replays in DuckDB.
     "samp_temperature" -> sampTemperatureSql,
@@ -2616,6 +2618,66 @@ object SparkEntry {
        |    CAST(count(*) AS DOUBLE) AS shared_frac
        |FROM ex JOIN d USING (sh)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Replay of DedupOps.duplicatedSpans: identical positional explode,
+    * running char offsets over the canonical single-space join, lead()
+    * grams, corpus-wide occurrence floor, and the gaps-and-islands
+    * interval union. All integers until the one final division. */
+  private val dedupSpansSql: String = {
+    val k = graft.ext.DedupOps.spanK
+    val m = graft.ext.DedupOps.spanMinOccur
+    val leads = (1 until k).map(j => s"lead(w, $j) OVER dw").mkString(", ")
+    s"""WITH words AS (
+       |  SELECT doc_id, u.i AS i, u.w AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |        i -> struct_pack(i := i, w := toks[i]))) AS u
+       |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |          FROM documents)) t
+       |  WHERE len(u.w) > 0),
+       |offs AS (
+       |  SELECT doc_id, i, w,
+       |    coalesce(sum(len(w) + 1) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+       |  FROM words),
+       |grams AS (
+       |  SELECT doc_id, s, s + len(gram) AS e, gram FROM (
+       |    SELECT doc_id, s, concat_ws(' ', w, $leads) AS gram,
+       |      lead(w, ${k - 1}) OVER dw AS last_w
+       |    FROM offs WINDOW dw AS (PARTITION BY doc_id ORDER BY i)) g
+       |  WHERE last_w IS NOT NULL),
+       |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= $m),
+       |spans AS (SELECT g.doc_id, g.s, g.e FROM grams g JOIN dup USING (gram)),
+       |isl AS (
+       |  SELECT doc_id, s, e,
+       |    sum(CASE WHEN s > coalesce(mpe, -1) THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING)
+       |      AS island
+       |  FROM (SELECT doc_id, s, e,
+       |          max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mpe
+       |        FROM spans) x),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(sum(n_w) AS BIGINT) AS n_dup_windows,
+       |    CAST(sum(covered) AS BIGINT) AS covered_chars
+       |  FROM (SELECT doc_id, island, count(*) AS n_w,
+       |          max(e) - min(s) AS covered
+       |        FROM isl GROUP BY doc_id, island) y
+       |  GROUP BY doc_id),
+       |canon AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(len(w)) + count(*) - 1 AS BIGINT) AS canon_chars
+       |  FROM words GROUP BY doc_id)
+       |SELECT c.doc_id, c.n_words,
+       |  CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       |  CAST(coalesce(p.covered_chars, 0) AS BIGINT) AS covered_chars,
+       |  c.canon_chars,
+       |  CASE WHEN c.canon_chars > 0
+       |    THEN CAST(coalesce(p.covered_chars, 0) AS DOUBLE) /
+       |         CAST(c.canon_chars AS DOUBLE)
+       |    ELSE 0.0 END AS dup_frac
+       |FROM canon c LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   private val sampTemperatureSql: String = {

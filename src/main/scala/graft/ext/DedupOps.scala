@@ -933,4 +933,98 @@ object DedupOps {
       .select(col("doc_id"), col("digest"))
       .orderBy(col("doc_id"))
   }
+
+  /** Window length (words) and occurrence floor for [[duplicatedSpans]]. */
+  val spanK = 5
+  val spanMinOccur = 2
+
+  /** Exact-substring span coverage (`dedup_spans`): for each document,
+    * the fraction of CHARACTERS covered by the union of word windows
+    * (length [[spanK]]) whose exact text occurs at least
+    * [[spanMinOccur]] times anywhere in the corpus — including repeats
+    * inside the same document. This is the character-interval signal of
+    * suffix-array substring dedup ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022): instead of dropping
+    * whole documents, it measures exactly which spans a remover would
+    * cut. `dedup_passages` counts shared passages; this one merges their
+    * overlapping character intervals per document, which is what the
+    * actual removal edit needs.
+    *
+    * Offsets are defined over the canonical single-space join of the
+    * whitespace tokens, so both engines compute them from the token
+    * stream alone (gram end = start + len(gram), since the gram IS the
+    * canonical text of its window). Pipeline:
+    *   1. posexplode tokens; per-doc running char offsets (one window
+    *      pass, partitioned by doc_id — per-task state is one document);
+    *   2. grams via lead(w, 1..K-1) in the same doc partition, so steps
+    *      1+2 share a single exchange;
+    *   3. corpus-wide occurrence counts: map-side-combinable groupBy on
+    *      the gram (strings here so the oracle replays them verbatim;
+    *      at 100 TB they travel as xxhash64 longs — the
+    *      `ngramJaccardPairs` trick);
+    *   4. duplicated windows join back by gram — AQE broadcasts the
+    *      duplicate set (duplication is the anomaly);
+    *   5. interval union per doc: the gaps-and-islands running-max
+    *      sweep (one more doc_id window pass), then exact integer
+    *      coverage sums.
+    * The only doubles are one IEEE division of exact longs per row. */
+  def duplicatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = spanK
+    val docOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val words = FanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .toDF("doc_id", "i", "w")
+      .filter(length(col("w")) > 0)
+    val offs = words.withColumn("start",
+      coalesce(sum(length(col("w")) + lit(1L)).over(
+        docOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val grams = offs
+      .withColumn("gram", concat_ws(" ",
+        col("w") +: (1 until k).map(j => lead(col("w"), j).over(docOrd)): _*))
+      .withColumn("last_w", lead(col("w"), k - 1).over(docOrd))
+      .filter(col("last_w").isNotNull)
+      .select(col("doc_id"), col("start"),
+        (col("start") + length(col("gram")).cast("long")).as("end"),
+        col("gram"))
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= spanMinOccur)
+      .select(col("gram"))
+    val spans = grams.join(dupGrams, Seq("gram"))
+      .select(col("doc_id"), col("start"), col("end"))
+    // gaps-and-islands: starts are unique per doc (distinct i ⇒ distinct
+    // start), so ORDER BY start is total and the sweep is deterministic
+    val byStart = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val islands = spans
+      .withColumn("max_prev_end",
+        max(col("end")).over(byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("start") > coalesce(col("max_prev_end"), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(
+          byStart.rowsBetween(Window.unboundedPreceding, 0)))
+    val perDoc = islands
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("n_w"),
+        (max(col("end")) - min(col("start"))).as("covered"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_w")).as("n_dup_windows"),
+        sum(col("covered")).as("covered_chars"))
+    val canon = words.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        (sum(length(col("w")).cast("long")) + count(lit(1)) - lit(1L))
+          .as("canon_chars"))
+    canon.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
+        col("canon_chars"),
+        when(col("canon_chars") > 0,
+          coalesce(col("covered_chars"), lit(0L)).cast("double") /
+            col("canon_chars").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -346,4 +346,34 @@ class DedupSpec extends SparkSuite {
     }.toMap
     assert(got == want)
   }
+
+  test("duplicated spans: hand-computed interval unions (cross-doc, overlap merge, within-doc repeat)") {
+    import spark.implicits._
+    // K = 5, minOccur = 2 (DedupOps.spanK/spanMinOccur)
+    val docs = Seq(
+      // docs 1+2 share exactly one window "a b c d e" → span (0,9) each
+      (1L, "a b c d e f g h", "en", "s0", 15L),
+      (2L, "a b c d e x y z", "en", "s0", 15L),
+      // doc 3: all windows unique → zero coverage
+      (3L, "p q r s t u", "en", "s0", 11L),
+      // docs 4+5 identical: 3 overlapping dup windows merge to (0,13)
+      (4L, "m n o p q r s", "en", "s0", 13L),
+      (5L, "m n o p q r s", "en", "s0", 13L),
+      // doc 6: the SAME window twice within one doc (ExactSubstr counts
+      // within-doc repeats) → two disjoint islands (0,9) and (13,22)
+      (6L, "k l m n o zz k l m n o", "en", "s0", 22L))
+    val dir = tmpDir("graft-spans")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = DedupOps.duplicatedSpans(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(got(1L) == ((8L, 1L, 9L, 15L, 9.0 / 15)))
+    assert(got(2L) == ((8L, 1L, 9L, 15L, 9.0 / 15)))
+    assert(got(3L) == ((6L, 0L, 0L, 11L, 0.0)))
+    assert(got(4L) == ((7L, 3L, 13L, 13L, 1.0)))
+    assert(got(5L) == ((7L, 3L, 13L, 13L, 1.0)))
+    assert(got(6L) == ((11L, 2L, 18L, 22L, 18.0 / 22)))
+  }
 }
