@@ -578,6 +578,88 @@ object SparkEntry {
        |  (round(least(nt / 100.0, 1.0) * 0.4 + (nd / nt) * 0.4 + (ns / nt) * 0.2, 6) >= 0.3) AS keep
        |FROM x ORDER BY doc_id""".stripMargin
 
+  /** Replay of TextOps.lrTrain: the unrolled micro-quantized GD chain.
+    * Per-row doubles use the identical left-to-right expression shape
+    * as lrProb; gradient contributions quantize to micro longs BEFORE
+    * the sum; DuckDB round() on doubles ≡ the driver's exact-value
+    * BigDecimal HALF_UP. */
+  private val lrChainCtes: String = {
+    def zExpr(w: String): String =
+      s"((((CAST($w.w0 AS DOUBLE) / 1000000.0) + " +
+        s"(CAST($w.w1 AS DOUBLE) / 1000000.0) * x1) + " +
+        s"(CAST($w.w2 AS DOUBLE) / 1000000.0) * x2) + " +
+        s"(CAST($w.w3 AS DOUBLE) / 1000000.0) * x3)"
+    def pExpr(w: String): String =
+      s"greatest(0.0, least(1.0, 0.5 + ${zExpr(w)} / 4.0))"
+    def gradCte(g: String, w: String): String =
+      s"""$g AS (SELECT
+         |  CAST(sum(CAST(round(err * 1000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         |  CAST(sum(CAST(round((err * x1) * 1000000.0) AS BIGINT)) AS BIGINT) AS g1,
+         |  CAST(sum(CAST(round((err * x2) * 1000000.0) AS BIGINT)) AS BIGINT) AS g2,
+         |  CAST(sum(CAST(round((err * x3) * 1000000.0) AS BIGINT)) AS BIGINT) AS g3,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT x1, x2, x3, (${pExpr("w")} - y) AS err
+         |      FROM f CROSS JOIN $w w) e)""".stripMargin
+    def stepCte(wNext: String, w: String, g: String): String = {
+      val upd = (0 to 3).map(j =>
+        s"w.w$j - CAST(round((CAST(g.g$j AS DOUBLE) * ${TextOps.lrEta}) / " +
+          s"CAST(g.n AS DOUBLE)) AS BIGINT) AS w$j").mkString(",\n|  ")
+      s"""$wNext AS (SELECT
+         |  $upd
+         |FROM $w w CROSS JOIN $g g)""".stripMargin
+    }
+    val rounds = (1 to TextOps.lrRounds).map { r =>
+      s"${gradCte(s"g$r", s"w${r - 1}t")},\n${stepCte(s"w${r}t", s"w${r - 1}t", s"g$r")}"
+    }.mkString(",\n")
+    s"""f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN round(x3 * 0.4 + x2 * 0.4 + x1 * 0.2, 6)
+       |           >= ${TextOps.lrLabelThreshold}
+       |      THEN 1.0 ELSE 0.0 END AS y,
+       |    x1, x2, x3
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(list_filter(toks, s -> s IN $stopSet)) AS DOUBLE) /
+       |        CAST(len(toks) AS DOUBLE) AS x1,
+       |      CAST(len(list_distinct(toks)) AS DOUBLE) /
+       |        CAST(len(toks) AS DOUBLE) AS x2,
+       |      least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS x3
+       |    FROM (SELECT doc_id,
+       |            string_split_regex(trim(text), '\\s+') AS toks
+       |          FROM documents) t
+       |    WHERE len(toks) > 0) x),
+       |w0t AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |               CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+       |$rounds""".stripMargin
+  }
+
+  private val textQualityLrSql: String = {
+    def zExpr: String =
+      "((((CAST(w.w0 AS DOUBLE) / 1000000.0) + " +
+        "(CAST(w.w1 AS DOUBLE) / 1000000.0) * x1) + " +
+        "(CAST(w.w2 AS DOUBLE) / 1000000.0) * x2) + " +
+        "(CAST(w.w3 AS DOUBLE) / 1000000.0) * x3)"
+    val wf = s"w${TextOps.lrRounds}t"
+    s"""WITH $lrChainCtes
+       |SELECT doc_id, CAST(y AS BIGINT) AS y_label,
+       |  round(p, 6) AS score, p >= 0.5 AS pred
+       |FROM (SELECT doc_id, y,
+       |        greatest(0.0, least(1.0, 0.5 + $zExpr / 4.0)) AS p
+       |      FROM f CROSS JOIN $wf w) s
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val textQualityLrWeightsSql: String = {
+    val wf = s"w${TextOps.lrRounds}t"
+    s"""WITH $lrChainCtes
+       |SELECT feature, w_micro FROM (
+       |  SELECT 'bias' AS feature, w0 AS w_micro FROM $wf
+       |  UNION ALL SELECT 'len_norm', w3 FROM $wf
+       |  UNION ALL SELECT 'stopword_ratio', w1 FROM $wf
+       |  UNION ALL SELECT 'ttr', w2 FROM $wf) u
+       |ORDER BY feature""".stripMargin
+  }
+
   private val textLangIdSql: String = {
     val markers = TextOps.langMarkers.map { case (l, ms) =>
       l -> s"len(list_filter(toks, x -> x IN ${ms.map(sqlStr).mkString("(", ", ", ")")}))"
@@ -1852,6 +1934,9 @@ object SparkEntry {
     // LLM-data ops [EXT]
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
+    // trained quality/language filter (micro-quantized logistic GD)
+    "text_quality_lr" -> ((s, d) => TextOps.qualityLrScores(s, d)),
+    "text_quality_lr_weights" -> ((s, d) => TextOps.qualityLrWeights(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
     "text_topterms" -> ((s, d) => TextOps.topTerms(s, d)),
@@ -2129,6 +2214,8 @@ object SparkEntry {
     "q_sketches" -> qSketchesSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
+    "text_quality_lr" -> textQualityLrSql,
+    "text_quality_lr_weights" -> textQualityLrWeightsSql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_topterms" -> textTopTermsSql,

@@ -730,4 +730,116 @@ object TextOps {
         round(col("syms_weighted").cast("double") /
           col("chars_weighted").cast("double"), 6))
   }
+
+  /** GD rounds, learning rate (a power of two — the η·g product stays
+    * an exact double scaling), and the label threshold: the corpus-
+    * median heuristic quality, so the distillation label is balanced
+    * (~46% positive at every SF). */
+  val lrRounds = 8
+  val lrEta = 4.0
+  val lrLabelThreshold = 0.43
+
+  /** Per-doc training features for [[qualityLrScores]]: the label
+    * DISTILLS the hand-written heuristic — y = top-half
+    * [[qualityScore]] (≥ [[lrLabelThreshold]]) — into a linear model,
+    * the production fastText-filter bootstrap (train a cheap servable
+    * classifier on heuristic-labeled seeds). Features = stopword
+    * ratio, type-token ratio, normalized length, from one fused
+    * TokenStats pass. Expression shapes mirror the oracle exactly
+    * (each ratio is one IEEE division of exact counts). */
+  private def lrFeatures(spark: SparkSession, dir: String): DataFrame =
+    FanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), tokenStats.as("st"))
+      .filter(col("st.n_tokens") > 0)
+      .select(col("doc_id"),
+        (col("st.n_stop").cast("double") /
+          col("st.n_tokens").cast("double")).as("x1"),
+        (col("st.n_distinct").cast("double") /
+          col("st.n_tokens").cast("double")).as("x2"),
+        least(col("st.n_tokens").cast("double") / lit(100.0), lit(1.0))
+          .as("x3"))
+      .select(col("doc_id"),
+        when(round(col("x3") * lit(0.4) + col("x2") * lit(0.4) +
+            col("x1") * lit(0.2), 6) >= lit(lrLabelThreshold),
+          lit(1.0)).otherwise(lit(0.0)).as("y"),
+        col("x1"), col("x2"), col("x3"))
+
+  /** z and hard-sigmoid p for micro-unit weights `w` — the EXACT
+    * left-to-right expression shape the oracle uses, so per-row doubles
+    * are bit-identical across engines. */
+  private def lrProb(w: Array[Long]): Column = {
+    def wd(j: Int): Column = lit(w(j).toDouble / 1e6)
+    val z = ((wd(0) + wd(1) * col("x1")) + wd(2) * col("x2")) +
+      wd(3) * col("x3")
+    greatest(lit(0.0), least(lit(1.0), lit(0.5) + z / lit(4.0)))
+  }
+
+  /** Memoized (weights, features) per dir — the two registered faces
+    * share one training run, the clusterLabels discipline. */
+  private val lrMemo =
+    scala.collection.mutable.Map.empty[String, (Array[Long], DataFrame)]
+
+  /** Batch logistic-regression training INSIDE the engine — the
+    * trained-quality-classifier component of a curation pipeline
+    * (CCNet/fastText-style "looks like the reference corpus" filter),
+    * here distilling the top-half [[qualityScore]] selection into 4
+    * servable weights (87–91% label agreement at the test SFs).
+    *
+    * Determinism discipline (the Lloyd's-means pattern): weights live
+    * as micro-unit longs between rounds; each round computes per-row
+    * doubles with engine-identical expression shapes (hard-sigmoid
+    * p = clamp(0.5 + z/4), so no transcendental exp), quantizes each
+    * row's gradient contribution to micro longs BEFORE the sum (order-
+    * free ⇒ partial-agg safe ⇒ plan-layout independent), and the
+    * driver-side update replays DuckDB's round() via exact-value
+    * BigDecimal HALF_UP. Scale: ONE corpus scan builds the feature
+    * table (localCheckpoint'd); each round is one map-side-combinable
+    * aggregate; driver state is O(rounds × 4) longs. */
+  private[graft] def lrTrain(spark: SparkSession, dir: String,
+                             rounds: Int = lrRounds)
+      : (Array[Long], DataFrame) = lrMemo.synchronized {
+    lrMemo.getOrElseUpdate(s"$dir#$rounds", {
+      val feats = lrFeatures(spark, dir).localCheckpoint()
+      var w = Array(0L, 0L, 0L, 0L)
+      var r = 0
+      while (r < rounds) {
+        val err = lrProb(w) - col("y")
+        def gq(c: Column) = sum(round(c * lit(1e6)).cast("long"))
+        val row = feats.agg(
+          gq(err).as("g0"), gq(err * col("x1")).as("g1"),
+          gq(err * col("x2")).as("g2"), gq(err * col("x3")).as("g3"),
+          count(lit(1)).as("n")).collect()(0)
+        val n = row.getLong(4)
+        w = Array.tabulate(4) { j =>
+          // micro-space update W −= round(η·g/n): the scaling and the
+          // division are the same IEEE ops the oracle runs, and the
+          // exact-value HALF_UP equals DuckDB round() on doubles
+          val q = (row.getLong(j).toDouble * lrEta) / n.toDouble
+          w(j) - new java.math.BigDecimal(q)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+        }
+        r += 1
+      }
+      (w, feats)
+    })
+  }
+
+  /** `text_quality_lr`: per-document score under the trained filter. */
+  def qualityLrScores(spark: SparkSession, dir: String): DataFrame = {
+    val (w, feats) = lrTrain(spark, dir)
+    val p = lrProb(w)
+    feats.select(col("doc_id"), col("y").cast("long").as("y_label"),
+        round(p, 6).as("score"), (p >= lit(0.5)).as("pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** `text_quality_lr_weights`: the learned micro-unit weights — the
+    * artifact a production filter persists and serves. */
+  def qualityLrWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (w, _) = lrTrain(spark, dir)
+    Seq(("bias", w(0)), ("stopword_ratio", w(1)), ("ttr", w(2)),
+        ("len_norm", w(3)))
+      .toDF("feature", "w_micro").orderBy(col("feature"))
+  }
 }

@@ -329,4 +329,61 @@ class TextOpsSpec extends SparkSuite {
       assert(out(id) == ((0L, text)), s"doc $id did not round-trip")
     }
   }
+
+  test("trained quality filter: distributed GD equals a driver-side replay and learns the heuristic") {
+    val weights = TextOps.qualityLrWeights(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(weights.keySet ==
+      Set("bias", "len_norm", "stopword_ratio", "ttr"))
+    assert(weights.values.exists(_ != 0L), "training never moved the weights")
+    val scored = TextOps.qualityLrScores(spark, sf).collect()
+    // label is the top-half quality split → both classes present, and
+    // the trained model must beat the majority-class baseline
+    val n = scored.length
+    val pos = scored.count(_.getLong(1) == 1L)
+    assert(pos > 0 && pos < n)
+    val acc = scored.count(r => r.getBoolean(3) == (r.getLong(1) == 1L))
+      .toDouble / n
+    val majority = math.max(pos, n - pos).toDouble / n
+    assert(acc > majority + 0.05,
+      s"model accuracy $acc not above majority baseline $majority")
+    // pred is the unrounded p >= 0.5 decision; score is round(p, 6) —
+    // they may only disagree within the rounding half-width
+    scored.foreach { r =>
+      val (score, pred) = (r.getDouble(2), r.getBoolean(3))
+      if (pred) assert(score >= 0.4999995) else assert(score < 0.5000005)
+    }
+    // GD replay on the collected feature rows: same micro-quantized
+    // arithmetic in plain Scala must land on the identical weights
+    // (order-free gradient quantization ⇒ the distributed sum is exact)
+    val feats = TextOps.lrTrain(spark, sf)._2.collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    var w = Array(0L, 0L, 0L, 0L)
+    // per-row: Spark round() = shortest-repr BigDecimal HALF_UP;
+    // driver step: exact-value BigDecimal HALF_UP (≡ DuckDB round)
+    def rowMicro(v: Double): Long =
+      java.math.BigDecimal.valueOf(v).setScale(0,
+        java.math.RoundingMode.HALF_UP).doubleValue.toLong
+    def stepMicro(v: Double): Long =
+      new java.math.BigDecimal(v).setScale(0,
+        java.math.RoundingMode.HALF_UP).longValueExact
+    for (_ <- 1 to TextOps.lrRounds) {
+      val g = Array(0L, 0L, 0L, 0L)
+      feats.foreach { case (y, x1, x2, x3) =>
+        val z = ((w(0).toDouble / 1e6 + w(1).toDouble / 1e6 * x1) +
+          w(2).toDouble / 1e6 * x2) + w(3).toDouble / 1e6 * x3
+        val p = math.max(0.0, math.min(1.0, 0.5 + z / 4.0))
+        val e = p - y
+        Seq(e, e * x1, e * x2, e * x3).zipWithIndex.foreach {
+          case (v, j) => g(j) += rowMicro(v * 1e6)
+        }
+      }
+      w = Array.tabulate(4)(j =>
+        w(j) - stepMicro((g(j).toDouble * TextOps.lrEta) /
+          feats.length.toDouble))
+    }
+    assert(w(0) == weights("bias") && w(1) == weights("stopword_ratio") &&
+      w(2) == weights("ttr") && w(3) == weights("len_norm"))
+  }
 }
