@@ -1328,6 +1328,50 @@ object SparkEntry {
     s"${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}))"
   }
 
+  /** Replay of SimilarityOps.mmrSelect: the same top-C relevance pool,
+    * the same C×C round-6 pairwise cosines, and the greedy chain
+    * unrolled into k step CTEs — each step's argmax is the identical
+    * (mmr DESC, vec_id) total order. */
+  private val simMmrSql: String = {
+    val lam = SimilarityOps.mmrLambda
+    val mu = SimilarityOps.mmrMu
+    val c = SimilarityOps.mmrPoolSize
+    val k = SimilarityOps.mmrK
+    def prevUnion(n: Int): String =
+      (1 until n).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+    // every step CTE is MATERIALIZED: s_n references s_1..s_{n-1}, so an
+    // inlining planner would re-expand the chain exponentially
+    val steps = (2 to k).map { n =>
+      s"""m$n AS MATERIALIZED (SELECT c.vec_id, c.rel, max(p.cos) AS ms
+         |  FROM pool c JOIN psim p ON p.a = c.vec_id
+         |  WHERE p.b IN (${prevUnion(n)})
+         |    AND c.vec_id NOT IN (${prevUnion(n)})
+         |  GROUP BY c.vec_id, c.rel),
+         |s$n AS MATERIALIZED (SELECT vec_id, rel, ms,
+         |  ($lam * rel - $mu * ms) AS mmr
+         |  FROM m$n ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(n =>
+      s"""SELECT CAST($n AS BIGINT) AS "rank", vec_id, rel, ms AS max_sim, mmr FROM s$n""")
+      .mkString("\n  UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |pool AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    round(${cosSql("qvec", "embedding")}, 6) AS rel
+       |  FROM embeddings, q WHERE vec_id > 0
+       |  ORDER BY rel DESC, vec_id ASC LIMIT $c),
+       |psim AS MATERIALIZED (
+       |  SELECT p1.vec_id AS a, p2.vec_id AS b,
+       |    round(${cosSql("p1.embedding", "p2.embedding")}, 6) AS cos
+       |  FROM pool p1, pool p2 WHERE p1.vec_id <> p2.vec_id),
+       |s1 AS MATERIALIZED (SELECT vec_id, rel, 0.0 AS ms,
+       |  ($lam * rel - $mu * 0.0) AS mmr
+       |  FROM pool ORDER BY mmr DESC, vec_id LIMIT 1),
+       |$steps
+       |$out
+       |ORDER BY "rank"""".stripMargin
+  }
+
   /** Full replay of the TRAINED IVF face (SimilarityOps.ivfTopK):
     * 2 unrolled Lloyd's rounds — assignment by in-order cosine argmax
     * (ties to the lowest cid, exactly the TopCentroidIds contract) and
@@ -1968,6 +2012,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d, md5Mode = true)),
     "dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d, md5Mode = true)),
     "sim_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
+    "sim_mmr" -> ((s, d) => SimilarityOps.mmrSelect(s, d)),
     "sim_lsh_topk" -> ((s, d) => SimilarityOps.lshTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     // full probe (nProbe = nCentroids) makes IVF provably exact: every
@@ -2250,6 +2295,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "sim_bruteforce_topk" -> simBruteForceSql,
+    "sim_mmr" -> simMmrSql,
     "sim_ivf_fullprobe" -> simBruteForceSql,
     // sim_pq_exact: lossless codebook (every subvector its own centroid)
     // => reconstruction is bit-identical => PQ scoring ≡ brute force —

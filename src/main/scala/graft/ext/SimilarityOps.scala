@@ -1046,4 +1046,75 @@ object SimilarityOps {
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** MMR knobs: relevance weight λ, diversity weight μ (kept as its own
+    * literal — `1.0 - 0.7` is not the double `0.3`, and the oracle
+    * interpolates these constants verbatim), pool size C, selection
+    * size k. */
+  val mmrLambda = 0.7
+  val mmrMu = 0.3
+  val mmrPoolSize = 50
+  val mmrK = 10
+
+  /** Maximal-Marginal-Relevance diverse top-k (`sim_mmr`): greedy
+    * selection maximizing λ·rel − (1−λ)·max-sim-to-selected (Carbonell
+    * & Goldstein 1998) — the diversity-aware data-selection shape
+    * (pick exemplars that cover the space, not k near-copies of the
+    * best match).
+    *
+    * Scale split: the only corpus-sized work is the relevance pool —
+    * one broadcast-query scan + TakeOrderedAndProject top-C. Everything
+    * after is corpus-independent: the C×C pairwise cosine table is a
+    * broadcast self-join of the pooled rows, and the greedy loop is k
+    * driver-paced rounds, each ONE 1-row argmax collect over ≤ C rows
+    * (driver state O(k) ids — the BPE-merge discipline). Both small
+    * tables localCheckpoint so the k rounds re-read materialized rows,
+    * not the corpus scan. All cosines are round-6 doubles and the MMR
+    * arithmetic is shape-identical in the oracle, so the full greedy
+    * chain hash-checks. */
+  def mmrSelect(spark: SparkSession, dir: String,
+                lambda: Double = mmrLambda, mu: Double = mmrMu,
+                c: Int = mmrPoolSize, k: Int = mmrK): DataFrame = {
+    import spark.implicits._
+    val emb = FanOut(Tables.embeddings(spark, dir))
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"))
+    val pool = emb.filter(col("vec_id") > 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(c)
+      .localCheckpoint()
+    val psim = pool.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(broadcast(
+        pool.select(col("vec_id").as("b"), col("embedding").as("eb"))))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(cosine(col("ea"), col("eb")), 6).as("cos"))
+      .localCheckpoint()
+    val mmrOf = lit(lambda) * col("rel") - lit(mu) * col("ms")
+    val first = pool
+      .select(col("vec_id"), col("rel"), lit(0.0).as("ms"))
+      .withColumn("mmr", mmrOf)
+      .orderBy(col("mmr").desc, col("vec_id").asc).limit(1)
+      .collect()(0)
+    var sel = Vector[(Long, Long, Double, Double, Double)](
+      (1L, first.getLong(0), first.getDouble(1), first.getDouble(2),
+        first.getDouble(3)))
+    while (sel.length < k) {
+      val ids = sel.map(_._2)
+      val ms = psim.filter(col("b").isin(ids: _*))
+        .groupBy(col("a")).agg(max(col("cos")).as("ms"))
+      val pick = pool.filter(!col("vec_id").isin(ids: _*))
+        .join(ms, col("vec_id") === col("a"))
+        .select(col("vec_id"), col("rel"), col("ms"))
+        .withColumn("mmr", mmrOf)
+        .orderBy(col("mmr").desc, col("vec_id").asc).limit(1)
+        .collect()(0)
+      sel = sel :+ ((sel.length + 1L, pick.getLong(0), pick.getDouble(1),
+        pick.getDouble(2), pick.getDouble(3)))
+    }
+    sel.toDF("rank", "vec_id", "rel", "max_sim", "mmr")
+      .orderBy(col("rank"))
+  }
 }

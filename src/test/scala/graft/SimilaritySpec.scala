@@ -400,4 +400,51 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(_.toSeq).toSeq
     assert(servedRp == inlineRp)
   }
+
+  test("MMR selection equals an independent driver-side greedy replay") {
+    import org.apache.spark.sql.functions.col
+    val got = SimilarityOps.mmrSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == (1L to SimilarityOps.mmrK))
+    assert(got.map(_._2).distinct.length == got.length)
+    // independent replay from the raw vectors: same left-to-right
+    // double cosine fold, round-6, top-C pool, greedy argmax
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (ab, aa, bb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) {
+        ab += a(i).toDouble * b(i).toDouble
+        aa += a(i).toDouble * a(i).toDouble
+        bb += b(i).toDouble * b(i).toDouble
+      }
+      val v = ab / (math.sqrt(aa) * math.sqrt(bb))
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    val qv = vecs(0L)
+    val pool = vecs.toSeq.filter(_._1 > 0L)
+      .map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, rel) => (-rel, id) }
+      .take(SimilarityOps.mmrPoolSize)
+    val poolIds = pool.map(_._1)
+    var sel = Vector.empty[(Long, Long, Double, Double, Double)]
+    while (sel.length < SimilarityOps.mmrK) {
+      val ids = sel.map(_._2).toSet
+      val cands = pool.filter(p => !ids.contains(p._1)).map {
+        case (id, rel) =>
+          val ms = if (ids.isEmpty) 0.0
+            else ids.map(s => cos(vecs(id), vecs(s))).max
+          (id, rel, ms,
+            SimilarityOps.mmrLambda * rel - SimilarityOps.mmrMu * ms)
+      }
+      val best = cands.minBy { case (id, _, _, mmr) => (-mmr, id) }
+      sel = sel :+ ((sel.length + 1L, best._1, best._2, best._3, best._4))
+    }
+    assert(got.toSeq == sel)
+    assert(poolIds.contains(got.head._2) && got.head._3 == pool.head._2)
+  }
 }
