@@ -937,6 +937,26 @@ object SparkEntry {
        |          AS n_syms
        |      FROM e4) t""".stripMargin
 
+  /** Replay of TextOps.bpeTokensPerDoc: the e4 segmentation's symbol
+    * counts joined to the per-doc word stream — same tokenization and
+    * separator-word exclusion as the chain itself. */
+  private val textBpeTokensSql: String =
+    s"""WITH $bpeChainCtes,
+       |seg AS (SELECT w,
+       |    CAST(len(string_split(trim(enc, chr(31)), chr(31))) AS BIGINT)
+       |      AS n_syms
+       |  FROM e4),
+       |dw AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    FROM documents) t
+       |  WHERE len(w) > 0 AND NOT contains(w, chr(31)))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_syms) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS tokens_per_word
+       |FROM dw JOIN seg USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Replay of Relational.corpusDiff: snapshot B derives from the same
     * deterministic %13/%17/%19 rules, digests compare md5 over the
     * text's UTF-8 bytes in both engines, USING resolves the full-outer
@@ -1999,6 +2019,7 @@ object SparkEntry {
     "text_bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
     "text_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
     "text_bpe_fertility" -> ((s, d) => TextOps.bpeFertility(s, d)),
+    "text_bpe_tokens" -> ((s, d) => TextOps.bpeTokensPerDoc(s, d)),
     "text_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "q_pii_scrub" -> ((s, d) => TextOps.scrubIds(s, d)),
     "q_mode_median" -> ((s, d) => Relational.segmentModeMedian(s, d)),
@@ -2275,6 +2296,7 @@ object SparkEntry {
     "text_bpe_pairs" -> textBpePairsSql,
     "text_bpe_merges" -> textBpeMergesSql,
     "text_bpe_fertility" -> textBpeFertilitySql,
+    "text_bpe_tokens" -> textBpeTokensSql,
     "text_vocab_coverage" -> textVocabCoverageSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_mode_median" -> qModeMedianSql,

@@ -637,10 +637,23 @@ object TextOps {
     * collect (count desc, then lexicographic — a total order), one
     * narrow rewrite map, localCheckpoint to keep lineage flat. Driver
     * state is O(rounds), the centroid-training discipline. */
-  /** The training chain shared by [[bpeMerges]] and [[bpeFertility]]:
-    * returns the learned merges and the FINAL (w, enc, freq)
-    * segmentation table. */
+  /** Memoized per-(dir, rounds) training runs: three faces
+    * ([[bpeMerges]], [[bpeFertility]], [[bpeTokensPerDoc]]) share one
+    * chain — the lrTrain discipline. */
+  private val bpeMemo = scala.collection.mutable.Map
+    .empty[String, (Seq[(Long, String, String, String, Long)], DataFrame)]
+
+  /** The training chain shared by the BPE faces: returns the learned
+    * merges and the FINAL (w, enc, freq) segmentation table. */
   private def bpeTrainChain(spark: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) =
+    bpeMemo.synchronized {
+      bpeMemo.getOrElseUpdate(s"$dir#$rounds",
+        bpeTrainChainUncached(spark, dir, rounds))
+    }
+
+  private def bpeTrainChainUncached(spark: SparkSession, dir: String,
+                                    rounds: Int)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val sepLit = lit(BpeSep)
     val sepRe = java.util.regex.Pattern.quote(BpeSep)
@@ -729,6 +742,36 @@ object TextOps {
       .withColumn("compression",
         round(col("syms_weighted").cast("double") /
           col("chars_weighted").cast("double"), 6))
+  }
+
+  /** `text_bpe_tokens`: apply the trained tokenizer corpus-wide — the
+    * per-document token count under the learned merges, i.e. the cost
+    * model a token-budget sampler consumes ([[SampleOps.tokenBudgetOver]]
+    * counts whitespace words; this face counts TRAINED-tokenizer
+    * symbols). Scale shape: the segmentation table is vocab-sized and
+    * every corpus word joins it by the word key (AQE broadcasts it at
+    * test scale; at web scale it is a shuffle join on a
+    * Zipf-distributed key — the hot head is exactly the most common
+    * words, which a production run salts or, better, maps against a
+    * broadcast top-K vocab with the long tail joined normally). One
+    * corpus scan besides the training chain's own. */
+  def bpeTokensPerDoc(spark: SparkSession, dir: String,
+                      rounds: Int = 3): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(BpeSep)
+    val seg = bpeTrainChain(spark, dir, rounds)._2
+      .select(col("w"),
+        size(split(trim(col("enc"), BpeSep), sepRe)).cast("long")
+          .as("n_syms"))
+    val words = FanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains(BpeSep))
+    words.join(seg, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("tokens_per_word"))
+      .orderBy(col("doc_id"))
   }
 
   /** GD rounds, learning rate (a power of two — the η·g product stays

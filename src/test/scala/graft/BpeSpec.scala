@@ -50,6 +50,11 @@ class BpeSpec extends SparkSuite {
     assert(f.getLong(2) == 3 * 4 + 2 * 3 + 1 * 2) // chars_weighted = 20
     assert(f.getLong(3) == 3 * 1 + 2 * 2 + 1 * 2) // syms_weighted = 9
     assert(f.getDouble(4) == 0.45)             // 9 / 20
+    // applying the tokenizer to the one-doc corpus: 6 words → 9 tokens
+    val t = TextOps.bpeTokensPerDoc(spark, dir, rounds = 3).collect()
+    assert(t.length == 1)
+    assert((t.head.getLong(0), t.head.getLong(1), t.head.getLong(2),
+      t.head.getDouble(3)) == ((0L, 6L, 9L, 1.5)))
   }
 
   test("corpus diff statuses partition both snapshots and match the derivation rules") {
