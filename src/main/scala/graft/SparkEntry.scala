@@ -578,6 +578,50 @@ object SparkEntry {
        |  (round(least(nt / 100.0, 1.0) * 0.4 + (nd / nt) * 0.4 + (ns / nt) * 0.2, 6) >= 0.3) AS keep
        |FROM x ORDER BY doc_id""".stripMargin
 
+  /** Replay of TextOps.corpusCard: same fixed-point quality micros,
+    * corpus-wide digest duplicate flags, and (count desc, lang asc)
+    * top-language argmax. */
+  private val textCorpusCardSql: String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, source, lang, md5(text) AS digest,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(round(round(
+       |      least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |      (CAST(len(list_distinct(toks)) AS DOUBLE) /
+       |        CAST(len(toks) AS DOUBLE)) * 0.4 +
+       |      (CAST(len(list_filter(toks, s -> s IN $stopSet)) AS DOUBLE) /
+       |        CAST(len(toks) AS DOUBLE)) * 0.2, 6)
+       |      * 1000000.0) AS BIGINT) AS q_micro
+       |  FROM (SELECT doc_id, source, lang, text,
+       |          string_split_regex(trim(text), '\\s+') AS toks
+       |        FROM documents) t
+       |  WHERE len(toks) > 0),
+       |dups AS (SELECT digest FROM base GROUP BY digest
+       |         HAVING count(*) >= 2),
+       |flagged AS (SELECT b.source, b.n_tokens, b.q_micro,
+       |    CASE WHEN d.digest IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+       |  FROM base b LEFT JOIN dups d USING (digest)),
+       |perlang AS (SELECT source, lang, count(*) AS n_lang
+       |            FROM base GROUP BY 1, 2),
+       |toplang AS (SELECT source, lang AS top_lang FROM (
+       |    SELECT source, lang, row_number() OVER (PARTITION BY source
+       |      ORDER BY n_lang DESC, lang ASC) AS rn
+       |    FROM perlang) r WHERE rn = 1),
+       |nlangs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs
+       |           FROM perlang GROUP BY 1),
+       |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(q_micro) AS BIGINT) AS q_micro_sum,
+       |    CAST(sum(is_dup) AS BIGINT) AS dup_docs
+       |  FROM flagged GROUP BY source)
+       |SELECT a.source, n_docs, n_tokens,
+       |  CAST(q_micro_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0
+       |    AS mean_quality,
+       |  n_langs, top_lang, dup_docs,
+       |  CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+       |FROM agg a JOIN nlangs USING (source) JOIN toplang USING (source)
+       |ORDER BY source""".stripMargin
+
   /** Replay of TextOps.lrTrain: the unrolled micro-quantized GD chain.
     * Per-row doubles use the identical left-to-right expression shape
     * as lrProb; gradient contributions quantize to micro longs BEFORE
@@ -2001,6 +2045,7 @@ object SparkEntry {
     // trained quality/language filter (micro-quantized logistic GD)
     "text_quality_lr" -> ((s, d) => TextOps.qualityLrScores(s, d)),
     "text_quality_lr_weights" -> ((s, d) => TextOps.qualityLrWeights(s, d)),
+    "text_corpus_card" -> ((s, d) => TextOps.corpusCard(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
     "text_topterms" -> ((s, d) => TextOps.topTerms(s, d)),
@@ -2282,6 +2327,7 @@ object SparkEntry {
     "text_quality" -> textQualitySql,
     "text_quality_lr" -> textQualityLrSql,
     "text_quality_lr_weights" -> textQualityLrWeightsSql,
+    "text_corpus_card" -> textCorpusCardSql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_topterms" -> textTopTermsSql,

@@ -774,6 +774,65 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** `text_corpus_card`: the per-source datasheet a curation pipeline
+    * publishes with every corpus release (the "data card" row: volume,
+    * token mass, quality, language mix, duplication). Every metric is
+    * exact-integer or fixed-point so the card hash-checks:
+    *   - mean quality rides as micro-unit longs (the round-6 quality
+    *     ×1e6 re-rounded to an exact integer) summed order-free, with
+    *     ONE final IEEE division chain — a double `avg()` would be
+    *     accumulation-order-dependent and plan-unstable;
+    *   - the duplicate rate counts docs whose md5 digest repeats
+    *     anywhere in the CORPUS (cross-source dups count — that is
+    *     what a release audit wants), via the exact-dup groupBy;
+    *   - top_lang is a (count desc, lang asc) argmax — a total order.
+    * Scale: map-side-combinable aggregates + the narrow digest
+    * exchange; nothing carries text past the first projection. */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val base = FanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("lang"),
+        tokenStats.as("st"), md5(col("text")).as("digest"))
+      .filter(col("st.n_tokens") > 0)
+      .select(col("doc_id"), col("source"), col("lang"), col("digest"),
+        col("st.n_tokens").as("n_tokens"),
+        round(round(
+          least(col("st.n_tokens").cast("double") / lit(100.0), lit(1.0))
+            * lit(0.4) +
+          (col("st.n_distinct").cast("double") /
+            col("st.n_tokens").cast("double")) * lit(0.4) +
+          (col("st.n_stop").cast("double") /
+            col("st.n_tokens").cast("double")) * lit(0.2), 6)
+          * lit(1e6)).cast("long").as("q_micro"))
+    val dupDigests = base.groupBy(col("digest"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("digest"), lit(1L).as("is_dup"))
+    val flagged = base.join(dupDigests, Seq("digest"), "left")
+    val perLang = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+    val topLang = perLang
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("n_lang").desc, col("lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    val nLangs = perLang.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"))
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("q_micro")).as("q_micro_sum"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("dup_docs"))
+      .join(nLangs, Seq("source"))
+      .join(topLang, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("q_micro_sum").cast("double") / col("n_docs").cast("double")
+          / lit(1e6)).as("mean_quality"),
+        col("n_langs"), col("top_lang"), col("dup_docs"),
+        (col("dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   /** GD rounds, learning rate (a power of two — the η·g product stays
     * an exact double scaling), and the label threshold: the corpus-
     * median heuristic quality, so the distillation label is balanced

@@ -330,6 +330,35 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("corpus card: hand-computed per-source volume, language mix, and cross-source dup flags") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = tmpDir("graft-card")
+    val shared = "alpha beta gamma delta"
+    Seq(
+      (1L, shared, "en", "s0"),
+      (2L, shared, "en", "s0"),          // in-source exact dup of 1
+      (3L, "epsilon zeta eta", "de", "s0"),
+      (4L, shared, "fr", "s1"))          // CROSS-source dup of 1/2
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val card = TextOps.corpusCard(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s0 = card("s0")
+    assert(s0.getLong(1) == 3L)          // n_docs
+    assert(s0.getLong(2) == 4L + 4L + 3L) // n_tokens
+    assert(s0.getLong(4) == 2L)          // n_langs (en, de)
+    assert(s0.getString(5) == "en")      // top_lang by count
+    assert(s0.getLong(6) == 2L)          // both copies of the dup text
+    assert(s0.getDouble(7) == 2.0 / 3.0)
+    val s1 = card("s1")
+    // the single s1 doc is flagged because its digest repeats in s0
+    assert(s1.getLong(1) == 1L && s1.getLong(6) == 1L &&
+      s1.getDouble(7) == 1.0)
+    assert(s1.getString(5) == "fr" && s1.getLong(4) == 1L)
+  }
+
   test("trained quality filter: distributed GD equals a driver-side replay and learns the heuristic") {
     val weights = TextOps.qualityLrWeights(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
