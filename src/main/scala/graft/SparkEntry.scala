@@ -981,6 +981,26 @@ object SparkEntry {
        |          AS n_syms
        |      FROM e4) t""".stripMargin
 
+  /** Replay of TextOps.bpeCurve: one fertility-shaped aggregate per
+    * chain stage e1..e4, union'd with the round index. */
+  private val textBpeCurveSql: String = {
+    val stages = (1 to 4).map { i =>
+      s"""SELECT CAST(${i - 1} AS BIGINT) AS round,
+         |  CAST(sum(freq * n_syms) AS BIGINT) AS syms_weighted,
+         |  CAST(sum(freq * len(w)) AS BIGINT) AS chars_weighted,
+         |  round(CAST(sum(freq * n_syms) AS DOUBLE) /
+         |        CAST(sum(freq * len(w)) AS DOUBLE), 6) AS compression
+         |FROM (SELECT w, freq,
+         |        CAST(len(string_split(trim(enc, chr(31)), chr(31)))
+         |          AS BIGINT) AS n_syms
+         |      FROM e$i) t$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeChainCtes
+       |SELECT * FROM (
+       |$stages) u
+       |ORDER BY round""".stripMargin
+  }
+
   /** Replay of TextOps.bpeTokensPerDoc: the e4 segmentation's symbol
     * counts joined to the per-doc word stream — same tokenization and
     * separator-word exclusion as the chain itself. */
@@ -2065,6 +2085,7 @@ object SparkEntry {
     "text_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
     "text_bpe_fertility" -> ((s, d) => TextOps.bpeFertility(s, d)),
     "text_bpe_tokens" -> ((s, d) => TextOps.bpeTokensPerDoc(s, d)),
+    "text_bpe_curve" -> ((s, d) => TextOps.bpeCurve(s, d)),
     "text_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "q_pii_scrub" -> ((s, d) => TextOps.scrubIds(s, d)),
     "q_mode_median" -> ((s, d) => Relational.segmentModeMedian(s, d)),
@@ -2343,6 +2364,7 @@ object SparkEntry {
     "text_bpe_merges" -> textBpeMergesSql,
     "text_bpe_fertility" -> textBpeFertilitySql,
     "text_bpe_tokens" -> textBpeTokensSql,
+    "text_bpe_curve" -> textBpeCurveSql,
     "text_vocab_coverage" -> textVocabCoverageSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_mode_median" -> qModeMedianSql,

@@ -641,12 +641,16 @@ object TextOps {
     * ([[bpeMerges]], [[bpeFertility]], [[bpeTokensPerDoc]]) share one
     * chain — the lrTrain discipline. */
   private val bpeMemo = scala.collection.mutable.Map
-    .empty[String, (Seq[(Long, String, String, String, Long)], DataFrame)]
+    .empty[String, (Seq[(Long, String, String, String, Long)], Seq[DataFrame])]
 
   /** The training chain shared by the BPE faces: returns the learned
-    * merges and the FINAL (w, enc, freq) segmentation table. */
+    * merges and ALL (w, enc, freq) segmentation stages — stages(i) is
+    * the table after i merges (stages.head is the character split,
+    * stages.last the final segmentation). Each stage is already
+    * localCheckpoint'd by the loop, so keeping them costs nothing
+    * beyond what training materialized anyway. */
   private def bpeTrainChain(spark: SparkSession, dir: String, rounds: Int)
-      : (Seq[(Long, String, String, String, Long)], DataFrame) =
+      : (Seq[(Long, String, String, String, Long)], Seq[DataFrame]) =
     bpeMemo.synchronized {
       bpeMemo.getOrElseUpdate(s"$dir#$rounds",
         bpeTrainChainUncached(spark, dir, rounds))
@@ -654,7 +658,7 @@ object TextOps {
 
   private def bpeTrainChainUncached(spark: SparkSession, dir: String,
                                     rounds: Int)
-      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+      : (Seq[(Long, String, String, String, Long)], Seq[DataFrame]) = {
     val sepLit = lit(BpeSep)
     val sepRe = java.util.regex.Pattern.quote(BpeSep)
     var enc = wordCounts(spark, dir)
@@ -664,6 +668,7 @@ object TextOps {
           sepLit).as("enc"),
         col("freq"))
       .localCheckpoint()
+    val stages = scala.collection.mutable.Buffer[DataFrame](enc)
     val merges = scala.collection.mutable.Buffer.empty[(Long, String, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -705,10 +710,11 @@ object TextOps {
         }
         enc = enc.select(col("w"), rw(col("enc")).as("enc"), col("freq"))
           .localCheckpoint()
+        stages += enc
         r += 1
       }
     }
-    (merges.toSeq, enc)
+    (merges.toSeq, stages.toSeq)
   }
 
   def bpeMerges(spark: SparkSession, dir: String,
@@ -730,7 +736,7 @@ object TextOps {
   def bpeFertility(spark: SparkSession, dir: String,
                    rounds: Int = 3): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(BpeSep)
-    val enc = bpeTrainChain(spark, dir, rounds)._2
+    val enc = bpeTrainChain(spark, dir, rounds)._2.last
     enc
       .select(col("freq"), length(col("w")).cast("long").as("n_chars"),
         size(split(trim(col("enc"), BpeSep), sepRe)).cast("long")
@@ -758,7 +764,7 @@ object TextOps {
   def bpeTokensPerDoc(spark: SparkSession, dir: String,
                       rounds: Int = 3): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(BpeSep)
-    val seg = bpeTrainChain(spark, dir, rounds)._2
+    val seg = bpeTrainChain(spark, dir, rounds)._2.last
       .select(col("w"),
         size(split(trim(col("enc"), BpeSep), sepRe)).cast("long")
           .as("n_syms"))
@@ -772,6 +778,30 @@ object TextOps {
         (col("n_tokens").cast("double") / col("n_words").cast("double"))
           .as("tokens_per_word"))
       .orderBy(col("doc_id"))
+  }
+
+  /** `text_bpe_curve`: the merge-budget trajectory — corpus-weighted
+    * symbol mass after each training round (row r = the segmentation
+    * after r merges; compression = syms/chars, exactly 1.0 at r = 0).
+    * This is the curve a vocab-size decision reads: marginal
+    * compression per additional merge. Costs one vocab-sized aggregate
+    * per stage over tables training already materialized. */
+  def bpeCurve(spark: SparkSession, dir: String,
+               rounds: Int = 3): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(BpeSep)
+    val stages = bpeTrainChain(spark, dir, rounds)._2
+    stages.zipWithIndex.map { case (stage, i) =>
+      stage
+        .select(col("freq"), length(col("w")).cast("long").as("n_chars"),
+          size(split(trim(col("enc"), BpeSep), sepRe)).cast("long")
+            .as("n_syms"))
+        .agg(sum(col("freq") * col("n_syms")).as("syms_weighted"),
+          sum(col("freq") * col("n_chars")).as("chars_weighted"))
+        .select(lit(i.toLong).as("round"), col("syms_weighted"),
+          col("chars_weighted"),
+          round(col("syms_weighted").cast("double") /
+            col("chars_weighted").cast("double"), 6).as("compression"))
+    }.reduce(_.unionByName(_)).orderBy(col("round"))
   }
 
   /** `text_corpus_card`: the per-source datasheet a curation pipeline

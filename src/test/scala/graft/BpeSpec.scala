@@ -55,6 +55,12 @@ class BpeSpec extends SparkSuite {
     assert(t.length == 1)
     assert((t.head.getLong(0), t.head.getLong(1), t.head.getLong(2),
       t.head.getDouble(3)) == ((0L, 6L, 9L, 1.5)))
+    // compression trajectory: 20 → 14 → 12 → 9 weighted symbols
+    val curve = TextOps.bpeCurve(spark, dir, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(curve == Seq((0L, 20L, 20L, 1.0), (1L, 14L, 20L, 0.7),
+      (2L, 12L, 20L, 0.6), (3L, 9L, 20L, 0.45)))
   }
 
   test("corpus diff statuses partition both snapshots and match the derivation rules") {
