@@ -879,9 +879,12 @@ object TextOps {
     * ratio, type-token ratio, normalized length, from one fused
     * TokenStats pass. Expression shapes mirror the oracle exactly
     * (each ratio is one IEEE division of exact counts). */
-  private def lrFeatures(spark: SparkSession, dir: String): DataFrame =
-    FanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), tokenStats.as("st"))
+  /** (doc_id, x1, x2, x3) projection over ANY frame carrying `doc_id` +
+    * `text` — shared by batch training and the streaming scorer
+    * (streaming/ScoreStream), so served scores are bit-identical to
+    * the batch face by construction. */
+  private[graft] def lrFeatureProjection(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), tokenStats.as("st"))
       .filter(col("st.n_tokens") > 0)
       .select(col("doc_id"),
         (col("st.n_stop").cast("double") /
@@ -890,6 +893,9 @@ object TextOps {
           col("st.n_tokens").cast("double")).as("x2"),
         least(col("st.n_tokens").cast("double") / lit(100.0), lit(1.0))
           .as("x3"))
+
+  private def lrFeatures(spark: SparkSession, dir: String): DataFrame =
+    lrFeatureProjection(FanOut(Tables.documents(spark, dir)))
       .select(col("doc_id"),
         when(round(col("x3") * lit(0.4) + col("x2") * lit(0.4) +
             col("x1") * lit(0.2), 6) >= lit(lrLabelThreshold),
@@ -899,7 +905,7 @@ object TextOps {
   /** z and hard-sigmoid p for micro-unit weights `w` — the EXACT
     * left-to-right expression shape the oracle uses, so per-row doubles
     * are bit-identical across engines. */
-  private def lrProb(w: Array[Long]): Column = {
+  private[graft] def lrProb(w: Array[Long]): Column = {
     def wd(j: Int): Column = lit(w(j).toDouble / 1e6)
     val z = ((wd(0) + wd(1) * col("x1")) + wd(2) * col("x2")) +
       wd(3) * col("x3")
