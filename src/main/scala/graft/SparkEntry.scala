@@ -1412,6 +1412,37 @@ object SparkEntry {
     s"${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}))"
   }
 
+  /** Replay of SimilarityOps.dimCurve: per-dim brute-force rankings
+    * (cosSql over the first d components ≡ the Spark slice) joined
+    * against the full-dimension ranking. */
+  private val simDimCurveSql: String = {
+    val (nq, k) = (5, 5)
+    val denom = (nq * k).toDouble
+    def rankedCte(d: Int): String =
+      s"""ranked$d AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, c.vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY round(${cosSql("qvec", "c.embedding", d)}, 6) DESC,
+         |        c.vec_id ASC) AS rnk
+         |    FROM q, c) r
+         |  WHERE rnk <= $k)""".stripMargin
+    val ctes = SimilarityOps.dimCurveDims.map(rankedCte).mkString(",\n")
+    val rows = SimilarityOps.dimCurveDims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  CAST(count(*) AS DOUBLE) / $denom AS recall
+         |FROM ranked$d t$d JOIN ranked64 f$d USING (qid, vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+       |           FROM embeddings WHERE vec_id < $nq),
+       |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $nq),
+       |$ctes
+       |SELECT * FROM (
+       |$rows) u
+       |ORDER BY dim""".stripMargin
+  }
+
   /** Replay of SimilarityOps.mmrSelect: the same top-C relevance pool,
     * the same C×C round-6 pairwise cosines, and the greedy chain
     * unrolled into k step CTEs — each step's argmax is the identical
@@ -2100,6 +2131,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d, md5Mode = true)),
     "sim_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     "sim_mmr" -> ((s, d) => SimilarityOps.mmrSelect(s, d)),
+    "sim_dim_curve" -> ((s, d) => SimilarityOps.dimCurve(s, d)),
     "sim_lsh_topk" -> ((s, d) => SimilarityOps.lshTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     // full probe (nProbe = nCentroids) makes IVF provably exact: every
@@ -2386,6 +2418,7 @@ object SparkEntry {
     "dedup_simhash" -> dedupSimhashSql,
     "sim_bruteforce_topk" -> simBruteForceSql,
     "sim_mmr" -> simMmrSql,
+    "sim_dim_curve" -> simDimCurveSql,
     "sim_ivf_fullprobe" -> simBruteForceSql,
     // sim_pq_exact: lossless codebook (every subvector its own centroid)
     // => reconstruction is bit-identical => PQ scoring ≡ brute force —

@@ -1047,6 +1047,54 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Dimension prefixes evaluated by [[dimCurve]]. */
+  val dimCurveDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Per-dim-prefix exact top-k — the brute-force ranking computed on
+    * only the first `d` embedding components. */
+  private def topKAtDim(spark: SparkSession, dir: String, d: Int,
+                        numQueries: Int, k: Int): DataFrame = {
+    val emb = FanOut(Tables.embeddings(spark, dir))
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"),
+        slice(col("embedding"), 1, d).as("qvec"))
+    val sims = emb.filter(col("vec_id") >= numQueries)
+      .crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qvec"), slice(col("embedding"), 1, d)), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** Embedding dimension-budget curve (`sim_dim_curve`): recall@k of
+    * exact cosine search restricted to the first d components, versus
+    * full-dimension search — the matryoshka-truncation analysis that
+    * prices "store/serve a d-dim prefix instead of the full vector"
+    * (storage and ANN cost scale linearly with d; this face measures
+    * what the truncation loses). The d = 64 row is the identity
+    * (recall 1.0) by construction — a built-in sanity anchor the
+    * oracle also reproduces.
+    *
+    * Scale: one broadcast-query corpus pass per evaluated dim (the
+    * brute-force shape; |dims| is a small constant), then k·|queries|
+    * sized joins. All counts exact; recall is one IEEE division. */
+  def dimCurve(spark: SparkSession, dir: String,
+               numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val full = topKAtDim(spark, dir, 64, numQueries, k).localCheckpoint()
+    dimCurveDims.map { d =>
+      val hits = topKAtDim(spark, dir, d, numQueries, k)
+        .join(full, Seq("qid", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      hits.select(lit(d.toLong).as("dim"), col("n_hits"),
+        (col("n_hits").cast("double") /
+          lit((numQueries * k).toDouble)).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("dim"))
+  }
+
   /** MMR knobs: relevance weight λ, diversity weight μ (kept as its own
     * literal — `1.0 - 0.7` is not the double `0.3`, and the oracle
     * interpolates these constants verbatim), pool size C, selection

@@ -401,6 +401,17 @@ class SimilaritySpec extends SparkSuite {
     assert(servedRp == inlineRp)
   }
 
+  test("dimension curve: full-dim row is the identity, counts stay within bounds") {
+    val rows = SimilarityOps.dimCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == SimilarityOps.dimCurveDims.map(_.toLong))
+    val full = rows.last
+    assert(full == ((64L, 25L, 1.0)), "d=64 must be the identity ranking")
+    rows.foreach { case (_, hits, recall) =>
+      assert(hits >= 0L && hits <= 25L && recall == hits.toDouble / 25.0)
+    }
+  }
+
   test("MMR selection equals an independent driver-side greedy replay") {
     import org.apache.spark.sql.functions.col
     val got = SimilarityOps.mmrSelect(spark, sf).collect()
