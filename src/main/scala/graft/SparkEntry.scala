@@ -2239,6 +2239,7 @@ object SparkEntry {
     "ev_attribution" -> ((s, d) => EventOps.attribution(s, d)),
     "ev_conversion_lag" -> ((s, d) => EventOps.conversionLag(s, d)),
     "ev_anomaly" -> ((s, d) => EventOps.hourlyAnomalies(s, d)),
+    "ev_cusum" -> ((s, d) => EventOps.cusumShift(s, d)),
     "q_price_bands" -> ((s, d) => graft.operators.StatsOps.monthlyPriceBands(s, d)),
     "q_asof_tolerance" -> ((s, d) => EventOps.lastViewWithin(s, d)),
     "ev_trigrams" -> ((s, d) => EventOps.eventTrigrams(s, d)),
@@ -2688,6 +2689,7 @@ object SparkEntry {
     // ev_anomaly: the 3σ test cross-multiplied into exact BIGINTs —
     // no division or sqrt anywhere, flags replay bit-for-bit.
     "ev_anomaly" -> evAnomalySql,
+    "ev_cusum" -> evCusumSql,
     // q_price_bands: doubled quantiles (lower+upper pair) — integer
     // cents, no fractions, same threshold rule in both engines.
     "q_price_bands" -> qPriceBandsSql,
@@ -2805,6 +2807,33 @@ object SparkEntry {
       |  FROM w GROUP BY 1)
       |SELECT month, n, q1_x2, med_x2, q3_x2, q3_x2 - q1_x2 AS iqr_x2
       |FROM q ORDER BY 1""".stripMargin
+
+  /** Replay of EventOps.cusumShift: same integer-scaled deviations and
+    * the prefix-sum identity for the max(0, ·) recurrence. */
+  private val evCusumSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+      |           AS day_num,
+      |         CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total,
+      |               CAST(count(*) AS BIGINT) AS n_days
+      |        FROM daily GROUP BY 1),
+      |dev AS (SELECT d.event_type, d.day_num, d.n_events, t.total,
+      |          d.n_events * t.n_days - t.total AS dev
+      |        FROM daily d JOIN tot t USING (event_type)),
+      |ps AS (SELECT event_type, day_num, n_events, total, dev,
+      |         sum(dev) OVER (PARTITION BY event_type ORDER BY day_num
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      |       FROM dev),
+      |cs AS (SELECT event_type, day_num, n_events, total, dev, p,
+      |         min(p) OVER (PARTITION BY event_type ORDER BY day_num
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+      |       FROM ps)
+      |SELECT event_type, day_num, n_events, dev,
+      |  CAST(p - least(0, runmin) AS BIGINT) AS cusum,
+      |  (p - least(0, runmin)) > total AS shift_flag
+      |FROM cs ORDER BY event_type, day_num""".stripMargin
 
   private val evAnomalySql: String =
     """WITH h AS MATERIALIZED (

@@ -644,4 +644,40 @@ object EventOps {
           sum(col("n")).over(perSource).cast("double")).as("p"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** CUSUM change-point detection (`ev_cusum`): per event type, the
+    * cumulative-sum statistic over daily counts — the standard
+    * rate-shift monitor (Page 1954) an ingest pipeline runs on event
+    * volume. All-integer formulation: deviations are scaled by n_days
+    * (dev = n_days·c_d − total, so the per-day reference mean never
+    * needs a division), and the max(0, S+dev) recurrence — not
+    * directly expressible as a window aggregate — uses the prefix-sum
+    * identity S_d = P_d − min(0, min_{j≤d} P_j), which IS two window
+    * passes over the same (type, day) order. Flag when the cumulative
+    * excess tops one full mean day (S > total in scaled units).
+    *
+    * Scale: the raw scan is the only data-sized work (map-side
+    * combining count to a days×types table); totals broadcast back;
+    * both windows ride one hash(type) exchange. */
+  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day_num"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = daily.groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("total"), count(lit(1)).as("n_days"))
+    daily.join(broadcast(totals), Seq("event_type"))
+      .withColumn("dev",
+        col("n_days") * col("n_events") - col("total"))
+      .withColumn("p", sum(col("dev")).over(w))
+      .withColumn("cusum",
+        col("p") - least(lit(0L), min(col("p")).over(w)))
+      .select(col("event_type"), col("day_num"), col("n_events"),
+        col("dev"), col("cusum"),
+        (col("cusum") > col("total")).as("shift_flag"))
+      .orderBy(col("event_type"), col("day_num"))
+  }
 }

@@ -347,6 +347,59 @@ class DedupSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("duplicated spans: randomized corpora equal an independent brute-force replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("aa", "b", "ccc", "dd", "e", "fff", "g", "hh")
+    // small vocab + short docs → dense window collisions, the regime
+    // where interval merging actually exercises every branch
+    val docs = (0L until 40L).map { id =>
+      val n = 5 + rnd.nextInt(12)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "),
+        "en", "s0", 0L)
+    }
+    val dir = tmpDir("graft-spans-prop")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = DedupOps.duplicatedSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    // brute-force replay: count every K-window occurrence corpus-wide,
+    // then merge qualifying [start, end) intervals per doc
+    val k = DedupOps.spanK
+    val split = docs.map { case (id, text, _, _, _) =>
+      id -> text.split("\\s+").toSeq
+    }
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+    split.foreach { case (_, ws) =>
+      ws.sliding(k).filter(_.length == k)
+        .foreach(g => occ(g.mkString(" ")) =
+          occ.getOrElse(g.mkString(" "), 0) + 1)
+    }
+    split.foreach { case (id, ws) =>
+      val starts = ws.scanLeft(0L)((acc, w) => acc + w.length + 1).init
+      val spans = ws.sliding(k).zipWithIndex
+        .filter(_._1.length == k)
+        .map { case (g, i) =>
+          (starts(i), starts(i) + g.mkString(" ").length, g.mkString(" "))
+        }
+        .filter { case (_, _, g) => occ(g) >= DedupOps.spanMinOccur }
+        .map { case (s, e, _) => (s, e) }.toSeq
+      var covered = 0L
+      var nWin = spans.length.toLong
+      var curS = -1L; var curE = -1L
+      spans.sortBy(_._1).foreach { case (s, e) =>
+        if (s > curE) { if (curE >= 0) covered += curE - curS; curS = s; curE = e }
+        else curE = math.max(curE, e)
+      }
+      if (curE >= 0) covered += curE - curS
+      val canon = ws.map(_.length).sum.toLong + ws.length - 1
+      val want = (ws.length.toLong, nWin, covered, canon,
+        if (canon > 0) covered.toDouble / canon.toDouble else 0.0)
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+  }
+
   test("duplicated spans: hand-computed interval unions (cross-doc, overlap merge, within-doc repeat)") {
     import spark.implicits._
     // K = 5, minOccur = 2 (DedupOps.spanK/spanMinOccur)

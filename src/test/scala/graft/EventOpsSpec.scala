@@ -348,4 +348,37 @@ class EventOpsSpec extends SparkSuite {
     assert(got.toSet == naive.toSet)
     assert(got.nonEmpty && got.forall(_._4 >= 0))
   }
+
+  test("CUSUM flags a planted rate shift and matches the max(0,·) recurrence exactly") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // type "a": 5 events/day for days 0-19, then 30/day for days 20-29
+    val day0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = (0 until 30).flatMap { d =>
+      val perDay = if (d < 20) 5 else 30
+      (0 until perDay).map { i =>
+        (d * 100L + i, new Timestamp(day0 + d * 86400000L + i * 1000L),
+          1L, "a", 1.0, "{}")
+      }
+    }
+    val dir = tmpDir("graft-cusum")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.cusumShift(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    assert(got.length == 30)
+    // reference max(0, S + dev) recurrence over the same scaled devs
+    val total = 20 * 5 + 10 * 30 // 400
+    var s = 0L
+    val want = got.map { case (_, c, _, _, _) =>
+      s = math.max(0L, s + (30L * c - total))
+      s
+    }
+    assert(got.map(_._4).toSeq == want.toSeq)
+    // the shift is flagged exactly from the second high-rate day on
+    // (cusum 500, 1000, ... all exceed total = 400)
+    assert(got.count(_._5) == 10)
+    assert(got.filter(_._5).map(_._1).min == got.map(_._1).sorted.apply(20))
+  }
 }
