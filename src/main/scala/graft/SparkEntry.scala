@@ -578,6 +578,47 @@ object SparkEntry {
        |  (round(least(nt / 100.0, 1.0) * 0.4 + (nd / nt) * 0.4 + (ns / nt) * 0.2, 6) >= 0.3) AS keep
        |FROM x ORDER BY doc_id""".stripMargin
 
+  /** Replay of TextOps.pretrainCorpus: the LR training chain + the
+    * span chain + the per-source rollup in ONE statement — the whole
+    * learned curation pipeline hash-checks end to end. */
+  private val textPretrainCorpusSql: String = {
+    val wf = s"w${TextOps.lrRounds}t"
+    val zExpr =
+      "((((CAST(w.w0 AS DOUBLE) / 1000000.0) + " +
+        "(CAST(w.w1 AS DOUBLE) / 1000000.0) * x1) + " +
+        "(CAST(w.w2 AS DOUBLE) / 1000000.0) * x2) + " +
+        "(CAST(w.w3 AS DOUBLE) / 1000000.0) * x3)"
+    s"""WITH $lrChainCtes,
+       |$spanChainCtes,
+       |predt AS (SELECT doc_id,
+       |    greatest(0.0, least(1.0, 0.5 + $zExpr / 4.0)) >= 0.5 AS pred
+       |  FROM f CROSS JOIN $wf w),
+       |fracs AS (SELECT c.doc_id,
+       |    CASE WHEN c.canon_chars > 0
+       |      THEN CAST(coalesce(p.covered_chars, 0) AS DOUBLE) /
+       |           CAST(c.canon_chars AS DOUBLE)
+       |      ELSE 0.0 END AS dup_frac
+       |  FROM canon c LEFT JOIN perdoc p USING (doc_id)),
+       |dt AS (SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |j AS (SELECT d.source, d.n_tokens,
+       |    (predt.pred AND fracs.dup_frac < ${TextOps.pretrainDupFracMax})
+       |      AS kept
+       |  FROM dt d JOIN predt USING (doc_id) JOIN fracs USING (doc_id)),
+       |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+       |      AS kept_tokens,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |  FROM j GROUP BY source)
+       |SELECT source, n_docs, n_kept, kept_tokens, total_tokens,
+       |  CAST(kept_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+       |    AS kept_frac
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   /** Replay of TextOps.corpusCard: same fixed-point quality micros,
     * corpus-wide digest duplicate flags, and (count desc, lang asc)
     * top-language argmax. */
@@ -627,7 +668,7 @@ object SparkEntry {
     * as lrProb; gradient contributions quantize to micro longs BEFORE
     * the sum; DuckDB round() on doubles ≡ the driver's exact-value
     * BigDecimal HALF_UP. */
-  private val lrChainCtes: String = {
+  private lazy val lrChainCtes: String = {
     def zExpr(w: String): String =
       s"((((CAST($w.w0 AS DOUBLE) / 1000000.0) + " +
         s"(CAST($w.w1 AS DOUBLE) / 1000000.0) * x1) + " +
@@ -2097,6 +2138,7 @@ object SparkEntry {
     "text_quality_lr" -> ((s, d) => TextOps.qualityLrScores(s, d)),
     "text_quality_lr_weights" -> ((s, d) => TextOps.qualityLrWeights(s, d)),
     "text_corpus_card" -> ((s, d) => TextOps.corpusCard(s, d)),
+    "text_pretrain_corpus" -> ((s, d) => TextOps.pretrainCorpus(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
     "text_topterms" -> ((s, d) => TextOps.topTerms(s, d)),
@@ -2382,6 +2424,7 @@ object SparkEntry {
     "text_quality_lr" -> textQualityLrSql,
     "text_quality_lr_weights" -> textQualityLrWeightsSql,
     "text_corpus_card" -> textCorpusCardSql,
+    "text_pretrain_corpus" -> textPretrainCorpusSql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_topterms" -> textTopTermsSql,
@@ -2909,11 +2952,13 @@ object SparkEntry {
     * running char offsets over the canonical single-space join, lead()
     * grams, corpus-wide occurrence floor, and the gaps-and-islands
     * interval union. All integers until the one final division. */
-  private val dedupSpansSql: String = {
+  // lazy: referenced by textPretrainCorpusSql, which initializes
+  // earlier in this object's declaration order
+  private lazy val spanChainCtes: String = {
     val k = graft.ext.DedupOps.spanK
     val m = graft.ext.DedupOps.spanMinOccur
     val leads = (1 until k).map(j => s"lead(w, $j) OVER dw").mkString(", ")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT doc_id, u.i AS i, u.w AS w FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
        |        i -> struct_pack(i := i, w := toks[i]))) AS u
@@ -2952,7 +2997,11 @@ object SparkEntry {
        |canon AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |    CAST(sum(len(w)) + count(*) - 1 AS BIGINT) AS canon_chars
-       |  FROM words GROUP BY doc_id)
+       |  FROM words GROUP BY doc_id)""".stripMargin
+  }
+
+  private val dedupSpansSql: String =
+    s"""WITH $spanChainCtes
        |SELECT c.doc_id, c.n_words,
        |  CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
        |  CAST(coalesce(p.covered_chars, 0) AS BIGINT) AS covered_chars,
@@ -2963,7 +3012,6 @@ object SparkEntry {
        |    ELSE 0.0 END AS dup_frac
        |FROM canon c LEFT JOIN perdoc p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
-  }
 
   private val sampTemperatureSql: String = {
     val b = graft.ext.SampleOps.temperatureBudget

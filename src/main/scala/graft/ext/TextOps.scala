@@ -804,6 +804,48 @@ object TextOps {
     }.reduce(_.unionByName(_)).orderBy(col("round"))
   }
 
+  /** Span-coverage ceiling for the v2 curation gate. */
+  val pretrainDupFracMax = 0.2
+
+  /** `text_pretrain_corpus`: the round-11 curation capstone — the
+    * end-to-end corpus build wired from the TRAINED operators rather
+    * than hand rules: admit a document iff (a) the learned quality
+    * filter votes keep ([[qualityLrScores]] pred) AND (b) less than
+    * [[pretrainDupFracMax]] of its characters sit under duplicated
+    * spans ([[DedupOps.duplicatedSpans]]); report the surviving volume
+    * and whitespace-token mass per source — the numbers a pretraining
+    * data order actually consumes.
+    *
+    * Scale: both gate inputs are per-doc narrow tables whose own scale
+    * stories are documented at their definitions; this face adds two
+    * doc_id equi-joins and a map-side-combinable rollup. Every gate
+    * value is oracle-replayed, so the composition hash-checks end to
+    * end (LR chain + span chain + the rollup in one SQL). */
+  def pretrainCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val scores = qualityLrScores(spark, dir)
+      .select(col("doc_id"), col("pred"))
+    val spans = graft.ext.DedupOps.duplicatedSpans(spark, dir)
+      .select(col("doc_id"), col("dup_frac"))
+    val docs = FanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), tokenStats.as("st"))
+      .select(col("doc_id"), col("source"),
+        col("st.n_tokens").as("n_tokens"))
+    docs.join(scores, Seq("doc_id")).join(spans, Seq("doc_id"))
+      .withColumn("kept",
+        col("pred") && col("dup_frac") < lit(pretrainDupFracMax))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("kept_tokens"), col("total_tokens"),
+        (col("kept_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("kept_frac"))
+      .orderBy(col("source"))
+  }
+
   /** `text_corpus_card`: the per-source datasheet a curation pipeline
     * publishes with every corpus release (the "data card" row: volume,
     * token mass, quality, language mix, duplication). Every metric is

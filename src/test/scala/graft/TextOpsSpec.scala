@@ -359,6 +359,34 @@ class TextOpsSpec extends SparkSuite {
     assert(s1.getString(5) == "fr" && s1.getLong(4) == 1L)
   }
 
+  test("pretrain capstone equals its components composed by hand") {
+    import org.apache.spark.sql.functions.col
+    val pred = TextOps.qualityLrScores(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val frac = graft.ext.DedupOps.duplicatedSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim(col("text")), "\\s+"))
+          .cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = docs.groupBy(_._2).map { case (src, rows) =>
+      val kept = rows.filter { case (id, _, _) =>
+        pred(id) && frac(id) < TextOps.pretrainDupFracMax }
+      src -> ((rows.length.toLong, kept.length.toLong,
+        kept.map(_._3).sum, rows.map(_._3).sum))
+    }
+    val got = TextOps.pretrainCorpus(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == bySource)
+    // the gate is non-degenerate: keeps some, drops some
+    val (k, n) = (got.values.map(_._2).sum, got.values.map(_._1).sum)
+    assert(k > 0 && k < n)
+  }
+
   test("trained quality filter: distributed GD equals a driver-side replay and learns the heuristic") {
     val weights = TextOps.qualityLrWeights(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
