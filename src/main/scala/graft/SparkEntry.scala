@@ -1727,6 +1727,41 @@ object SparkEntry {
       |       (u = min(label)) AS is_keeper
       |FROM walk GROUP BY u ORDER BY vec_id""".stripMargin
 
+  // sim_semantic_keeper: the semantic-cluster walk (same chain as
+  // sim_clusters) LEFT-joined onto the full quality-scored corpus —
+  // singletons cluster to themselves; keeper = (quality DESC, doc_id
+  // ASC) argmax per cluster, emitted as a per-document kept verdict.
+  private val simSemanticKeeperSql: String =
+    s"""$simNearDupCtes,
+      |p AS (SELECT vec_a, vec_b FROM v WHERE cos >= 0.3),
+      |edges AS (SELECT vec_a AS u, vec_b AS w FROM p
+      |          UNION ALL SELECT vec_b, vec_a FROM p),
+      |walk(u, label) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, w2.label FROM edges e JOIN walk w2 ON e.w = w2.u
+      |),
+      |cl AS (SELECT u AS doc_id, min(label) AS cluster FROM walk GROUP BY u),
+      |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      |         FROM documents),
+      |qx AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS nt,
+      |        CAST(len(list_distinct(t)) AS DOUBLE) AS nd,
+      |        CAST(len(list_filter(t, y -> y IN $stopSet)) AS DOUBLE) AS ns
+      |      FROM toks),
+      |q AS (SELECT doc_id,
+      |        round(least(nt / 100.0, 1.0) * 0.4 + (nd / nt) * 0.4
+      |              + (ns / nt) * 0.2, 6) AS quality
+      |      FROM qx),
+      |allx AS (SELECT q.doc_id, coalesce(cl.cluster, q.doc_id) AS cluster,
+      |           q.quality
+      |         FROM q LEFT JOIN cl USING (doc_id)),
+      |rk AS (SELECT doc_id, cluster, quality,
+      |         row_number() OVER (PARTITION BY cluster
+      |                            ORDER BY quality DESC, doc_id ASC) AS rn
+      |       FROM allx)
+      |SELECT doc_id, cluster, quality, (rn = 1) AS kept
+      |FROM rk ORDER BY doc_id""".stripMargin
+
   /** Replication of the OR-amplified multi-probe LSH top-k: 4 tables ×
     * 9-plane buckets (same LCG planes, global plane index t·9+p; 512
     * buckets/table sizes the corpus/bucket ratio for recall at the test
@@ -2201,6 +2236,7 @@ object SparkEntry {
     "sim_int8_quant" -> ((s, d) => SimilarityOps.int8QuantizeCsv(s, d)),
     "sim_near_dups" -> ((s, d) => SimilarityOps.embeddingNearDups(s, d)),
     "sim_clusters" -> ((s, d) => SimilarityOps.semanticClusters(s, d)),
+    "sim_semantic_keeper" -> ((s, d) => SimilarityOps.semanticKeeper(s, d)),
     "sim_decontaminate" -> ((s, d) => SimilarityOps.semanticDecontaminate(s, d)),
     "sim_embedding_stats" -> ((s, d) => SimilarityOps.embeddingStats(s, d)),
     "sim_label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
@@ -2484,6 +2520,7 @@ object SparkEntry {
     // probing, and verification bit-for-bit.
     "sim_near_dups" -> simNearDupsSql,
     "sim_clusters" -> simClustersSql,
+    "sim_semantic_keeper" -> simSemanticKeeperSql,
     "sim_decontaminate" -> simDecontaminateSql,
     "sim_lsh_topk" -> simLshTopKSql,
     "sim_rp_reduce" -> simRpReduceSql,

@@ -674,6 +674,42 @@ object SimilarityOps {
         (col("doc_id") === col("label")).as("is_keeper"))
       .orderBy(col("vec_id"))
 
+  /** SemDeDup-style semantic collapse (`sim_semantic_keeper`): the
+    * full-corpus admission table for embedding-level deduplication —
+    * every document carries its semantic cluster (its component in the
+    * verified near-dup graph; documents in no near-dup pair are their
+    * own singleton cluster), its heuristic quality, and whether it is
+    * the cluster's KEEPER (highest quality, ties to lowest doc_id).
+    * This is the semantic sibling of the lexical `dedup_keeper_quality`
+    * face, but emits the per-document verdict a downstream corpus
+    * build filters on (`kept`), not just the per-cluster winner row.
+    *
+    * Scale: the label table is pair-endpoint-sized — in a heavily
+    * duplicated corpus that approaches CORPUS size (42% of docs at the
+    * gate SFs), so neither join side gets a broadcast hint; both are
+    * doc_id/cluster equi-joins that AQE converts to broadcast exactly
+    * when the dup rate makes the small side small. Quality is the
+    * cached 3-column feature table; the argmax output is
+    * cluster-count-sized; nothing rescans embeddings. */
+  def semanticKeeper(spark: SparkSession, dir: String,
+                     threshold: Double = 0.3): DataFrame = {
+    val labels = semanticClusters(spark, dir, threshold)
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+    val quality = graft.ext.TextOps.qualityCached(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val all = quality.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        col("quality"))
+    val keepers = all.groupBy(col("cluster"))
+      .agg(max_by(col("doc_id"),
+        struct(col("quality"), -col("doc_id"))).as("keeper"))
+    all.join(keepers, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("quality"),
+        (col("doc_id") === col("keeper")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Int8 scalar quantization (`sim_int8_quant`): per-dimension
     * min/max over the corpus, then each component maps to an 8-bit
     * code on its dimension's [min, max] grid — 4× smaller embeddings

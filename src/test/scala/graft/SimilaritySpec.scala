@@ -412,6 +412,30 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("semantic keeper: total over the corpus, one keeper per cluster, argmax by quality") {
+    import org.apache.spark.sql.functions.col
+    val rows = SimilarityOps.semanticKeeper(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // total: exactly one row per corpus document
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length.toLong == nDocs && rows.map(_._1).distinct.length == rows.length)
+    // exactly one keeper per cluster, and it is the (quality desc, id asc) argmax
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $cluster keepers=${keepers.length}")
+      val expect = members.minBy { case (id, _, q, _) => (-q, id) }
+      assert(keepers.head._1 == expect._1, s"cluster $cluster wrong keeper")
+    }
+    // singleton docs (absent from the cluster face) keep themselves
+    val labeled = SimilarityOps.semanticClusters(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    rows.filter(r => !labeled.contains(r._1)).foreach { r =>
+      assert(r._2 == r._1 && r._4, s"singleton ${r._1} must self-keep")
+    }
+    // the collapse is non-trivial at this SF: some doc is dropped
+    assert(rows.exists(!_._4))
+  }
+
   test("MMR selection equals an independent driver-side greedy replay") {
     import org.apache.spark.sql.functions.col
     val got = SimilarityOps.mmrSelect(spark, sf).collect()
