@@ -619,6 +619,32 @@ object SparkEntry {
        |FROM agg ORDER BY source""".stripMargin
   }
 
+  /** Replay of TextOps.collocations: same adjacent bigrams off the
+    * token list, same count floor, same fixed-point PMI (positive
+    * operands, so DuckDB's floor `//` ≡ Spark's truncating DIV). */
+  private val textCollocationsSql: String = {
+    val floor = TextOps.collocMinCount
+    val k = TextOps.collocTopK
+    s"""WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |pairs AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+       |    SELECT unnest(list_transform(range(1, len(t)),
+       |        i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS u
+       |    FROM toks)),
+       |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+       |       FROM pairs GROUP BY w1, w2 HAVING count(*) >= $floor),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w
+       |        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+       |scored AS (SELECT w1 || ' ' || w2 AS bigram, n_ab,
+       |    (n_ab * n_pairs * 1000000) // (u1.n_w * u2.n_w) AS pmi_score
+       |  FROM bi JOIN uni u1 ON u1.w = bi.w1
+       |          JOIN uni u2 ON u2.w = bi.w2
+       |          CROSS JOIN tot)
+       |SELECT bigram, n_ab, pmi_score FROM scored
+       |ORDER BY pmi_score DESC, bigram ASC LIMIT $k""".stripMargin
+  }
+
   /** Replay of TextOps.corpusCard: same fixed-point quality micros,
     * corpus-wide digest duplicate flags, and (count desc, lang asc)
     * top-language argmax. */
@@ -2173,6 +2199,7 @@ object SparkEntry {
     "text_quality_lr" -> ((s, d) => TextOps.qualityLrScores(s, d)),
     "text_quality_lr_weights" -> ((s, d) => TextOps.qualityLrWeights(s, d)),
     "text_corpus_card" -> ((s, d) => TextOps.corpusCard(s, d)),
+    "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
     "text_pretrain_corpus" -> ((s, d) => TextOps.pretrainCorpus(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
@@ -2460,6 +2487,7 @@ object SparkEntry {
     "text_quality_lr" -> textQualityLrSql,
     "text_quality_lr_weights" -> textQualityLrWeightsSql,
     "text_corpus_card" -> textCorpusCardSql,
+    "text_collocations" -> textCollocationsSql,
     "text_pretrain_corpus" -> textPretrainCorpusSql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,

@@ -846,6 +846,55 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Collocation floor and report size: a bigram must recur to rank
+    * (kills hapax noise), and the report is the top page. */
+  val collocMinCount = 3
+  val collocTopK = 25
+
+  /** `text_collocations`: PMI-ranked adjacent-bigram collocations —
+    * the multi-word-expression mining step a tokenizer/vocab pipeline
+    * runs before merging units ("new york" vs "new" + "york"). Score
+    * is a LOG-FREE fixed-point PMI: score = n_ab · N · 10^6 DIV
+    * (n_a · n_b) — the same monotone ranking as log(P(ab)/(P(a)P(b)))
+    * because log is order-preserving and N is constant, but exact
+    * integer arithmetic both engines reproduce bit-for-bit (the
+    * bigram-LM face's fixed-point discipline). Overflow bound:
+    * n_ab · N · 10^6 needs n_ab · N ≤ 9.2e12 — fine for any corpus a
+    * single report page is mined from; a 100 TB run drops the 10^6
+    * scale or mines per shard.
+    *
+    * Scale: bigrams come straight off the token array (zip_with over
+    * two slices — no self-join, no window over positions); unigram
+    * counts are vocab-keyed shuffle equi-joins (the drift-monitor
+    * lesson: NEVER broadcast an unbounded vocabulary); only the one-row
+    * pair total rides a broadcast. Top-k is a TakeOrderedAndProject,
+    * not a global sort. */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = FanOut(Tables.documents(spark, dir))
+      .select(split(trim(col("text")), "\\s+").as("t"))
+    val pairs = toks.select(explode(expr(
+        """zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+          |         slice(t, 2, greatest(size(t) - 1, 0)),
+          |         (x, y) -> named_struct('w1', x, 'w2', y))""".stripMargin))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val biCnt = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= collocMinCount)
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val total = pairs.agg(count(lit(1)).as("n_pairs"))
+    biCnt
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("n_ab"),
+        expr("(n_ab * n_pairs * 1000000L) DIV (n1 * n2)").as("pmi_score"))
+      .orderBy(col("pmi_score").desc, col("bigram").asc)
+      .limit(collocTopK)
+  }
+
   /** `text_corpus_card`: the per-source datasheet a curation pipeline
     * publishes with every corpus release (the "data card" row: volume,
     * token mass, quality, language mix, duplication). Every metric is

@@ -387,6 +387,29 @@ class TextOpsSpec extends SparkSuite {
     assert(k > 0 && k < n)
   }
 
+  test("collocations equal a driver-side PMI replay") {
+    val got = TextOps.collocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("text"))
+      .collect().map(_.getString(0))
+    val tokLists = texts.map(_.trim.split("\\s+").toSeq)
+    val pairs = tokLists.flatMap(t => t.zip(t.drop(1)))
+    val uni = tokLists.flatten.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val nPairs = pairs.length.toLong
+    val expect = pairs.groupBy(identity).map { case (p, g) => p -> g.length.toLong }
+      .filter(_._2 >= TextOps.collocMinCount)
+      .map { case ((a, b), nab) =>
+        (s"$a $b", nab, nab * nPairs * 1000000L / (uni(a) * uni(b)))
+      }.toSeq
+      .sortBy { case (bg, _, s) => (-s, bg) }
+      .take(TextOps.collocTopK)
+    assert(got.toSeq == expect)
+    // scores are non-increasing and every bigram is distinct
+    assert(got.map(_._3).toSeq == got.map(_._3).sortBy(-_).toSeq)
+    assert(got.map(_._1).distinct.length == got.length)
+  }
+
   test("trained quality filter: distributed GD equals a driver-side replay and learns the heuristic") {
     val weights = TextOps.qualityLrWeights(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
