@@ -2345,6 +2345,7 @@ object SparkEntry {
     "ev_conversion_lag" -> ((s, d) => EventOps.conversionLag(s, d)),
     "ev_anomaly" -> ((s, d) => EventOps.hourlyAnomalies(s, d)),
     "ev_cusum" -> ((s, d) => EventOps.cusumShift(s, d)),
+    "ev_seasonality" -> ((s, d) => EventOps.seasonality(s, d)),
     "q_price_bands" -> ((s, d) => graft.operators.StatsOps.monthlyPriceBands(s, d)),
     "q_asof_tolerance" -> ((s, d) => EventOps.lastViewWithin(s, d)),
     "ev_trigrams" -> ((s, d) => EventOps.eventTrigrams(s, d)),
@@ -2798,6 +2799,7 @@ object SparkEntry {
     // no division or sqrt anywhere, flags replay bit-for-bit.
     "ev_anomaly" -> evAnomalySql,
     "ev_cusum" -> evCusumSql,
+    "ev_seasonality" -> evSeasonalitySql,
     // q_price_bands: doubled quantiles (lower+upper pair) — integer
     // cents, no fractions, same threshold rule in both engines.
     "q_price_bands" -> qPriceBandsSql,
@@ -2942,6 +2944,30 @@ object SparkEntry {
       |  CAST(p - least(0, runmin) AS BIGINT) AS cusum,
       |  (p - least(0, runmin)) > total AS shift_flag
       |FROM cs ORDER BY event_type, day_num""".stripMargin
+
+  /** Replay of EventOps.seasonality: same epoch-day bucketing, dow =
+    * day % 7 (0 = Thursday), fixed-point dow mean, and the
+    * (|resid| DESC, day ASC) per-dow argmax as a window rank. */
+  private val evSeasonalitySql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+      |         CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1),
+      |d2 AS (SELECT day_num, n_events, day_num % 7 AS dow FROM daily),
+      |prof AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+      |                CAST(sum(n_events) AS BIGINT) AS total
+      |         FROM d2 GROUP BY dow),
+      |p2 AS (SELECT dow, n_days, total,
+      |         (total * 1000000) // n_days AS mean_micro FROM prof),
+      |r AS (SELECT d2.dow, d2.day_num, p2.n_days, p2.total, p2.mean_micro,
+      |        d2.n_events * 1000000 - p2.mean_micro AS resid_micro
+      |      FROM d2 JOIN p2 USING (dow)),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY dow
+      |         ORDER BY abs(resid_micro) DESC, day_num ASC) AS rn
+      |       FROM r)
+      |SELECT dow, n_days, total, mean_micro,
+      |  day_num AS peak_day, resid_micro AS peak_resid_micro
+      |FROM rk WHERE rn = 1 ORDER BY dow""".stripMargin
 
   private val evAnomalySql: String =
     """WITH h AS MATERIALIZED (

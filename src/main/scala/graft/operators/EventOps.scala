@@ -680,4 +680,45 @@ object EventOps {
         (col("cusum") > col("total")).as("shift_flag"))
       .orderBy(col("event_type"), col("day_num"))
   }
+
+  /** Day-of-week seasonality profile (`ev_seasonality`): the weekly
+    * shape of the event stream plus, per weekday, the single most
+    * anomalous calendar day once that shape is subtracted — the
+    * deseasonalized-residual check a rate monitor runs before calling
+    * a spike real (a Saturday dip is seasonality; a Saturday at
+    * Tuesday volume is an incident).
+    *
+    * Engine-neutral weekday: dow = epoch_day % 7 (day 0, 1970-01-01,
+    * was a Thursday, so 0='Thu'), avoiding the Sunday-origin mismatch
+    * between Spark's dayofweek (1=Sun) and DuckDB's (0=Sun).
+    * Fixed-point residuals: mean_micro = total·10^6 DIV n_days, all
+    * integers, no float division anywhere (the cusum discipline); the
+    * per-dow peak is a (|resid| DESC, day ASC) argmax both engines
+    * replay exactly.
+    *
+    * Scale: one raw scan → day-keyed partial+final aggregate (day
+    * cardinality = calendar days, tiny); everything after runs on the
+    * day table with a 7-row broadcast profile. */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day_num"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", pmod(col("day_num"), lit(7L)))
+    val prof = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n_events")).as("total"))
+      .withColumn("mean_micro", expr("(total * 1000000L) DIV n_days"))
+    daily.join(broadcast(prof), Seq("dow"))
+      .withColumn("resid_micro",
+        col("n_events") * lit(1000000L) - col("mean_micro"))
+      .groupBy(col("dow"))
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("total")).as("total"),
+        max(col("mean_micro")).as("mean_micro"),
+        max_by(col("day_num"),
+          struct(abs(col("resid_micro")), -col("day_num"))).as("peak_day"),
+        max_by(col("resid_micro"),
+          struct(abs(col("resid_micro")), -col("day_num")))
+          .as("peak_resid_micro"))
+      .orderBy(col("dow"))
+  }
 }

@@ -381,4 +381,45 @@ class EventOpsSpec extends SparkSuite {
     assert(got.count(_._5) == 10)
     assert(got.filter(_._5).map(_._1).min == got.map(_._1).sorted.apply(20))
   }
+
+  test("seasonality: planted weekly shape recovered, spike day is its dow's peak") {
+    import spark.implicits._
+    // 4 full weeks: weekday volumes 10·(1+dow), except ONE spiked day
+    // (day 10: 3× its weekday volume). day_num dow convention: epoch
+    // day % 7 (day 0 = Thursday).
+    val day0Num = 19800L // a day divisible by arithmetic below; dow = 19800 % 7
+    val rows = (0 until 28).flatMap { d =>
+      val dayNum = day0Num + d
+      val dow = dayNum % 7
+      val base = 10 * (dow.toInt + 1)
+      val n = if (d == 10) base * 3 else base
+      (0 until n).map { i =>
+        (d * 1000L + i,
+          new java.sql.Timestamp(dayNum * 86400000L + i * 1000L),
+          1L, "a", 1.0, "{}")
+      }
+    }
+    val dir = tmpDir("graft-season")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.seasonality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length == 7 && got.map(_._1).toSeq == (0L to 6L))
+    val spikeDayNum = day0Num + 10
+    val spikeDow = spikeDayNum % 7
+    got.foreach { case (dow, nDays, total, meanMicro, peakDay, peakResid) =>
+      assert(nDays == 4L)
+      val base = 10L * (dow + 1)
+      if (dow == spikeDow) {
+        // mean = (3·base + 3·base)/4 = 1.5·base; the spike day peaks
+        assert(total == 6L * base && meanMicro == base * 1500000L)
+        assert(peakDay == spikeDayNum && peakResid == 3L * base * 1000000L - meanMicro)
+      } else {
+        // flat weekdays: zero residual everywhere, tie → earliest day
+        assert(total == 4L * base && meanMicro == base * 1000000L)
+        assert(peakResid == 0L && peakDay % 7 == dow)
+      }
+    }
+  }
 }
