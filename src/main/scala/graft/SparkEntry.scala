@@ -1229,6 +1229,53 @@ object SparkEntry {
       |WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Replay of DedupOps.lshEval: the exact-Jaccard truth chain and the
+    * md5-mode banded candidate chain in one statement, then the
+    * one-row recall/precision report in fixed-point micros. */
+  private val dedupLshEvalSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |              FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(0, greatest(len(t) - 3, 0) + 1),
+      |         i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+      |       FROM toks),
+      |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |tcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM ex a JOIN ex b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      |tv AS (SELECT doc_a, doc_b,
+      |         len(list_intersect(sa.s, sb.s)) AS common,
+      |         len(sa.s) AS na, len(sb.s) AS nb
+      |       FROM tcand
+      |       JOIN sh sa ON sa.doc_id = doc_a
+      |       JOIN sh sb ON sb.doc_id = doc_b),
+      |truth AS (SELECT doc_a, doc_b FROM tv
+      |          WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.8),
+      |hs AS (SELECT doc_id,
+      |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 4294967296 AS h32
+      |       FROM (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0)),
+      |sig AS (SELECT doc_id, j,
+      |          min((h32 * (2*j+1) + (982451653 * (j+1) % 2305843009213693951))
+      |              % 2305843009213693951) AS m
+      |        FROM hs CROSS JOIN generate_series(0, 31) AS g(j)
+      |        GROUP BY doc_id, j),
+      |band AS (SELECT doc_id, j // 4 AS band, string_agg(m, ',' ORDER BY j) AS bkey
+      |         FROM sig GROUP BY doc_id, j // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM band a JOIN band b
+      |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |cs AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+      |              CAST(count(t.doc_a) AS BIGINT) AS n_hit
+      |       FROM cand c LEFT JOIN truth t
+      |         ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+      |ts AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+      |SELECT n_truth, n_cand, n_hit,
+      |  CASE WHEN n_truth = 0 THEN NULL
+      |       ELSE (n_hit * 1000000) // n_truth END AS recall_micro,
+      |  CASE WHEN n_cand = 0 THEN NULL
+      |       ELSE (n_hit * 1000000) // n_cand END AS precision_micro
+      |FROM cs CROSS JOIN ts""".stripMargin
+
   /** Full replication of the md5-mode MinHash-LSH pipeline: md5-60 base
     * hashes (engine-neutral — see TextHashUtil.md5_60), the same k=32
     * (a·h+b) mod p permutation minima, 8 bands of 4 rows keyed by the
@@ -2232,6 +2279,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "dedup_clusters" -> ((s, d) => DedupOps.dedupClusters(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d, md5Mode = true)),
+    "dedup_lsh_eval" -> ((s, d) => DedupOps.lshEval(s, d)),
     "dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d, md5Mode = true)),
     "sim_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     "sim_mmr" -> ((s, d) => SimilarityOps.mmrSelect(s, d)),
@@ -2524,6 +2572,7 @@ object SparkEntry {
     // exact Hamming self-join the exhaustive blocking equals (simhash);
     // the narrower xxhash64 mode stays pinned by DedupSpec.
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_lsh_eval" -> dedupLshEvalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "sim_bruteforce_topk" -> simBruteForceSql,
     "sim_mmr" -> simMmrSql,

@@ -288,12 +288,16 @@ object DedupOps {
     * and hash-match the result exactly. The default xxhash64 mode hashes
     * the band key to 8 bytes — the narrower shuffle you want at scale —
     * and is pinned by the ScalaTest recall check instead. */
-  def minhashLshPairs(spark: SparkSession, dir: String,
-                      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.8,
-                      md5Mode: Boolean = false): DataFrame = {
+  /** Banded-LSH CANDIDATE pairs, pre-verification — the surface whose
+    * recall/precision `dedup_lsh_eval` measures. Split out of
+    * [[minhashLshPairs]] so the eval face measures EXACTLY the pair
+    * set the production pipeline verifies (no reimplementation
+    * drift). */
+  private[graft] def minhashCandidates(spark: SparkSession, dir: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      md5Mode: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val (docs, hashed) = shingleTables(spark, dir, n)
+    val (docs, _) = shingleTables(spark, dir, n)
     val sigs = docs.select(col("doc_id"),
       minhashSig("sh", numHashes, md5Mode).as("sig"))
     // band key = the band's slice of the signature (hashed to 8 bytes in
@@ -310,12 +314,20 @@ object DedupOps {
         posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey(_))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val candidates = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  def minhashLshPairs(spark: SparkSession, dir: String,
+                      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.8,
+                      md5Mode: Boolean = false): DataFrame = {
+    val (_, hashed) = shingleTables(spark, dir, n)
+    val candidates = minhashCandidates(spark, dir, n, numHashes, bands, md5Mode)
     // verify candidates with exact Jaccard — over the 8-byte hashed
     // shingle ids (collision odds negligible; see ngramJaccardPairs),
     // so the string arrays never enter the verify joins' shuffle
@@ -328,6 +340,41 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Approximation self-measurement (`dedup_lsh_eval`): the exact
+    * recall and precision of the banded-LSH CANDIDATE set against the
+    * exact-Jaccard ground truth — the one-row report a pipeline
+    * publishes to justify running LSH instead of the exact join at the
+    * next scale-up. Uses [[minhashCandidates]] (the production pair
+    * set, not a reimplementation) in md5 mode so the whole measurement
+    * — both chains and the division — hash-checks cross-engine.
+    * Fixed-point micros via integer DIV; NULL when a denominator is
+    * empty (a vacuous rate is not 100%).
+    *
+    * Scale: both inputs are pair tables (candidates, truth) orders
+    * below the corpus; the hit count is one (doc_a, doc_b) equi-join;
+    * the output is one row. The expensive part IS the ground truth —
+    * which is the point: this face is how you measure recall at a
+    * small SF before trusting LSH alone at 100 TB. */
+  def lshEval(spark: SparkSession, dir: String): DataFrame = {
+    val cand = minhashCandidates(spark, dir, md5Mode = true)
+    val truth = ngramJaccardPairsUnsorted(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val joined = cand.as("c").join(truth.as("t"),
+        col("c.doc_a") === col("t.doc_a") &&
+          col("c.doc_b") === col("t.doc_b"), "left")
+    val cs = joined.agg(count(lit(1)).as("n_cand"),
+      count(col("t.doc_a")).as("n_hit"))
+    val ts = truth.agg(count(lit(1)).as("n_truth"))
+    cs.crossJoin(ts)
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_truth") === 0, lit(null).cast("long"))
+          .otherwise(expr("(n_hit * 1000000L) DIV n_truth"))
+          .as("recall_micro"),
+        when(col("n_cand") === 0, lit(null).cast("long"))
+          .otherwise(expr("(n_hit * 1000000L) DIV n_cand"))
+          .as("precision_micro"))
   }
 
   /** Near-dup CLUSTERS from the verified pair set: connected components

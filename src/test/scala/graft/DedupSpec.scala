@@ -429,4 +429,19 @@ class DedupSpec extends SparkSuite {
     assert(got(5L) == ((7L, 3L, 13L, 13L, 1.0)))
     assert(got(6L) == ((11L, 2L, 18L, 22L, 18.0 / 22)))
   }
+
+  test("LSH eval identities: hits = verified pairs, truth = exact pairs, micro rates") {
+    val r = DedupOps.lshEval(spark, sf).collect()
+    assert(r.length == 1)
+    val (nTruth, nCand, nHit) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    // the verified LSH output IS candidates ∩ truth, so its count must
+    // equal the hit count; the truth count must equal the exact face
+    assert(nHit == DedupOps.minhashLshPairs(spark, sf, md5Mode = true).count())
+    assert(nTruth == DedupOps.ngramJaccardPairs(spark, sf).count())
+    assert(nCand >= nHit && nTruth >= nHit)
+    assert(r(0).getLong(3) == nHit * 1000000L / nTruth)
+    assert(r(0).getLong(4) == nHit * 1000000L / nCand)
+    // the measurement is non-vacuous at the gate SF
+    assert(nTruth > 0 && nCand > nHit)
+  }
 }
