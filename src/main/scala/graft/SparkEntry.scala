@@ -1843,8 +1843,10 @@ object SparkEntry {
     * construction), candidates on (table, bucket) equality, exact
     * cosine ranking with the (cos DESC, vec_id ASC) tie-break both
     * engines share. */
-  private val simLshTopKSql: String =
-    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+  // CTE-only form so sim_ann_eval can graft the brute-force truth and
+  // the hit join onto the same chain (the spanChainCtes pattern)
+  private lazy val simLshChainCtes: String =
+    s"""emb AS (SELECT vec_id, embedding FROM embeddings),
       |pl AS (SELECT p FROM generate_series(0, 35) g(p)),
       |dots AS (SELECT e.vec_id, pl.p,
       |    list_sum(list_transform(range(1, 65),
@@ -1874,9 +1876,41 @@ object SparkEntry {
       |            JOIN emb ec ON ec.vec_id = cand.vec_id),
       |ranked AS (SELECT qid, vec_id, cos,
       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
-      |  FROM sims)
+      |  FROM sims)""".stripMargin
+
+  private val simLshTopKSql: String =
+    s"""WITH $simLshChainCtes
       |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
       |ORDER BY qid, rnk""".stripMargin
+
+  /** Replay of SimilarityOps.annEval: the multi-probe LSH chain, the
+    * brute-force truth, and the per-query hit count in one statement. */
+  private val simAnnEvalSql: String =
+    s"""WITH $simLshChainCtes,
+      |atop AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 5),
+      |bq AS (SELECT vec_id AS qid, embedding AS qvec FROM emb WHERE vec_id < 5),
+      |bc AS (SELECT vec_id, embedding FROM emb WHERE vec_id >= 5),
+      |bsims AS (SELECT qid, bc.vec_id, round(
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(qvec[i] AS DOUBLE) * CAST(bc.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(bc.embedding[i] AS DOUBLE) * CAST(bc.embedding[i] AS DOUBLE))))), 6) AS cos
+      |  FROM bq, bc),
+      |branked AS (SELECT qid, vec_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+      |  FROM bsims),
+      |btop AS (SELECT qid, vec_id FROM branked WHERE rnk <= 5),
+      |hits AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hit
+      |         FROM atop a JOIN btop b
+      |           ON a.qid = b.qid AND a.vec_id = b.vec_id
+      |         GROUP BY a.qid),
+      |qs AS (SELECT DISTINCT qid FROM btop)
+      |SELECT qs.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  (CAST(coalesce(h.n_hit, 0) AS BIGINT) * 1000000) // 5 AS recall_micro
+      |FROM qs LEFT JOIN hits h ON h.qid = qs.qid
+      |ORDER BY qs.qid""".stripMargin
 
   /** The JL projection matrix (SimilarityOps.rpComponent) as a DuckDB
     * nested-list literal — `Double.toString` round-trips (strtod is
@@ -2285,6 +2319,7 @@ object SparkEntry {
     "sim_mmr" -> ((s, d) => SimilarityOps.mmrSelect(s, d)),
     "sim_dim_curve" -> ((s, d) => SimilarityOps.dimCurve(s, d)),
     "sim_lsh_topk" -> ((s, d) => SimilarityOps.lshTopK(s, d)),
+    "sim_ann_eval" -> ((s, d) => SimilarityOps.annEval(s, d)),
     "sim_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     // full probe (nProbe = nCentroids) makes IVF provably exact: every
     // posting list is scanned, so the result must equal brute force —
@@ -2601,6 +2636,7 @@ object SparkEntry {
     "sim_semantic_keeper" -> simSemanticKeeperSql,
     "sim_decontaminate" -> simDecontaminateSql,
     "sim_lsh_topk" -> simLshTopKSql,
+    "sim_ann_eval" -> simAnnEvalSql,
     "sim_rp_reduce" -> simRpReduceSql,
     "sim_int8_quant" -> simInt8QuantSql,
     "sim_rp_topk" -> simRpTopKSql,

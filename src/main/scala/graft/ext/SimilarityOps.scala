@@ -674,6 +674,35 @@ object SimilarityOps {
         (col("doc_id") === col("label")).as("is_keeper"))
       .orderBy(col("vec_id"))
 
+  /** ANN self-measurement (`sim_ann_eval`): exact recall@k of the
+    * OR-amplified multi-probe LSH top-k against the brute-force cosine
+    * truth, one row per query — the dedup_lsh_eval discipline applied
+    * to the ANN family, so the recall number that justifies serving
+    * from the approximate index is itself an oracle-checked query, not
+    * only a spec assertion. Hit = same (qid, vec_id) in both top-k
+    * sets; recall_micro = hits·10^6 DIV k (k constant, never zero).
+    *
+    * Scale: both inputs are k·|queries| tables; the brute-force truth
+    * is the expensive side and exists precisely to be run at a small
+    * SF before trusting the index at the large one. */
+  def annEval(spark: SparkSession, dir: String,
+              numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val approx = lshTopK(spark, dir)
+      .select(col("qid"), col("vec_id"))
+    val truth = bruteForceTopK(spark, dir, numQueries, k)
+      .select(col("qid").as("tqid"), col("vec_id").as("tvid"))
+    val hits = approx.join(truth,
+        col("qid") === col("tqid") && col("vec_id") === col("tvid"),
+        "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    val qids = truth.select(col("tqid").as("qid")).distinct()
+    qids.join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr(s"(coalesce(n_hit, 0L) * 1000000L) DIV $k").as("recall_micro"))
+      .orderBy(col("qid"))
+  }
+
   /** SemDeDup-style semantic collapse (`sim_semantic_keeper`): the
     * full-corpus admission table for embedding-level deduplication —
     * every document carries its semantic cluster (its component in the

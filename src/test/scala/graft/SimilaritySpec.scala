@@ -412,6 +412,21 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("ANN eval equals a hand join of the two registered top-k faces") {
+    import org.apache.spark.sql.functions.col
+    val approx = SimilarityOps.lshTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = SimilarityOps.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = SimilarityOps.annEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (0L to 4L))
+    got.foreach { case (qid, nHit, micro) =>
+      val expect = truth.filter(_._1 == qid).count(approx.contains)
+      assert(nHit == expect.toLong && micro == nHit * 1000000L / 5)
+    }
+  }
+
   test("semantic keeper: total over the corpus, one keeper per cluster, argmax by quality") {
     import org.apache.spark.sql.functions.col
     val rows = SimilarityOps.semanticKeeper(spark, sf).collect()
