@@ -2429,6 +2429,7 @@ object SparkEntry {
     "ev_anomaly" -> ((s, d) => EventOps.hourlyAnomalies(s, d)),
     "ev_cusum" -> ((s, d) => EventOps.cusumShift(s, d)),
     "ev_seasonality" -> ((s, d) => EventOps.seasonality(s, d)),
+    "ev_weekend_chi2" -> ((s, d) => EventOps.weekendChi2(s, d)),
     "q_price_bands" -> ((s, d) => graft.operators.StatsOps.monthlyPriceBands(s, d)),
     "q_asof_tolerance" -> ((s, d) => EventOps.lastViewWithin(s, d)),
     "ev_trigrams" -> ((s, d) => EventOps.eventTrigrams(s, d)),
@@ -2885,6 +2886,7 @@ object SparkEntry {
     "ev_anomaly" -> evAnomalySql,
     "ev_cusum" -> evCusumSql,
     "ev_seasonality" -> evSeasonalitySql,
+    "ev_weekend_chi2" -> evWeekendChi2Sql,
     // q_price_bands: doubled quantiles (lower+upper pair) — integer
     // cents, no fractions, same threshold rule in both engines.
     "q_price_bands" -> qPriceBandsSql,
@@ -3053,6 +3055,32 @@ object SparkEntry {
       |SELECT dow, n_days, total, mean_micro,
       |  day_num AS peak_day, resid_micro AS peak_resid_micro
       |FROM rk WHERE rn = 1 ORDER BY dow""".stripMargin
+
+  /** Replay of EventOps.weekendChi2: identical cell counts, DIV
+    * shares, and the SAME double operand tree for the statistic. */
+  private val evWeekendChi2Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    ((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7) IN (2, 3)
+      |      AS weekend
+      |  FROM events),
+      |bt AS (SELECT event_type,
+      |         CAST(sum(CASE WHEN weekend THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |         CAST(sum(CASE WHEN weekend THEN 0 ELSE 1 END) AS BIGINT) AS b
+      |       FROM e GROUP BY event_type),
+      |m AS (SELECT CAST(sum(a) AS BIGINT) AS w, CAST(sum(b) AS BIGINT) AS x
+      |      FROM bt),
+      |cells AS (SELECT event_type, a, b, w - a AS c, x - b AS d, w, x
+      |          FROM bt CROSS JOIN m)
+      |SELECT event_type, a AS n_weekend, b AS n_weekday,
+      |  (a * 1000000) // (a + b) AS weekend_share_micro,
+      |  (w * 1000000) // (w + x) AS base_share_micro,
+      |  round((CAST(a + b + c + d AS DOUBLE)
+      |         * CAST(a * d - b * c AS DOUBLE)
+      |         * CAST(a * d - b * c AS DOUBLE))
+      |        / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+      |           * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 6) AS chi2
+      |FROM cells ORDER BY event_type""".stripMargin
 
   private val evAnomalySql: String =
     """WITH h AS MATERIALIZED (

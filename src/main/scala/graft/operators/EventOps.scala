@@ -721,4 +721,49 @@ object EventOps {
           .as("peak_resid_micro"))
       .orderBy(col("dow"))
   }
+
+  /** Weekend-mix chi-squared (`ev_weekend_chi2`): per event type, the
+    * 2×2 chi-squared statistic of (this type vs the rest) ×
+    * (weekend vs weekday) — "is this event's traffic mix different on
+    * weekends", the categorical significance sibling of the
+    * `text_drift` monitor, over the event stream. Weekend = epoch-day
+    * dow ∈ {2, 3} (day 0 = Thursday, so 2 = Saturday, 3 = Sunday —
+    * the [[seasonality]] convention).
+    *
+    * Determinism: the four cell counts and both shares are exact
+    * integers (micro shares via DIV); the statistic itself needs a
+    * division, so it is computed as ONE double expression whose
+    * operand tree is written identically in the oracle — the
+    * determinant a·d − b·c is formed in exact BIGINT first (bounded by
+    * cell products, ≤ 2^53 at any SF this report is run at) and each
+    * factor is cast to double individually, so both engines evaluate
+    * the same IEEE operations in the same order.
+    *
+    * Scale: one raw scan → (type, weekend) partial+final aggregate
+    * (2·|types| rows); the margins ride a one-row broadcast. */
+  def weekendChi2(spark: SparkSession, dir: String): DataFrame = {
+    val byType = events(spark, dir)
+      .select(col("event_type"),
+        pmod(expr("unix_micros(ts) DIV 86400000000"), lit(7L))
+          .isin(2L, 3L).as("weekend"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("weekend"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("weekend"), 1L).otherwise(0L)).as("b"))
+    val margins = byType.agg(sum(col("a")).as("w"), sum(col("b")).as("x"))
+    byType.crossJoin(broadcast(margins))
+      .withColumn("c", col("w") - col("a"))
+      .withColumn("d", col("x") - col("b"))
+      .select(col("event_type"),
+        col("a").as("n_weekend"), col("b").as("n_weekday"),
+        expr("(a * 1000000L) DIV (a + b)").as("weekend_share_micro"),
+        expr("(w * 1000000L) DIV (w + x)").as("base_share_micro"),
+        round(expr(
+          """(CAST(a + b + c + d AS DOUBLE)
+            | * CAST(a * d - b * c AS DOUBLE)
+            | * CAST(a * d - b * c AS DOUBLE))
+            |/ (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+            |   * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))"""
+            .stripMargin), 6).as("chi2"))
+      .orderBy(col("event_type"))
+  }
 }

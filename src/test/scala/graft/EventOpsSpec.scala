@@ -422,4 +422,53 @@ class EventOpsSpec extends SparkSuite {
       }
     }
   }
+
+  test("weekend chi2: independent mix scores ~0, planted weekend-only type scores high") {
+    import spark.implicits._
+    // 14 days (2 full weeks). Type "flat" fires 10/day every day;
+    // type "wknd" fires 10/day ONLY on weekend days (dow 2 or 3).
+    val day0 = 19800L
+    val rows = (0 until 14).flatMap { d =>
+      val dayNum = day0 + d
+      val wknd = dayNum % 7 == 2 || dayNum % 7 == 3
+      val flat = (0 until 10).flatMap { i =>
+        Seq((d * 100L + i, new java.sql.Timestamp(dayNum * 86400000L + i * 1000L),
+            1L, "flat", 1.0, "{}"),
+          (d * 100L + 20 + i,
+            new java.sql.Timestamp(dayNum * 86400000L + (i + 20) * 1000L),
+            1L, "flat2", 1.0, "{}"))
+      }
+      val extra = if (wknd) (0 until 10).map { i =>
+        (d * 100L + 50 + i,
+          new java.sql.Timestamp(dayNum * 86400000L + (i + 50) * 1000L),
+          1L, "wknd", 1.0, "{}")
+      } else Seq.empty
+      flat ++ extra
+    }
+    val dir = tmpDir("graft-chi2")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.weekendChi2(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    // flat/flat2: 40 weekend (4 wknd days) / 100 weekday; wknd: 40 / 0
+    val (fa, fb, fShare, base, fChi) = got("flat")
+    val (wa, wb, wShare, _, wChi) = got("wknd")
+    assert((fa, fb) == ((40L, 100L)) && (wa, wb) == ((40L, 0L)))
+    assert(fShare == 40L * 1000000L / 140L && wShare == 1000000L)
+    assert(base == 120L * 1000000L / 320L)
+    // exact 2x2 chi2 replay, same double tree
+    def chi2(a: Long, b: Long, c: Long, d: Long): Double = {
+      val det = a * d - b * c
+      val v = ((a + b + c + d).toDouble * det.toDouble * det.toDouble) /
+        ((a + b).toDouble * (c + d).toDouble *
+          (a + c).toDouble * (b + d).toDouble)
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    assert(fChi == chi2(40, 100, 80, 100) && wChi == chi2(40, 0, 80, 200))
+    // the planted weekend-only type is far more significant than the
+    // two flat types (whose mix deviates only via the complement)
+    assert(wChi > fChi && got("flat2")._5 == fChi)
+  }
 }
