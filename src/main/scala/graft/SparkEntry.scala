@@ -1656,7 +1656,9 @@ object SparkEntry {
     * keep the rerank·k = 100 ADC survivors per query and re-rank them
     * with TRUE cosines (the standard ADC + exact-re-rank pipeline the
     * Spark face runs). */
-  private val simPqTopKSql: String = {
+  // CTE-only form (the simLshChainCtes pattern) so sim_pq_eval can
+  // graft the brute-force truth and the hit join onto the same chain
+  private lazy val simPqChainCtes: String = {
     val rounds = (1 to 2).map { r =>
       s"""p$r AS (SELECT s.vec_id, s.si, k.cid, ${cosSql("s.sv", "k.cv", 8)} AS cs
          |  FROM sub s JOIN k${r - 1} k ON s.si = k.si),
@@ -1673,7 +1675,7 @@ object SparkEntry {
          |  UNION ALL SELECT k.si, k.cid, k.cv FROM k${r - 1} k
          |    WHERE NOT EXISTS (SELECT 1 FROM y$r y WHERE y.si = k.si AND y.cid = k.cid))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |sub AS (SELECT vec_id, t.si,
        |    list_transform(range(1, 9), j -> embedding[t.si * 8 + j]) AS sv
        |  FROM e CROSS JOIN range(0, 8) t(si)),
@@ -1698,10 +1700,43 @@ object SparkEntry {
        |  FROM cnd c JOIN e q ON q.vec_id = c.qid JOIN e v ON v.vec_id = c.vec_id),
        |ranked AS (SELECT qid, vec_id, cos,
        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
-       |  FROM sims)
+       |  FROM sims)""".stripMargin
+  }
+
+  private lazy val simPqTopKSql: String =
+    s"""WITH $simPqChainCtes
        |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
-  }
+
+  /** Replay of SimilarityOps.pqEval: the trained-PQ chain, the
+    * brute-force truth, and the per-query hit count in one statement
+    * (same graft as simAnnEvalSql). */
+  private lazy val simPqEvalSql: String =
+    s"""WITH $simPqChainCtes,
+      |atop AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 5),
+      |bq AS (SELECT vec_id AS qid, embedding AS qvec FROM e WHERE vec_id < 5),
+      |bc AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 5),
+      |bsims AS (SELECT qid, bc.vec_id, round(
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(qvec[i] AS DOUBLE) * CAST(bc.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(bc.embedding[i] AS DOUBLE) * CAST(bc.embedding[i] AS DOUBLE))))), 6) AS cos
+      |  FROM bq, bc),
+      |branked AS (SELECT qid, vec_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+      |  FROM bsims),
+      |btop AS (SELECT qid, vec_id FROM branked WHERE rnk <= 5),
+      |hits AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hit
+      |         FROM atop a JOIN btop b
+      |           ON a.qid = b.qid AND a.vec_id = b.vec_id
+      |         GROUP BY a.qid),
+      |qs AS (SELECT DISTINCT qid FROM btop)
+      |SELECT qs.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  (CAST(coalesce(h.n_hit, 0) AS BIGINT) * 1000000) // 5 AS recall_micro
+      |FROM qs LEFT JOIN hits h ON h.qid = qs.qid
+      |ORDER BY qs.qid""".stripMargin
 
   /** Full replication of the multi-table hyperplane-LSH near-dup join:
     * the planes are integer-LCG literals (planeComponent — exact in any
@@ -2378,6 +2413,7 @@ object SparkEntry {
     "dedup_decontaminate" -> ((s, d) => DedupOps.decontaminate(s, d)),
     "q_table_stats" -> ((s, d) => graft.operators.StatsOps.orderStats(s, d)),
     "sim_pq_topk" -> ((s, d) => SimilarityOps.pqTopK(s, d)),
+    "sim_pq_eval" -> ((s, d) => SimilarityOps.pqEval(s, d)),
     "sim_pq_exact" -> ((s, d) => SimilarityOps.pqExact(s, d)),
     "q_pagerank" -> ((s, d) => graft.operators.GraphOps.pageRank(s, d)),
     "q_topk_native" -> ((s, d) => Relational.topOrdersPerSegmentNative(s, d)),
@@ -2629,6 +2665,7 @@ object SparkEntry {
     // pruning over the parquet artifact
     "sim_ivf_served" -> simIvfTopKSql,
     "sim_pq_topk" -> simPqTopKSql,
+    "sim_pq_eval" -> simPqEvalSql,
     // sim_lsh_topk / sim_near_dups: the LCG hyperplanes and in-order
     // dot folds are engine-exact, so the oracle replays bucketing,
     // probing, and verification bit-for-bit.

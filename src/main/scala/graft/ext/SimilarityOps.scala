@@ -686,16 +686,31 @@ object SimilarityOps {
     * is the expensive side and exists precisely to be run at a small
     * SF before trusting the index at the large one. */
   def annEval(spark: SparkSession, dir: String,
-              numQueries: Int = 5, k: Int = 5): DataFrame = {
-    val approx = lshTopK(spark, dir)
-      .select(col("qid"), col("vec_id"))
-    val truth = bruteForceTopK(spark, dir, numQueries, k)
-      .select(col("qid").as("tqid"), col("vec_id").as("tvid"))
-    val hits = approx.join(truth,
+              numQueries: Int = 5, k: Int = 5): DataFrame =
+    topKRecall(lshTopK(spark, dir),
+      bruteForceTopK(spark, dir, numQueries, k), k)
+
+  /** PQ self-measurement (`sim_pq_eval`): [[annEval]] for the trained
+    * product-quantization ANN — per-query exact recall@k of the
+    * ADC + exact-re-rank top-k vs brute force, oracle-checked through
+    * the full SQL training replay. */
+  def pqEval(spark: SparkSession, dir: String,
+             numQueries: Int = 5, k: Int = 5): DataFrame =
+    topKRecall(pqTopK(spark, dir),
+      bruteForceTopK(spark, dir, numQueries, k), k)
+
+  /** Shared recall@k join: hit = same (qid, vec_id) in both top-k
+    * sets; every truth qid emits a row (0 hits included). Both inputs
+    * are k·|queries| tables, so every join here is tiny. */
+  private def topKRecall(approx: DataFrame, truth: DataFrame,
+                         k: Int): DataFrame = {
+    val a = approx.select(col("qid"), col("vec_id"))
+    val t = truth.select(col("qid").as("tqid"), col("vec_id").as("tvid"))
+    val hits = a.join(t,
         col("qid") === col("tqid") && col("vec_id") === col("tvid"),
         "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
-    val qids = truth.select(col("tqid").as("qid")).distinct()
+    val qids = t.select(col("tqid").as("qid")).distinct()
     qids.join(hits, Seq("qid"), "left")
       .select(col("qid"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),

@@ -427,6 +427,22 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("PQ eval equals a hand join of the two registered top-k faces") {
+    val approx = SimilarityOps.pqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = SimilarityOps.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = SimilarityOps.pqEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (0L to 4L))
+    got.foreach { case (qid, nHit, micro) =>
+      val expect = truth.filter(_._1 == qid).count(approx.contains)
+      assert(nHit == expect.toLong && micro == nHit * 1000000L / 5)
+    }
+    // the trained PQ chain keeps high recall at the gate SF
+    assert(got.map(_._2).sum >= 20L)
+  }
+
   test("semantic keeper: total over the corpus, one keeper per cluster, argmax by quality") {
     import org.apache.spark.sql.functions.col
     val rows = SimilarityOps.semanticKeeper(spark, sf).collect()
