@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSelfSimilarityRule, CosineSimilarity, DotProduct, EditWithin1, MinhashSignature, Simhash64, WordShingles}
+import graft.functions.{CosineSelfSimilarityRule, CosineSimilarity, DotProduct, EditWithin1, Int8AdcDot, MinhashSignature, Simhash64, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions. Enable with
@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("int8_adc_dot"),
+      new ExpressionInfo(classOf[Int8AdcDot].getName, "int8_adc_dot"),
+      (children: Seq[Expression]) => Int8AdcDot(children(0), children(1))))
     ext.injectOptimizerRule(_ => CosineSelfSimilarityRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

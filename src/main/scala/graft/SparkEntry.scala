@@ -2009,18 +2009,90 @@ object SparkEntry {
     * component, serialized as a CSV string (array results are
     * unhashable in the driver's comparator). Degenerate dimensions
     * (max = min) code to 0. */
-  private val simInt8QuantSql: String =
-    """WITH mm AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+  // grid CTEs shared by the quantizer face and the int8 serving chain
+  private lazy val simInt8GridCtes: String =
+    """mm AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
       |         max(CAST(embedding[i] AS DOUBLE)) AS mx
       |       FROM embeddings, range(1, 65) t(i) GROUP BY i),
       |m AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
-      |      FROM mm)
+      |      FROM mm)""".stripMargin
+
+  private lazy val simInt8QuantSql: String =
+    s"""WITH $simInt8GridCtes
       |SELECT vec_id, array_to_string(list_transform(range(1, 65), i ->
       |    CASE WHEN maxs[i] = mins[i] THEN CAST(0 AS BIGINT)
       |         ELSE CAST(least(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
       |                 * 255.0 / (maxs[i] - mins[i])), 255.0) AS BIGINT)
       |    END), ',') AS codes
       |FROM embeddings, m ORDER BY vec_id""".stripMargin
+
+  /** Replay of SimilarityOps.int8TopK: the same grid, the same codes,
+    * the same per-query weight/offset folds (identical IEEE operand
+    * order), ADC candidate pool of 20, exact cosine re-rank. */
+  private lazy val simInt8ChainCtes: String =
+    s"""$simInt8GridCtes,
+      |corp AS (SELECT vec_id, embedding, list_transform(range(1, 65), i ->
+      |    CASE WHEN maxs[i] = mins[i] THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(least(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
+      |                 * 255.0 / (maxs[i] - mins[i])), 255.0) AS BIGINT)
+      |    END) AS codes
+      |  FROM embeddings, m WHERE vec_id >= 5),
+      |q AS (SELECT vec_id AS qid, embedding AS qv,
+      |    list_transform(range(1, 65), i ->
+      |      CAST(embedding[i] AS DOUBLE) * (maxs[i] - mins[i]) / 255.0) AS w,
+      |    list_sum(list_transform(range(1, 65), i ->
+      |      CAST(embedding[i] AS DOUBLE) * mins[i])) AS adc_offset
+      |  FROM embeddings, m WHERE vec_id < 5),
+      |ap AS (SELECT q.qid, c.vec_id, q.qv, c.embedding,
+      |    q.adc_offset + list_sum(list_transform(range(1, 65), i ->
+      |      CAST(c.codes[i] AS DOUBLE) * q.w[i])) AS approx
+      |  FROM q, corp c),
+      |cand AS (SELECT qid, vec_id, qv, embedding FROM (SELECT *,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY approx DESC, vec_id ASC) AS crn
+      |  FROM ap) z WHERE crn <= ${graft.ext.SimilarityOps.int8Rerank}),
+      |sims AS (SELECT qid, vec_id, round(
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))), 6) AS cos
+      |  FROM cand),
+      |ranked AS (SELECT qid, vec_id, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+      |  FROM sims)""".stripMargin
+
+  private lazy val simInt8TopKSql: String =
+    s"""WITH $simInt8ChainCtes
+      |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+
+  /** Replay of SimilarityOps.int8Eval (same graft as simAnnEvalSql). */
+  private lazy val simInt8EvalSql: String =
+    s"""WITH $simInt8ChainCtes,
+      |atop AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 5),
+      |bsims AS (SELECT q.qid, c.vec_id, round(
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 6) AS cos
+      |  FROM q, corp c),
+      |branked AS (SELECT qid, vec_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+      |  FROM bsims),
+      |btop AS (SELECT qid, vec_id FROM branked WHERE rnk <= 5),
+      |hits AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hit
+      |         FROM atop a JOIN btop b
+      |           ON a.qid = b.qid AND a.vec_id = b.vec_id
+      |         GROUP BY a.qid),
+      |qs AS (SELECT DISTINCT qid FROM btop)
+      |SELECT qs.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  (CAST(coalesce(h.n_hit, 0) AS BIGINT) * 1000000) // 5 AS recall_micro
+      |FROM qs LEFT JOIN hits h ON h.qid = qs.qid
+      |ORDER BY qs.qid""".stripMargin
 
   /** Fixed-point replay of SimilarityOps.labelCentroids: floor(v·2^20)
     * longs sum exactly in any order, then one int→double division —
@@ -2379,6 +2451,8 @@ object SparkEntry {
     // int8 scalar quantization: per-dim [min,max] grid, 4× compression
     // (CSV-serialized codes for the gate; typed face in SimilaritySpec)
     "sim_int8_quant" -> ((s, d) => SimilarityOps.int8QuantizeCsv(s, d)),
+    "sim_int8_topk" -> ((s, d) => SimilarityOps.int8TopK(s, d)),
+    "sim_int8_eval" -> ((s, d) => SimilarityOps.int8Eval(s, d)),
     "sim_near_dups" -> ((s, d) => SimilarityOps.embeddingNearDups(s, d)),
     "sim_clusters" -> ((s, d) => SimilarityOps.semanticClusters(s, d)),
     "sim_semantic_keeper" -> ((s, d) => SimilarityOps.semanticKeeper(s, d)),
@@ -2677,6 +2751,8 @@ object SparkEntry {
     "sim_ann_eval" -> simAnnEvalSql,
     "sim_rp_reduce" -> simRpReduceSql,
     "sim_int8_quant" -> simInt8QuantSql,
+    "sim_int8_topk" -> simInt8TopKSql,
+    "sim_int8_eval" -> simInt8EvalSql,
     "sim_rp_topk" -> simRpTopKSql,
     // row-identical to sim_rp_topk (RpSketchSpec pins it), served from
     // the persisted sketch artifact

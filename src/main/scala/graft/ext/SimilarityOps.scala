@@ -769,8 +769,11 @@ object SimilarityOps {
     * the driver (bounded O(d), the centroid-training discipline) and
     * travels as plan literals: the encode pass is one narrow map over
     * the scan, zero joins, zero shuffles. */
-  def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).transform(FanOut(_))
+  /** Per-dimension (min, max) grid over the corpus — bounded O(d)
+    * driver state (the centroid-training discipline), shared by the
+    * quantizer and the int8 SERVING path so both sides of the
+    * quantize→serve contract use one grid. */
+  private[graft] def int8MinMax(emb: DataFrame): Map[Int, (Double, Double)] = {
     val mm = emb
       .select(posexplode(col("embedding")).as(Seq("i", "v")))
       .groupBy(col("i"))
@@ -779,9 +782,15 @@ object SimilarityOps {
       .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
       .toMap
     require(mm.size == 64,
-      s"int8Quantize needs a 64-dim corpus; min/max covered ${mm.size} dims " +
+      s"int8 grid needs a 64-dim corpus; min/max covered ${mm.size} dims " +
         "(empty table or shorter embedding arrays)")
-    val codes = array((0 until 64).map { i =>
+    mm
+  }
+
+  /** The encode map over `embedding` for a fixed grid: one narrow map
+    * over the scan, zero joins (the grid travels as plan literals). */
+  private def int8CodesCol(mm: Map[Int, (Double, Double)]): Column =
+    array((0 until 64).map { i =>
       val (mn, mx) = mm(i)
       if (mx == mn) lit(0L)
       else {
@@ -790,8 +799,81 @@ object SimilarityOps {
           .cast("long")
       }
     }: _*)
-    emb.select(col("vec_id"), codes.as("codes")).orderBy(col("vec_id"))
+
+  def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).transform(FanOut(_))
+    emb.select(col("vec_id"), int8CodesCol(int8MinMax(emb)).as("codes"))
+      .orderBy(col("vec_id"))
   }
+
+  /** ADC candidate pool per query before the exact re-rank. */
+  val int8Rerank = 20
+
+  /** Serve ANN from the int8 codes (`sim_int8_topk`): the missing half
+    * of the quantization story — the corpus is scanned as 4×-compressed
+    * codes, never dequantized. Per query q, the dequantized dot
+    * factors as dot(q, v̂) = Σ q_i·mn_i  +  Σ code_i·(q_i·(mx_i−mn_i)
+    * /255): the first term is a per-query scalar, the second a fused
+    * codes·weights loop — the native codegen'd [[graft.functions
+    * .Int8AdcDot]] kernel. Top-[[int8Rerank]] by ADC score, then exact
+    * cosine re-rank to k (the PQ face's serve shape).
+    *
+    * Determinism: grid min/max are exact; codes are exact ints; the
+    * per-query weights/offset are computed driver-side with the SAME
+    * IEEE operation order the oracle's SQL uses, and the ADC fold is
+    * the ascending-index contract every kernel here pins.
+    *
+    * Scale: queries are bounded (O(k·d) driver state, the centroid
+    * discipline); the corpus-sized work is ONE pass over the code
+    * table with a broadcast query literal — 4× less memory bandwidth
+    * than the float scan, which is the entire point of serving int8. */
+  def int8TopK(spark: SparkSession, dir: String,
+               numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).transform(FanOut(_))
+    val mm = int8MinMax(emb)
+    val corpus = emb.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id"), col("embedding"), int8CodesCol(mm).as("codes"))
+    val qs = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    import spark.implicits._
+    val qlit = qs.toSeq.map { case (qid, qv) =>
+      val w = (0 until 64).map { i =>
+        val (mn, mx) = mm(i)
+        qv(i).toDouble * (mx - mn) / 255.0
+      }
+      var off = 0.0
+      (0 until 64).foreach { i => off += qv(i).toDouble * mm(i)._1 }
+      (qid, qv.toSeq, w, off)
+    }.toDF("qid", "qv", "w", "adc_offset")
+    val adc = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Int8AdcDot(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("codes")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("w"))))
+    val approx = corpus.crossJoin(broadcast(qlit))
+      .select(col("qid"), col("vec_id"), col("embedding"), col("qv"),
+        (col("adc_offset") + adc).as("approx"))
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val cand = approx.withColumn("crn", row_number().over(wA))
+      .filter(col("crn") <= int8Rerank)
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand.select(col("qid"), col("vec_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** int8 self-measurement (`sim_int8_eval`): [[annEval]] for the
+    * int8 serving path — recall@k of the ADC + exact-re-rank top-k vs
+    * brute force, oracle-checked through the grid replay. */
+  def int8Eval(spark: SparkSession, dir: String,
+               numQueries: Int = 5, k: Int = 5): DataFrame =
+    topKRecall(int8TopK(spark, dir, numQueries, k),
+      bruteForceTopK(spark, dir, numQueries, k), k)
 
   /** The gate-facing face of [[int8Quantize]] (`sim_int8_quant`): codes
     * rendered as a CSV string — array<long> results are unhashable in

@@ -53,6 +53,30 @@ class PropertySpec extends SparkSuite {
       .filter(not(col("a") === col("b"))).count() == 0)
   }
 
+  test("int8_adc_dot equals the composable zip_with fold on arbitrary codes and weights") {
+    import org.apache.spark.sql.functions._
+    val rowGen = for {
+      n <- Gen.choose(0, 64)
+      codes <- Gen.listOfN(n, Gen.choose(0L, 255L))
+      ws <- Gen.listOfN(n, Gen.choose(-4.0, 4.0))
+    } yield (codes, ws)
+    val rows = (1L to 50L).map(i => sample(rowGen, i)) :+
+      ((List.empty[Long], List.empty[Double]))
+    val spark0 = spark
+    import spark0.implicits._
+    val df = rows.toDF("codes", "w")
+    val native = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Int8AdcDot(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("codes")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("w"))))
+    val composable = expr(
+      "aggregate(zip_with(codes, w, (c, x) -> CAST(c AS DOUBLE) * x), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    // bit-identical: same ascending in-order double accumulation
+    assert(df.select(native.as("a"), composable.as("b"))
+      .filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("edit_within1 equals levenshtein<=1 on arbitrary near and far pairs") {
     import org.apache.spark.sql.functions._
     // pairs biased toward the interesting band: equal, d=1 shapes

@@ -427,6 +427,22 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("int8 eval equals a hand join of the two registered top-k faces") {
+    val approx = SimilarityOps.int8TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = SimilarityOps.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = SimilarityOps.int8Eval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (0L to 4L))
+    got.foreach { case (qid, nHit, micro) =>
+      val expect = truth.filter(_._1 == qid).count(approx.contains)
+      assert(nHit == expect.toLong && micro == nHit * 1000000L / 5)
+    }
+    // 4x compression with a 20-candidate re-rank keeps recall high
+    assert(got.map(_._2).sum >= 20L)
+  }
+
   test("PQ eval equals a hand join of the two registered top-k faces") {
     val approx = SimilarityOps.pqTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
