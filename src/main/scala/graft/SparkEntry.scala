@@ -583,11 +583,7 @@ object SparkEntry {
     * learned curation pipeline hash-checks end to end. */
   private val textPretrainCorpusSql: String = {
     val wf = s"w${TextOps.lrRounds}t"
-    val zExpr =
-      "((((CAST(w.w0 AS DOUBLE) / 1000000.0) + " +
-        "(CAST(w.w1 AS DOUBLE) / 1000000.0) * x1) + " +
-        "(CAST(w.w2 AS DOUBLE) / 1000000.0) * x2) + " +
-        "(CAST(w.w3 AS DOUBLE) / 1000000.0) * x3)"
+    val zExpr = lrZExprSql("w")
     s"""WITH $lrChainCtes,
        |$spanChainCtes,
        |predt AS (SELECT doc_id,
@@ -694,12 +690,18 @@ object SparkEntry {
     * as lrProb; gradient contributions quantize to micro longs BEFORE
     * the sum; DuckDB round() on doubles ≡ the driver's exact-value
     * BigDecimal HALF_UP. */
+  /** The LR hard-sigmoid pre-activation as SQL, over weight row alias
+    * `w` and features x1..x3 — ONE definition shared by the training
+    * chain, the scorer face, and the pretrain capstone so the operand
+    * tree can never desynchronize. */
+  private def lrZExprSql(w: String): String =
+    s"((((CAST($w.w0 AS DOUBLE) / 1000000.0) + " +
+      s"(CAST($w.w1 AS DOUBLE) / 1000000.0) * x1) + " +
+      s"(CAST($w.w2 AS DOUBLE) / 1000000.0) * x2) + " +
+      s"(CAST($w.w3 AS DOUBLE) / 1000000.0) * x3)"
+
   private lazy val lrChainCtes: String = {
-    def zExpr(w: String): String =
-      s"((((CAST($w.w0 AS DOUBLE) / 1000000.0) + " +
-        s"(CAST($w.w1 AS DOUBLE) / 1000000.0) * x1) + " +
-        s"(CAST($w.w2 AS DOUBLE) / 1000000.0) * x2) + " +
-        s"(CAST($w.w3 AS DOUBLE) / 1000000.0) * x3)"
+    def zExpr(w: String): String = lrZExprSql(w)
     def pExpr(w: String): String =
       s"greatest(0.0, least(1.0, 0.5 + ${zExpr(w)} / 4.0))"
     def gradCte(g: String, w: String): String =
@@ -745,11 +747,7 @@ object SparkEntry {
   }
 
   private val textQualityLrSql: String = {
-    def zExpr: String =
-      "((((CAST(w.w0 AS DOUBLE) / 1000000.0) + " +
-        "(CAST(w.w1 AS DOUBLE) / 1000000.0) * x1) + " +
-        "(CAST(w.w2 AS DOUBLE) / 1000000.0) * x2) + " +
-        "(CAST(w.w3 AS DOUBLE) / 1000000.0) * x3)"
+    def zExpr: String = lrZExprSql("w")
     val wf = s"w${TextOps.lrRounds}t"
     s"""WITH $lrChainCtes
        |SELECT doc_id, CAST(y AS BIGINT) AS y_label,
@@ -1713,30 +1711,7 @@ object SparkEntry {
     * (same graft as simAnnEvalSql). */
   private lazy val simPqEvalSql: String =
     s"""WITH $simPqChainCtes,
-      |atop AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 5),
-      |bq AS (SELECT vec_id AS qid, embedding AS qvec FROM e WHERE vec_id < 5),
-      |bc AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 5),
-      |bsims AS (SELECT qid, bc.vec_id, round(
-      |    list_sum(list_transform(range(1, 65),
-      |      i -> CAST(qvec[i] AS DOUBLE) * CAST(bc.embedding[i] AS DOUBLE)))
-      |    / (sqrt(list_sum(list_transform(range(1, 65),
-      |         i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))
-      |     * sqrt(list_sum(list_transform(range(1, 65),
-      |         i -> CAST(bc.embedding[i] AS DOUBLE) * CAST(bc.embedding[i] AS DOUBLE))))), 6) AS cos
-      |  FROM bq, bc),
-      |branked AS (SELECT qid, vec_id,
-      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
-      |  FROM bsims),
-      |btop AS (SELECT qid, vec_id FROM branked WHERE rnk <= 5),
-      |hits AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hit
-      |         FROM atop a JOIN btop b
-      |           ON a.qid = b.qid AND a.vec_id = b.vec_id
-      |         GROUP BY a.qid),
-      |qs AS (SELECT DISTINCT qid FROM btop)
-      |SELECT qs.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-      |  (CAST(coalesce(h.n_hit, 0) AS BIGINT) * 1000000) // 5 AS recall_micro
-      |FROM qs LEFT JOIN hits h ON h.qid = qs.qid
-      |ORDER BY qs.qid""".stripMargin
+      |${recallGraftSql("e")}""".stripMargin
 
   /** Full replication of the multi-table hyperplane-LSH near-dup join:
     * the planes are integer-LCG literals (planeComponent — exact in any
@@ -1918,13 +1893,15 @@ object SparkEntry {
       |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
       |ORDER BY qid, rnk""".stripMargin
 
-  /** Replay of SimilarityOps.annEval: the multi-probe LSH chain, the
-    * brute-force truth, and the per-query hit count in one statement. */
-  private val simAnnEvalSql: String =
-    s"""WITH $simLshChainCtes,
-      |atop AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 5),
-      |bq AS (SELECT vec_id AS qid, embedding AS qvec FROM emb WHERE vec_id < 5),
-      |bc AS (SELECT vec_id, embedding FROM emb WHERE vec_id >= 5),
+  /** Shared truth-graft block for the ANN eval oracles: brute-force
+    * cosine truth over `embCte` (any CTE/table with vec_id +
+    * embedding), hits against the chain's `ranked` top-5, per-query
+    * recall in micros — ONE definition so the truth cosine and the
+    * recall formula can never desynchronize across the eval family. */
+  private def recallGraftSql(embCte: String): String =
+    s"""atop AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 5),
+      |bq AS (SELECT vec_id AS qid, embedding AS qvec FROM $embCte WHERE vec_id < 5),
+      |bc AS (SELECT vec_id, embedding FROM $embCte WHERE vec_id >= 5),
       |bsims AS (SELECT qid, bc.vec_id, round(
       |    list_sum(list_transform(range(1, 65),
       |      i -> CAST(qvec[i] AS DOUBLE) * CAST(bc.embedding[i] AS DOUBLE)))
@@ -1946,6 +1923,12 @@ object SparkEntry {
       |  (CAST(coalesce(h.n_hit, 0) AS BIGINT) * 1000000) // 5 AS recall_micro
       |FROM qs LEFT JOIN hits h ON h.qid = qs.qid
       |ORDER BY qs.qid""".stripMargin
+
+  /** Replay of SimilarityOps.annEval: the multi-probe LSH chain, the
+    * brute-force truth, and the per-query hit count in one statement. */
+  private lazy val simAnnEvalSql: String =
+    s"""WITH $simLshChainCtes,
+      |${recallGraftSql("emb")}""".stripMargin
 
   /** The JL projection matrix (SimilarityOps.rpComponent) as a DuckDB
     * nested-list literal — `Double.toString` round-trips (strtod is
@@ -2068,31 +2051,12 @@ object SparkEntry {
       |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
       |ORDER BY qid, rnk""".stripMargin
 
-  /** Replay of SimilarityOps.int8Eval (same graft as simAnnEvalSql). */
+  /** Replay of SimilarityOps.int8Eval (same graft as simAnnEvalSql;
+    * the truth reads the raw table — identical rows to the chain's
+    * q/corp split). */
   private lazy val simInt8EvalSql: String =
     s"""WITH $simInt8ChainCtes,
-      |atop AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 5),
-      |bsims AS (SELECT q.qid, c.vec_id, round(
-      |    list_sum(list_transform(range(1, 65),
-      |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-      |    / (sqrt(list_sum(list_transform(range(1, 65),
-      |         i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
-      |     * sqrt(list_sum(list_transform(range(1, 65),
-      |         i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 6) AS cos
-      |  FROM q, corp c),
-      |branked AS (SELECT qid, vec_id,
-      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
-      |  FROM bsims),
-      |btop AS (SELECT qid, vec_id FROM branked WHERE rnk <= 5),
-      |hits AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hit
-      |         FROM atop a JOIN btop b
-      |           ON a.qid = b.qid AND a.vec_id = b.vec_id
-      |         GROUP BY a.qid),
-      |qs AS (SELECT DISTINCT qid FROM btop)
-      |SELECT qs.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-      |  (CAST(coalesce(h.n_hit, 0) AS BIGINT) * 1000000) // 5 AS recall_micro
-      |FROM qs LEFT JOIN hits h ON h.qid = qs.qid
-      |ORDER BY qs.qid""".stripMargin
+      |${recallGraftSql("embeddings")}""".stripMargin
 
   /** Fixed-point replay of SimilarityOps.labelCentroids: floor(v·2^20)
     * longs sum exactly in any order, then one int→double division —
@@ -3188,11 +3152,12 @@ object SparkEntry {
       |SELECT event_type, a AS n_weekend, b AS n_weekday,
       |  (a * 1000000) // (a + b) AS weekend_share_micro,
       |  (w * 1000000) // (w + x) AS base_share_micro,
-      |  round((CAST(a + b + c + d AS DOUBLE)
+      |  round(CASE WHEN c + d = 0 OR a + c = 0 OR b + d = 0 THEN 0.0
+      |        ELSE (CAST(a + b + c + d AS DOUBLE)
       |         * CAST(a * d - b * c AS DOUBLE)
       |         * CAST(a * d - b * c AS DOUBLE))
       |        / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
-      |           * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 6) AS chi2
+      |           * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) END, 6) AS chi2
       |FROM cells ORDER BY event_type""".stripMargin
 
   private val evAnomalySql: String =

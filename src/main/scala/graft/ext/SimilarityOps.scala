@@ -555,6 +555,7 @@ object SimilarityOps {
   private[graft] def clearNearDupCache(): Unit = {
     nearDupCache.synchronized(nearDupCache.clear())
     semanticLabelCache.synchronized(semanticLabelCache.clear())
+    int8GridCache.synchronized(int8GridCache.clear())
   }
 
   /** The multi-table LSH bucketing block shared by the near-dup and
@@ -687,7 +688,7 @@ object SimilarityOps {
     * SF before trusting the index at the large one. */
   def annEval(spark: SparkSession, dir: String,
               numQueries: Int = 5, k: Int = 5): DataFrame =
-    topKRecall(lshTopK(spark, dir),
+    topKRecall(lshTopK(spark, dir, numQueries, k),
       bruteForceTopK(spark, dir, numQueries, k), k)
 
   /** PQ self-measurement (`sim_pq_eval`): [[annEval]] for the trained
@@ -696,7 +697,7 @@ object SimilarityOps {
     * the full SQL training replay. */
   def pqEval(spark: SparkSession, dir: String,
              numQueries: Int = 5, k: Int = 5): DataFrame =
-    topKRecall(pqTopK(spark, dir),
+    topKRecall(pqTopK(spark, dir, numQueries, k),
       bruteForceTopK(spark, dir, numQueries, k), k)
 
   /** Shared recall@k join: hit = same (qid, vec_id) in both top-k
@@ -772,20 +773,29 @@ object SimilarityOps {
   /** Per-dimension (min, max) grid over the corpus — bounded O(d)
     * driver state (the centroid-training discipline), shared by the
     * quantizer and the int8 SERVING path so both sides of the
-    * quantize→serve contract use one grid. */
-  private[graft] def int8MinMax(emb: DataFrame): Map[Int, (Double, Double)] = {
-    val mm = emb
-      .select(posexplode(col("embedding")).as(Seq("i", "v")))
-      .groupBy(col("i"))
-      .agg(min(col("v").cast("double")).as("mn"),
-        max(col("v").cast("double")).as("mx"))
-      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
-      .toMap
-    require(mm.size == 64,
-      s"int8 grid needs a 64-dim corpus; min/max covered ${mm.size} dims " +
-        "(empty table or shorter embedding arrays)")
-    mm
-  }
+    * quantize→serve contract use one grid. Memoized per dir (the
+    * codebookCache discipline): the quantize, serve, and eval faces
+    * all need it, and each recompute is a full corpus scan. */
+  private val int8GridCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Map[Int, (Double, Double)]]
+
+  private[graft] def int8MinMax(spark: SparkSession, dir: String,
+                                emb: DataFrame): Map[Int, (Double, Double)] =
+    int8GridCache.synchronized {
+      int8GridCache.getOrElseUpdate((spark, dir), {
+        val mm = emb
+          .select(posexplode(col("embedding")).as(Seq("i", "v")))
+          .groupBy(col("i"))
+          .agg(min(col("v").cast("double")).as("mn"),
+            max(col("v").cast("double")).as("mx"))
+          .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+          .toMap
+        require(mm.size == 64,
+          s"int8 grid needs a 64-dim corpus; min/max covered ${mm.size} dims " +
+            "(empty table or shorter embedding arrays)")
+        mm
+      })
+    }
 
   /** The encode map over `embedding` for a fixed grid: one narrow map
     * over the scan, zero joins (the grid travels as plan literals). */
@@ -802,7 +812,7 @@ object SimilarityOps {
 
   def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).transform(FanOut(_))
-    emb.select(col("vec_id"), int8CodesCol(int8MinMax(emb)).as("codes"))
+    emb.select(col("vec_id"), int8CodesCol(int8MinMax(spark, dir, emb)).as("codes"))
       .orderBy(col("vec_id"))
   }
 
@@ -830,7 +840,7 @@ object SimilarityOps {
   def int8TopK(spark: SparkSession, dir: String,
                numQueries: Int = 5, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(spark, dir).transform(FanOut(_))
-    val mm = int8MinMax(emb)
+    val mm = int8MinMax(spark, dir, emb)
     val corpus = emb.filter(col("vec_id") >= numQueries)
       .select(col("vec_id"), col("embedding"), int8CodesCol(mm).as("codes"))
     val qs = emb.filter(col("vec_id") < numQueries)

@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression: asymmetric-distance (ADC) dot product
   * over int8-quantized codes — `Σ_i codes[i] · weights[i]` with the
@@ -26,9 +26,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * every other kernel in this package pins.
   */
 case class Int8AdcDot(left: Expression, right: Expression)
-    extends BinaryExpression {
-  // inputs are ARRAY<LONG> / ARRAY<DOUBLE> by construction (built only
-  // by graft.ext.SimilarityOps / the GraftExtensions SQL registration)
+    extends BinaryExpression with ExpectsInputTypes {
+  // declared types matter for the SQL registration: a bare SQL array
+  // literal is ARRAY<INT>, and getLong over int-backed ArrayData is
+  // garbage — ExpectsInputTypes inserts the cast (or fails analysis
+  // with a clear message) instead
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(DoubleType))
 
   override def dataType: DataType = DoubleType
 

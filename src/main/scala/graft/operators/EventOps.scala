@@ -757,12 +757,16 @@ object EventOps {
         col("a").as("n_weekend"), col("b").as("n_weekday"),
         expr("(a * 1000000L) DIV (a + b)").as("weekend_share_micro"),
         expr("(w * 1000000L) DIV (w + x)").as("base_share_micro"),
+        // degenerate 2×2 margins (one type only, or an all-weekend /
+        // all-weekday extract) would make the statistic 0/0 = NaN;
+        // the conventional value for a degenerate table is 0
         round(expr(
-          """(CAST(a + b + c + d AS DOUBLE)
+          """CASE WHEN c + d = 0 OR a + c = 0 OR b + d = 0 THEN 0.0
+            |ELSE (CAST(a + b + c + d AS DOUBLE)
             | * CAST(a * d - b * c AS DOUBLE)
             | * CAST(a * d - b * c AS DOUBLE))
             |/ (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
-            |   * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))"""
+            |   * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) END"""
             .stripMargin), 6).as("chi2"))
       .orderBy(col("event_type"))
   }
