@@ -3085,11 +3085,20 @@ object SparkEntry {
   /** Replay of EventOps.cusumShift: same integer-scaled deviations and
     * the prefix-sum identity for the max(0, ·) recurrence. */
   private val evCusumSql: String =
-    """WITH daily AS MATERIALIZED (
+    """WITH sparse AS MATERIALIZED (
       |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
       |           AS day_num,
       |         CAST(count(*) AS BIGINT) AS n_events
       |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(day_num) AS d0, max(day_num) AS d1 FROM sparse),
+      |daily AS MATERIALIZED (
+      |  SELECT t.event_type, g.day_num,
+      |         CAST(coalesce(s.n_events, 0) AS BIGINT) AS n_events
+      |  FROM (SELECT DISTINCT event_type FROM sparse) t
+      |  CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS day_num
+      |              FROM span) g
+      |  LEFT JOIN sparse s
+      |    ON s.event_type = t.event_type AND s.day_num = g.day_num),
       |tot AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total,
       |               CAST(count(*) AS BIGINT) AS n_days
       |        FROM daily GROUP BY 1),

@@ -41,6 +41,7 @@ object DedupOps {
     // clear inside would invert that order and allow an ABBA deadlock
     graft.ext.SimilarityOps.clearNearDupCache()
     graft.operators.GraphOps.clearGraphCaches()
+    graft.ext.TextOps.clearSessionState()
   }
 
   /** Memoized per-(dir, n) shingle tables shared by the whole dedup

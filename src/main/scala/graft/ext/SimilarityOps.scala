@@ -356,9 +356,14 @@ object SimilarityOps {
     val cents: Seq[(Int, Seq[Float])] =
       spark.read.parquet(s"$indexDir/centroids.parquet").collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    // materialize the assignment ONCE: both the probe-cid collect and
+    // the anti-join/write consume it, and without a checkpoint each
+    // consumer re-runs the centroid assignment AND re-reads the batch
+    // source (which may itself be an expensive upstream pipeline)
     val assigned = batch.select(
         element_at(topCentroids(col("embedding"), cents, 1), 1).as("cid"),
         col("vec_id"), col("embedding"))
+      .localCheckpoint()
     // Idempotence guard: a retried batch (crash between the append and
     // the caller's bookkeeping) must not file duplicate (vec_id) rows —
     // duplicates would surface as repeated candidates in every query.
@@ -556,6 +561,21 @@ object SimilarityOps {
     nearDupCache.synchronized(nearDupCache.clear())
     semanticLabelCache.synchronized(semanticLabelCache.clear())
     int8GridCache.synchronized(int8GridCache.clear())
+    // served-index artifacts: drop the memo AND the temp dirs it
+    // created (one per (kind, dir) — they otherwise accumulate on
+    // disk for the JVM's lifetime)
+    servedArtifactCache.synchronized {
+      servedArtifactCache.values.foreach { d =>
+        val root = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+      servedArtifactCache.clear()
+    }
   }
 
   /** The multi-table LSH bucketing block shared by the near-dup and
@@ -1258,7 +1278,10 @@ object SimilarityOps {
                numQueries: Int = 5, k: Int = 5): DataFrame = {
     val full = topKAtDim(spark, dir, 64, numQueries, k).localCheckpoint()
     dimCurveDims.map { d =>
-      val hits = topKAtDim(spark, dir, d, numQueries, k)
+      // d = 64 IS the truth — reuse the checkpoint instead of paying a
+      // second full-width corpus scan for an identity join
+      val at = if (d == 64) full else topKAtDim(spark, dir, d, numQueries, k)
+      val hits = at
         .join(full, Seq("qid", "vec_id"))
         .agg(count(lit(1)).as("n_hits"))
       hits.select(lit(d.toLong).as("dim"), col("n_hits"),
@@ -1313,26 +1336,36 @@ object SimilarityOps {
         round(cosine(col("ea"), col("eb")), 6).as("cos"))
       .localCheckpoint()
     val mmrOf = lit(lambda) * col("rel") - lit(mu) * col("ms")
-    val first = pool
+    // the greedy loop stops at min(k, |pool|): a pool smaller than k
+    // (tiny corpus, or a caller's large k) returns the exhausted
+    // selection instead of indexing an empty collect
+    val firstRows = pool
       .select(col("vec_id"), col("rel"), lit(0.0).as("ms"))
       .withColumn("mmr", mmrOf)
       .orderBy(col("mmr").desc, col("vec_id").asc).limit(1)
-      .collect()(0)
-    var sel = Vector[(Long, Long, Double, Double, Double)](
-      (1L, first.getLong(0), first.getDouble(1), first.getDouble(2),
-        first.getDouble(3)))
-    while (sel.length < k) {
+      .collect()
+    var sel = firstRows.headOption.map { first =>
+      Vector[(Long, Long, Double, Double, Double)](
+        (1L, first.getLong(0), first.getDouble(1), first.getDouble(2),
+          first.getDouble(3)))
+    }.getOrElse(Vector.empty)
+    var exhausted = sel.isEmpty
+    while (sel.length < k && !exhausted) {
       val ids = sel.map(_._2)
       val ms = psim.filter(col("b").isin(ids: _*))
         .groupBy(col("a")).agg(max(col("cos")).as("ms"))
-      val pick = pool.filter(!col("vec_id").isin(ids: _*))
+      val picks = pool.filter(!col("vec_id").isin(ids: _*))
         .join(ms, col("vec_id") === col("a"))
         .select(col("vec_id"), col("rel"), col("ms"))
         .withColumn("mmr", mmrOf)
         .orderBy(col("mmr").desc, col("vec_id").asc).limit(1)
-        .collect()(0)
-      sel = sel :+ ((sel.length + 1L, pick.getLong(0), pick.getDouble(1),
-        pick.getDouble(2), pick.getDouble(3)))
+        .collect()
+      picks.headOption match {
+        case Some(pick) =>
+          sel = sel :+ ((sel.length + 1L, pick.getLong(0),
+            pick.getDouble(1), pick.getDouble(2), pick.getDouble(3)))
+        case None => exhausted = true
+      }
     }
     sel.toDF("rank", "vec_id", "rel", "max_sim", "mmr")
       .orderBy(col("rank"))

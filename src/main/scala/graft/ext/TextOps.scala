@@ -422,22 +422,27 @@ object TextOps {
     * per-source window ever holds a source's full vocab in one task.
     * The corpus text is scanned once. */
   def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .transform(graft.ext.FanOut(_))
-      .select(col("source"), explode(tokens(col("text"))).as("tok"))
-      .filter(length(col("tok")) > 0)
     // the (source, tok) count table feeds THREE consumers (global
     // counts, source totals, the grid join) — persist makes the
     // single-corpus-scan property structural rather than relying on
     // AQE exchange reuse to collapse three identical tokenize subtrees
     // (the table is observed-|sources×vocab| rows, far below the
-    // corpus). Registered with the session cache registry so
-    // releaseShared() frees it — a bare persist leaked in long
-    // sessions.
-    val bySrcTok = graft.ext.DedupOps.registerCache(
-      toks.groupBy(col("source"), col("tok"))
-        .agg(count(lit(1)).as("obs"))
-        .persist())
+    // corpus). MEMOIZED per dir (repeat invocations in one session
+    // must not stack duplicate persisted copies in the registry) and
+    // registered with the session cache registry so releaseShared()
+    // frees it — a bare per-call persist leaked in long sessions.
+    val bySrcTok = driftTokCache.synchronized {
+      driftTokCache.getOrElseUpdate((spark, dir), {
+        val toks = Tables.documents(spark, dir)
+          .transform(graft.ext.FanOut(_))
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+        graft.ext.DedupOps.registerCache(
+          toks.groupBy(col("source"), col("tok"))
+            .agg(count(lit(1)).as("obs"))
+            .persist())
+      })
+    }
     val byTok = bySrcTok.groupBy(col("tok"))
       .agg(sum(col("obs")).as("g"))
     val bySrc = bySrcTok.groupBy(col("source"))
@@ -640,6 +645,21 @@ object TextOps {
   /** Memoized per-(dir, rounds) training runs: three faces
     * ([[bpeMerges]], [[bpeFertility]], [[bpeTokensPerDoc]]) share one
     * chain — the lrTrain discipline. */
+  private val driftTokCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Drop this object's session-lifetime memos (BPE training chains,
+    * LR weights, drift token table). Called by
+    * [[graft.ext.DedupOps.releaseShared]] with the other session
+    * caches — without this the checkpointed stages pinned by the maps
+    * outlive every consumer in long sessions, and a corpus rewritten
+    * at the same path would be served stale trained state. */
+  private[graft] def clearSessionState(): Unit = {
+    bpeMemo.synchronized(bpeMemo.clear())
+    lrMemo.synchronized(lrMemo.clear())
+    driftTokCache.synchronized(driftTokCache.clear())
+  }
+
   private val bpeMemo = scala.collection.mutable.Map
     .empty[String, (Seq[(Long, String, String, String, Long)], Seq[DataFrame])]
 
@@ -714,6 +734,16 @@ object TextOps {
         r += 1
       }
     }
+    // Fail LOUDLY on exhaustion instead of returning a shorter chain:
+    // the DuckDB oracles replay a fixed-depth e1..eN CTE chain, and a
+    // silently shallower Spark chain would diverge from them (the
+    // oracle's rewrite CTEs degrade to empty tables past the last real
+    // merge). A corpus with fewer than `rounds` learnable merges must
+    // lower `rounds` explicitly.
+    require(!exhausted,
+      s"corpus exhausted BPE merges after ${merges.length} of $rounds " +
+        "rounds — lower `rounds`: the fixed-depth oracle replay cannot " +
+        "follow a shorter chain")
     (merges.toSeq, stages.toSeq)
   }
 

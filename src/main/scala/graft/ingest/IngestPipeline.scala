@@ -150,31 +150,37 @@ object IngestPipeline {
     * can assert the exact poll count per wait state like the jest
     * mocks do. Driver-paced like the reference's setTimeout loop (the
     * production face is IngestStream's ProcessingTime trigger). */
-  def pollForIngest(nextListing: () => DataFrame,
-                    maxPolls: Int = 1000): (IngestParams, Int) = {
+  /** The reference's setTimeout-poll-until-success loop, ONCE for all
+    * four pollers: counts attempts, swallows a NonFatal supplier
+    * failure as "poll again" (ingestor.js:76–80 — AWS/exec error ⇒
+    * log + retry), throws past `maxPolls`. */
+  private def pollUntil[A](maxPolls: Int, what: String)
+                          (attempt: () => Option[A]): (A, Int) = {
     var polls = 0
     while (polls < maxPolls) {
       polls += 1
-      val attempt: Option[IngestParams] =
-        try {
-          val listing = nextListing()
-          if (listing.isEmpty) None // ingestor.js:81 (empty bucket)
-          else {
-            val hasTs = ListingOps.hasTimestampFolders(listing)
-              .collect().headOption.exists(_.getBoolean(0))
-            if (!hasTs) None // ingestor.js:85 (no timestamped folders)
-            else oldestPending(listing) // :91–95 (None ⇒ invalid folders)
-          }
-        } catch { // ingestor.js:76–80 (AWS error ⇒ log + poll again)
-          case scala.util.control.NonFatal(_) => None
-        }
-      attempt match {
-        case Some(p) => return (p, polls)
+      val r = try attempt()
+              catch { case scala.util.control.NonFatal(_) => None }
+      r match {
+        case Some(a) => return (a, polls)
         case None => ()
       }
     }
-    throw new IllegalStateException(s"no valid ingest after $maxPolls polls")
+    throw new IllegalStateException(s"$what after $maxPolls polls")
   }
+
+  def pollForIngest(nextListing: () => DataFrame,
+                    maxPolls: Int = 1000): (IngestParams, Int) =
+    pollUntil(maxPolls, "no valid ingest") { () =>
+      val listing = nextListing()
+      if (listing.isEmpty) None // ingestor.js:81 (empty bucket)
+      else {
+        val hasTs = ListingOps.hasTimestampFolders(listing)
+          .collect().headOption.exists(_.getBoolean(0))
+        if (!hasTs) None // ingestor.js:85 (no timestamped folders)
+        else oldestPending(listing) // :91–95 (None ⇒ invalid folders)
+      }
+    }
 
   /** `waitForManifest` (ingestor.js:109–118) with an injectable
     * supplier: polls until `pending/<name>/manifest.json` appears,
@@ -182,16 +188,10 @@ object IngestPipeline {
     * empty → no ts folders → folder without manifest → manifest,
     * __mocks__/s3-client.js:103–107). */
   def pollForManifest(nextListing: () => DataFrame, ingestName: String,
-                      maxPolls: Int = 1000): Int = {
-    var polls = 0
-    while (polls < maxPolls) {
-      polls += 1
-      val ok = try manifestPresent(nextListing(), ingestName)
-               catch { case scala.util.control.NonFatal(_) => false }
-      if (ok) return polls
-    }
-    throw new IllegalStateException(s"manifest absent after $maxPolls polls")
-  }
+                      maxPolls: Int = 1000): Int =
+    pollUntil(maxPolls, "manifest absent") { () =>
+      if (manifestPresent(nextListing(), ingestName)) Some(()) else None
+    }._2
 
   /** `checkJobStatus` (ingestor.js:211–224) with an injectable kubectl
     * supplier: polls the job JSON until status.succeeded is truthy —
@@ -200,16 +200,10 @@ object IngestPipeline {
     * error → "" → running → complete, __mocks__/child_process.js:51–54,
     * ingestor.spec.js "should wait for a job to finish"). */
   def pollForJobComplete(spark: SparkSession, nextJobsJson: () => String,
-                         maxPolls: Int = 1000): Int = {
-    var polls = 0
-    while (polls < maxPolls) {
-      polls += 1
-      val ok = try KubeOps.jobCompleteJson(spark, nextJobsJson())
-               catch { case scala.util.control.NonFatal(_) => false }
-      if (ok) return polls
-    }
-    throw new IllegalStateException(s"job not complete after $maxPolls polls")
-  }
+                         maxPolls: Int = 1000): Int =
+    pollUntil(maxPolls, "job not complete") { () =>
+      if (KubeOps.jobCompleteJson(spark, nextJobsJson())) Some(()) else None
+    }._2
 
   /** `checkPodStatus` (ingestor.js:196–209) with an injectable supplier:
     * polls the pod JSON until the build container reports ready — exec
@@ -220,16 +214,10 @@ object IngestPipeline {
     * fixture is ready for THIS check — its staleness only matters to
     * the rolling-update freshness poller, [[awaitRollingUpdate]]). */
   def pollForPodReady(spark: SparkSession, nextPodJson: () => String,
-                      maxPolls: Int = 1000): Int = {
-    var polls = 0
-    while (polls < maxPolls) {
-      polls += 1
-      val ok = try KubeOps.podReadyJson(spark, nextPodJson())
-               catch { case scala.util.control.NonFatal(_) => false }
-      if (ok) return polls
-    }
-    throw new IllegalStateException(s"pod not ready after $maxPolls polls")
-  }
+                      maxPolls: Int = 1000): Int =
+    pollUntil(maxPolls, "pod not ready") { () =>
+      if (KubeOps.podReadyJson(spark, nextPodJson())) Some(()) else None
+    }._2
 
   /** J3: files present vs declared; returns (undeclared, missing) names. */
   def reconcile(spark: SparkSession, listing: DataFrame, bucket: String,

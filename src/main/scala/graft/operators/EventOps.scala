@@ -656,6 +656,14 @@ object EventOps {
     * passes over the same (type, day) order. Flag when the cumulative
     * excess tops one full mean day (S > total in scaled units).
     *
+    * The daily grid is DENSE over the stream's observation window
+    * (min..max event day across ALL types): a day with zero events of
+    * a type still emits a row — otherwise outage days silently vanish
+    * from the statistic, the reference mean is computed over active
+    * days only, and the one anomaly a rate-shift monitor exists to
+    * flag (the rate DROPPING) is invisible. The gap-fill is a
+    * |types|×|days| sequence explode — calendar-sized, not data-sized.
+    *
     * Scale: the raw scan is the only data-sized work (map-side
     * combining count to a days×types table); totals broadcast back;
     * both windows ride one hash(type) exchange. */
@@ -663,10 +671,19 @@ object EventOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("day_num"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val daily = events(spark, dir)
+    val sparseDaily = events(spark, dir)
       .groupBy(col("event_type"),
         expr("unix_micros(ts) DIV 86400000000").as("day_num"))
       .agg(count(lit(1)).as("n_events"))
+    val span = sparseDaily.agg(min(col("day_num")).as("d0"),
+      max(col("day_num")).as("d1"))
+    val daily = sparseDaily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day_num"))
+      .join(sparseDaily, Seq("event_type", "day_num"), "left")
+      .select(col("event_type"), col("day_num"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
     val totals = daily.groupBy(col("event_type"))
       .agg(sum(col("n_events")).as("total"), count(lit(1)).as("n_days"))
     daily.join(broadcast(totals), Seq("event_type"))

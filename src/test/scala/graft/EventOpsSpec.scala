@@ -423,6 +423,37 @@ class EventOpsSpec extends SparkSuite {
     }
   }
 
+  test("cusum: zero-event outage days appear in the dense grid and shift the reference mean") {
+    import spark.implicits._
+    // 20 days at 10/day, a 10-day outage (NO events), 10 days at 10/day
+    val day0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = ((0 until 20) ++ (30 until 40)).flatMap { d =>
+      (0 until 10).map { i =>
+        (d * 100L + i,
+          new java.sql.Timestamp(day0 + d * 86400000L + i * 1000L),
+          1L, "a", 1.0, "{}")
+      }
+    }
+    val dir = tmpDir("graft-cusum-gap")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.cusumShift(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+    // DENSE: 40 rows including the 10 zero-event outage days
+    assert(got.length == 40)
+    val byDay = got.sortBy(_._1)
+    assert(byDay.slice(20, 30).forall(_._2 == 0L), "outage days present with 0 events")
+    // recurrence replay over the dense series: total 300, n_days 40
+    var s = 0L
+    val want = byDay.map { case (_, c, _) =>
+      s = math.max(0L, s + (40L * c - 300L)); s
+    }
+    assert(byDay.map(_._3).toSeq == want.toSeq)
+    // the post-outage resumption (rate above the outage-diluted mean)
+    // accumulates positive deviations — the monitor sees the shift
+    assert(want.last > want(29))
+  }
+
   test("weekend chi2: independent mix scores ~0, planted weekend-only type scores high") {
     import spark.implicits._
     // 14 days (2 full weeks). Type "flat" fires 10/day every day;

@@ -459,6 +459,15 @@ class SimilaritySpec extends SparkSuite {
     assert(got.map(_._2).sum >= 20L)
   }
 
+  test("MMR with k larger than the pool returns the exhausted selection, no crash") {
+    // pool = 3 candidates (vec_id 1..3) via maxVecId-free small slice:
+    // restrict by calling with c = 3 and k = 10 — selection stops at 3
+    val got = SimilarityOps.mmrSelect(spark, sf, c = 3, k = 10).collect()
+    assert(got.length == 3)
+    assert(got.map(_.getLong(0)).toSeq == (1L to 3L))
+    assert(got.map(_.getLong(1)).distinct.length == 3)
+  }
+
   test("semantic keeper: total over the corpus, one keeper per cluster, argmax by quality") {
     import org.apache.spark.sql.functions.col
     val rows = SimilarityOps.semanticKeeper(spark, sf).collect()
