@@ -225,9 +225,15 @@ object TextOps {
         (col("n_tokens") - 2 - size(array_distinct(trigrams))).cast("double") /
           (col("n_tokens") - 2))
       .otherwise(lit(0.0))
+    // zip_with over two slices, NOT sequence(0, n-2): Spark's sequence
+    // DESCENDS when the bound goes negative (a 1-token doc yields
+    // [0, -1] and element_at(toks, 2) throws under ANSI), while
+    // DuckDB's range is empty — the slice form is total and empty for
+    // <2 tokens in both engines, so short docs drop identically
     val bigrams = expr(
-      """transform(sequence(0, size(toks) - 2),
-        |  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))""".stripMargin)
+      """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+        |         slice(toks, 2, greatest(size(toks) - 1, 0)),
+        |         (x, y) -> concat(x, ' ', y))""".stripMargin)
     base
       .select(col("doc_id"), col("n_tokens"), dup3.as("dup_trigram_frac"),
         explode(bigrams).as("bg"))

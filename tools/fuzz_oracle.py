@@ -1,0 +1,183 @@
+#!/usr/bin/env python3
+"""Cross-engine fuzz harness: RANDOM corpora through the oracle gate.
+
+The per-round correctness gate replays every query against DuckDB on
+the FIXED driver testdata — strong, but one corpus. This harness
+generates adversarial random corpora (empty/whitespace/unicode docs,
+exact and near duplicates, gapped event days, planted near-dup
+embeddings, degenerate labels) and runs the documents/events/embeddings
+query families through the SAME Verify + check_correctness pipeline.
+A mismatch here is a real cross-engine divergence the fixed corpus
+never exercised.
+
+Usage: python3 tools/fuzz_oracle.py [n_seeds] [seed0]
+Writes corpora under /tmp/graft_fuzz/<seed>/ and prints one PASS/FAIL
+line per seed; exits nonzero on any failure.
+"""
+import json
+import os
+import random
+import shutil
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORDS = (
+    "the of and to in a is that for it as was with be by on not he this are "
+    "or his from at which but have an had they you were their one all we can "
+    "her has there been if more when will would who so no out up into than "
+    "data engine spark query table column window stream batch shard corpus "
+    "héllo wörld café naïve über 日本 語で 中文 текст słowo").split()
+
+TYPES = ["click", "view", "error", "purchase", "signup"]
+
+
+def gen_documents(rng, n):
+    rows = []
+    base_texts = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.04:
+            text = ""
+        elif r < 0.07:
+            text = "   \t  "
+        elif r < 0.15 and base_texts:
+            text = rng.choice(base_texts)  # exact duplicate
+        elif r < 0.28 and base_texts:
+            # near duplicate: mutate ~5% of one base doc's words
+            t = rng.choice(base_texts).split()
+            for _ in range(max(1, len(t) // 20)):
+                if t:
+                    t[rng.randrange(len(t))] = rng.choice(WORDS)
+            text = " ".join(t)
+        else:
+            nw = rng.randint(1, 140)
+            text = " ".join(rng.choice(WORDS) for _ in range(nw))
+            if nw >= 20:
+                base_texts.append(text)
+        rows.append((i, text, rng.choice(["en", "fr", "de", "zz"]),
+                     f"src{rng.randrange(4)}", len(text)))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def gen_events(rng, n_users=40, n_days=45):
+    # leave a contiguous gap of days with NO events (the dense-CUSUM
+    # grid must agree across engines on gap days too)
+    gap0 = rng.randrange(10, 25)
+    gap1 = gap0 + rng.randrange(3, 8)
+    day0_us = 1704067200000000  # 2024-01-01 UTC in micros
+    rows = []
+    eid = 0
+    for d in range(n_days):
+        if gap0 <= d < gap1:
+            continue
+        for _ in range(rng.randrange(5, 60)):
+            us = day0_us + d * 86400000000 + rng.randrange(86400000000)
+            rows.append((eid, us, rng.randrange(n_users),
+                         rng.choice(TYPES), round(rng.uniform(0, 50), 2),
+                         '{"k": %d}' % rng.randrange(100)))
+            eid += 1
+    rows.sort(key=lambda r: r[1])
+    rows = [(i,) + r[1:] for i, r in enumerate(rows)]
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+
+
+def gen_embeddings(rng, n):
+    vecs = []
+    for i in range(n):
+        if i > 10 and rng.random() < 0.25:
+            # near-duplicate of an earlier vector: tiny perturbation
+            src = list(vecs[rng.randrange(len(vecs))])
+            j = rng.randrange(64)
+            src[j] = src[j] + rng.uniform(-0.01, 0.01)
+            vecs.append(src)
+        else:
+            vecs.append([rng.uniform(-0.3, 0.3) for _ in range(64)])
+    # float32 round-trip NOW so what Spark reads == what DuckDB reads
+    f32 = [[float(pa.scalar(x, pa.float32()).as_py()) for x in v]
+           for v in vecs]
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(f32, pa.list_(pa.float32())),
+        "label": pa.array([rng.randrange(4) for _ in range(n)], pa.int32()),
+    })
+
+
+# families whose inputs this harness generates; cp_*/q_* (fixtures and
+# TPC-H tables) are covered by the fixed-corpus gate only
+PREFIXES = ("text_", "dedup_", "ev_", "sim_", "mm_", "samp_")
+# faces that hold per-corpus trained/served state in session memos keyed
+# by dir are safe (dir differs per seed); nothing excluded by default
+EXCLUDE = set()
+
+
+def run_seed(seed):
+    d = f"/tmp/graft_fuzz/{seed}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    rng = random.Random(seed)
+    pq.write_table(gen_documents(rng, 100), f"{d}/documents.parquet")
+    pq.write_table(gen_events(rng), f"{d}/events.parquet")
+    pq.write_table(gen_embeddings(rng, 100), f"{d}/embeddings.parquet")
+
+    # query subset from the committed registry (any prior verify dump)
+    names = sorted(n for n in json.load(
+        open(f"{d}/../oracle_sql.json")) if n.startswith(PREFIXES)
+        and n not in EXCLUDE)
+    out = f"{d}/out"
+    r = subprocess.run(
+        ["sbt", "-batch",
+         f"runMain graft.Verify {d} {out} {','.join(names)}"],
+        cwd=REPO, capture_output=True, text=True, timeout=3600)
+    errs = [l for l in r.stderr.splitlines() if "[verify]" in l]
+    if errs or r.returncode != 0:
+        print(f"seed {seed}: VERIFY ERRORS")
+        for e in errs[:10]:
+            print("  ", e)
+        return False
+    c = subprocess.run(
+        [sys.executable, "tools/check_correctness.py", d, out],
+        cwd=REPO, capture_output=True, text=True, timeout=3600)
+    tail = c.stdout.strip().splitlines()[-1] if c.stdout.strip() else "?"
+    ok = "ALL GREEN" in tail
+    print(f"seed {seed}: {tail}" if ok else f"seed {seed}: FAIL\n{c.stdout[-4000:]}")
+    return ok
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    os.makedirs("/tmp/graft_fuzz", exist_ok=True)
+    # registry snapshot for the name list
+    src = None
+    for cand in ("/tmp/vout/oracle_sql.json",):
+        if os.path.exists(cand):
+            src = cand
+    if src is None:
+        sys.exit("need a prior Verify dump at /tmp/vout for the name list")
+    shutil.copy(src, "/tmp/graft_fuzz/oracle_sql.json")
+    bad = [s for s in range(seed0, seed0 + n) if not run_seed(s)]
+    if bad:
+        sys.exit(f"FUZZ FAILURES: seeds {bad}")
+    print(f"fuzz: {n} seeds ALL GREEN")
+
+
+if __name__ == "__main__":
+    main()
