@@ -38,6 +38,12 @@ object BloomOps {
                            bigKey: String, smallKey: String,
                            expectedItems: Long = 1L << 17,
                            fpp: Double = 0.01): DataFrame = {
+    // an EMPTY build side NPEs inside stat.bloomFilter's aggregate
+    // (null merge buffer); the prefilter is pointless there anyway —
+    // the plain join is already the (empty) answer. One head(1) job
+    // against the SMALL side is noise next to the sketch pass.
+    if (small.isEmpty)
+      return big.join(small, big(bigKey) === small(smallKey))
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bytes = {
       val os = new ByteArrayOutputStream()

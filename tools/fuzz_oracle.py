@@ -120,9 +120,104 @@ def gen_embeddings(rng, n):
     })
 
 
-# families whose inputs this harness generates; cp_*/q_* (fixtures and
-# TPC-H tables) are covered by the fixed-corpus gate only
-PREFIXES = ("text_", "dedup_", "ev_", "sim_", "mm_", "samp_")
+def money(rng, lo, hi):
+    return round(rng.uniform(lo, hi), 2)
+
+
+def gen_tpch(rng, d):
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": pa.array(regions, pa.string())}), f"{d}/region.parquet")
+    n_nat = 10
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(range(n_nat), pa.int32()),
+        "n_name": pa.array([f"NATION{i}" for i in range(n_nat)], pa.string()),
+        "n_regionkey": pa.array([rng.randrange(5) for _ in range(n_nat)],
+                                pa.int32())}), f"{d}/nation.parquet")
+    segs = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
+    n_cust = 30
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(1, n_cust + 1), pa.int64()),
+        "c_name": pa.array([f"Customer#{i}" for i in range(1, n_cust + 1)]),
+        "c_nationkey": pa.array([rng.randrange(n_nat) for _ in range(n_cust)],
+                                pa.int32()),
+        # plant boundary balances around the q_outer_full 9000 filter
+        "c_acctbal": pa.array(
+            [9000.0 if i == 1 else money(rng, -999, 11000)
+             for i in range(1, n_cust + 1)], pa.float64()),
+        "c_mktsegment": pa.array([rng.choice(segs) for _ in range(n_cust)]),
+    }), f"{d}/customer.parquet")
+    n_supp = 10
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(range(1, n_supp + 1), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i}" for i in range(1, n_supp + 1)]),
+        "s_nationkey": pa.array([rng.randrange(n_nat) for _ in range(n_supp)],
+                                pa.int32()),
+        "s_acctbal": pa.array([money(rng, -999, 11000) for _ in range(n_supp)],
+                              pa.float64())}), f"{d}/supplier.parquet")
+    n_part = 40
+    types = ["ECONOMY", "MEDIUM", "LARGE", "STANDARD", "SMALL", "PROMO"]
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(range(1, n_part + 1), pa.int64()),
+        "p_name": pa.array([f"part {i}" for i in range(1, n_part + 1)]),
+        "p_brand": pa.array([f"Brand#{rng.randrange(1, 26)}"
+                             for _ in range(n_part)]),
+        "p_type": pa.array([rng.choice(types) for _ in range(n_part)]),
+        "p_size": pa.array([rng.randrange(1, 51) for _ in range(n_part)],
+                           pa.int32()),
+        "p_retailprice": pa.array([money(rng, 900, 2000)
+                                   for _ in range(n_part)], pa.float64()),
+    }), f"{d}/part.parquet")
+    day0_us = 788918400000000  # 1995-01-01 UTC
+    span_days = 2400           # through mid-2001 (covers the 95/96 sketches)
+    n_ord = 200
+    statuses = ["O", "F", "P"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    # some customers never order (outer joins must emit them)
+    cust_pool = [c for c in range(1, n_cust + 1) if c % 7 != 0]
+    odates = [day0_us + rng.randrange(span_days) * 86400000000
+              for _ in range(n_ord)]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(1, n_ord + 1), pa.int64()),
+        "o_custkey": pa.array([rng.choice(cust_pool) for _ in range(n_ord)],
+                              pa.int64()),
+        "o_orderstatus": pa.array([rng.choice(statuses) for _ in range(n_ord)]),
+        "o_totalprice": pa.array([money(rng, 1000, 300000)
+                                  for _ in range(n_ord)], pa.float64()),
+        "o_orderdate": pa.array(odates, pa.timestamp("us")),
+        "o_orderpriority": pa.array([rng.choice(prios) for _ in range(n_ord)]),
+    }), f"{d}/orders.parquet")
+    rows = []
+    for ok in range(1, n_ord + 1):
+        if ok % 11 == 0:
+            continue  # orders with NO lineitems (outer joins / anti joins)
+        for ln in range(1, rng.randrange(1, 6) + 1):
+            rows.append((
+                ok, rng.randrange(1, n_part + 1), rng.randrange(1, n_supp + 1),
+                ln, float(rng.randrange(1, 51)), money(rng, 900, 100000),
+                round(rng.uniform(0, 0.1), 2), round(rng.uniform(0, 0.08), 2),
+                rng.choice(["A", "N", "R"]), rng.choice(["O", "F"]),
+                odates[ok - 1] + rng.randrange(1, 120) * 86400000000))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+        "l_linenumber": pa.array([r[3] for r in rows], pa.int32()),
+        "l_quantity": pa.array([r[4] for r in rows], pa.float64()),
+        "l_extendedprice": pa.array([r[5] for r in rows], pa.float64()),
+        "l_discount": pa.array([r[6] for r in rows], pa.float64()),
+        "l_tax": pa.array([r[7] for r in rows], pa.float64()),
+        "l_returnflag": pa.array([r[8] for r in rows], pa.string()),
+        "l_linestatus": pa.array([r[9] for r in rows], pa.string()),
+        "l_shipdate": pa.array([r[10] for r in rows], pa.timestamp("us")),
+    }), f"{d}/lineitem.parquet")
+
+
+# families whose inputs this harness generates; cp_* (fixture listings,
+# independent of the corpus dir) stay on the fixed-corpus gate
+PREFIXES = ("text_", "dedup_", "ev_", "sim_", "mm_", "samp_",
+            "q_", "q1_", "q3_", "q5_")
 # faces that hold per-corpus trained/served state in session memos keyed
 # by dir are safe (dir differs per seed); nothing excluded by default
 EXCLUDE = set()
@@ -136,6 +231,7 @@ def run_seed(seed):
     pq.write_table(gen_documents(rng, 100), f"{d}/documents.parquet")
     pq.write_table(gen_events(rng), f"{d}/events.parquet")
     pq.write_table(gen_embeddings(rng, 100), f"{d}/embeddings.parquet")
+    gen_tpch(rng, d)
 
     # query subset from the committed registry (any prior verify dump)
     names = sorted(n for n in json.load(
