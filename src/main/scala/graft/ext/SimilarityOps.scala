@@ -563,15 +563,27 @@ object SimilarityOps {
     int8GridCache.synchronized(int8GridCache.clear())
     // served-index artifacts: drop the memo AND the temp dirs it
     // created (one per (kind, dir) — they otherwise accumulate on
-    // disk for the JVM's lifetime)
+    // disk for the JVM's lifetime). Deletion is per-entry
+    // failure-isolated and the map clears REGARDLESS: a half-deleted
+    // dir must never stay memoized (a later served query would read a
+    // truncated index), and one bad entry must not abort the rest of
+    // releaseShared.
     servedArtifactCache.synchronized {
       servedArtifactCache.values.foreach { d =>
-        val root = java.nio.file.Paths.get(d)
-        if (java.nio.file.Files.exists(root)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        try {
+          val root = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(root)) {
+            val walk = java.nio.file.Files.walk(root)
+            try {
+              import scala.jdk.CollectionConverters._
+              walk.iterator().asScala.toSeq
+                .sortBy(-_.getNameCount)
+                .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            } finally walk.close()
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] artifact cleanup of $d failed: $e")
         }
       }
       servedArtifactCache.clear()

@@ -671,10 +671,16 @@ object EventOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("day_num"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // localCheckpoint: three subplans consume this table (the span
+    // aggregate, the distinct-types grid, the left join) — pin it so
+    // the single-raw-scan property is structural, not an AQE
+    // exchange-reuse accident (the sourceDrift rule); the table is
+    // calendar-days × types sized, far below the corpus
     val sparseDaily = events(spark, dir)
       .groupBy(col("event_type"),
         expr("unix_micros(ts) DIV 86400000000").as("day_num"))
       .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint()
     val span = sparseDaily.agg(min(col("day_num")).as("d0"),
       max(col("day_num")).as("d1"))
     val daily = sparseDaily.select(col("event_type")).distinct()

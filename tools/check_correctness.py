@@ -89,8 +89,8 @@ def main():
     # tz-aware render must not depend on the host's local zone
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
-        # tolerate partial corpora (the fuzz harness generates only the
-        # documents/events/embeddings families)
+        # tolerate partial corpora (a fuzz/scratch dir need not carry
+        # every table; queries over a missing view fail individually)
         if os.path.exists(f"{sf_dir}/{t}.parquet"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

@@ -238,19 +238,27 @@ def run_seed(seed):
         open(f"{d}/../oracle_sql.json")) if n.startswith(PREFIXES)
         and n not in EXCLUDE)
     out = f"{d}/out"
-    r = subprocess.run(
-        ["sbt", "-batch",
-         f"runMain graft.Verify {d} {out} {','.join(names)}"],
-        cwd=REPO, capture_output=True, text=True, timeout=3600)
+    try:
+        r = subprocess.run(
+            ["sbt", "-batch",
+             f"runMain graft.Verify {d} {out} {','.join(names)}"],
+            cwd=REPO, capture_output=True, text=True, timeout=3600)
+    except subprocess.TimeoutExpired:
+        print(f"seed {seed}: VERIFY TIMEOUT")
+        return False
     errs = [l for l in r.stderr.splitlines() if "[verify]" in l]
     if errs or r.returncode != 0:
         print(f"seed {seed}: VERIFY ERRORS")
         for e in errs[:10]:
             print("  ", e)
         return False
-    c = subprocess.run(
-        [sys.executable, "tools/check_correctness.py", d, out],
-        cwd=REPO, capture_output=True, text=True, timeout=3600)
+    try:
+        c = subprocess.run(
+            [sys.executable, "tools/check_correctness.py", d, out],
+            cwd=REPO, capture_output=True, text=True, timeout=3600)
+    except subprocess.TimeoutExpired:
+        print(f"seed {seed}: CHECKER TIMEOUT")
+        return False
     tail = c.stdout.strip().splitlines()[-1] if c.stdout.strip() else "?"
     ok = "ALL GREEN" in tail
     print(f"seed {seed}: {tail}" if ok else f"seed {seed}: FAIL\n{c.stdout[-4000:]}")
@@ -262,11 +270,8 @@ def main():
     seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     os.makedirs("/tmp/graft_fuzz", exist_ok=True)
     # registry snapshot for the name list
-    src = None
-    for cand in ("/tmp/vout/oracle_sql.json",):
-        if os.path.exists(cand):
-            src = cand
-    if src is None:
+    src = "/tmp/vout/oracle_sql.json"
+    if not os.path.exists(src):
         sys.exit("need a prior Verify dump at /tmp/vout for the name list")
     shutil.copy(src, "/tmp/graft_fuzz/oracle_sql.json")
     bad = [s for s in range(seed0, seed0 + n) if not run_seed(s)]
