@@ -91,6 +91,22 @@ object Bench {
       else s
     }
     val loadEnd = loadavg()
+    // Evidence-hygiene rule (rounds 9-11), now structural: per-query
+    // timings recorded on a loaded box are not comparable round-over-
+    // round (colds swing 3-10x under contention), so the artifact
+    // certifies its own window. load_start above the threshold marks
+    // the WHOLE artifact contaminated; regression arguments must cite
+    // an uncontaminated run.
+    val idleMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_MAX", "1.5").toDouble
+    val contaminated =
+      try loadStart.toDouble > idleMax catch { case _: Throwable => true }
+    val contamField =
+      if (contaminated) s""","contaminated":true,"idle_max":$idleMax"""
+      else ""
+    if (contaminated)
+      System.err.println(
+        s"[bench] WARNING: load_start $loadStart > $idleMax — artifact marked contaminated")
     def line(dec: Int, keep: Int): String = {
       val slowestFirst = results.toSeq.sortBy(-_._2)
       val kept = slowestFirst.take(keep)
@@ -112,7 +128,7 @@ object Bench {
       val errs = if (errNames.nonEmpty)
         s""","errs":${errNames.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       else ""
-      val load = s""","load_start":$loadStart,"load_end":$loadEnd"""
+      val load = s""","load_start":$loadStart,"load_end":$loadEnd$contamField"""
       s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","n_ok":$nOk,"n_err":${errNames.size}$wTotal,"queries":$qs$errs$load$omit,"sf":"$sfDir"}"""
     }
     // Full per-query detail (cold + warm median) goes to a repo-local
@@ -125,7 +141,7 @@ object Bench {
         val w = warmMed.get(k).map(m => s""","warm_med":${fmt(m, 2)}""").getOrElse("")
         s""""$k":{"cold":${if (v < 0) "-1" else fmt(v, 2)}$w}"""
       }.mkString("{", ",", "}")
-      val body = s"""{"sf":"$sfDir","runs":$runs,"n_ok":$nOk,"n_err":${errNames.size},"load_start":$loadStart,"load_end":$loadEnd,"queries":$detail}"""
+      val body = s"""{"sf":"$sfDir","runs":$runs,"n_ok":$nOk,"n_err":${errNames.size},"load_start":$loadStart,"load_end":$loadEnd$contamField,"queries":$detail}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         body.getBytes("UTF-8"))
     } catch { case e: Throwable =>
