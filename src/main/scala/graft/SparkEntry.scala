@@ -2337,6 +2337,8 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Relational.statusPriorityPivot(s, d)),
     "q_ntile" -> ((s, d) => Relational.balanceQuartiles(s, d)),
     "q_corr_scalar" -> ((s, d) => Relational.maxPricedLineitems(s, d)),
+    "q_min_cost_supplier" -> ((s, d) => Relational.minCostSupplier(s, d)),
+    "q_sole_blame" -> ((s, d) => Relational.soleBlameSuppliers(s, d)),
     "q_quarterly" -> ((s, d) => Relational.quarterlyRevenue(s, d)),
     "q_string_funcs" -> ((s, d) => Relational.partTypeStats(s, d)),
     "q_array_agg" -> ((s, d) => Relational.orderKeyArraysCsv(s, d)),
@@ -2617,6 +2619,35 @@ object SparkEntry {
     "q_pivot" -> qPivotSql,
     "q_ntile" -> qNtileSql,
     "q_corr_scalar" -> qCorrScalarSql,
+    // Q2 shape: the ORACLE keeps the correlated scalar-min subquery
+    // (DuckDB decorrelates it the same way the Spark side is written)
+    "q_min_cost_supplier" ->
+      """SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+        |  n.n_name, l.l_extendedprice AS min_price
+        |FROM part p, lineitem l, supplier s, nation n
+        |WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = n.n_nationkey AND p.p_size <= 5
+        |  AND l.l_extendedprice =
+        |      (SELECT min(l2.l_extendedprice) FROM lineitem l2
+        |       WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin,
+    // Q21 shape: chained EXISTS / NOT EXISTS with a supplier-inequality
+    // residual on the order key
+    "q_sole_blame" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s, lineitem l1, orders o
+        |WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+        |  AND o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 20""".stripMargin,
     "q_quarterly" -> qQuarterlySql,
     "q_string_funcs" -> qStringFuncsSql,
     "q_array_agg" -> qArrayAggSql,

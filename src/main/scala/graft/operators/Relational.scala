@@ -120,6 +120,74 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** TPC-H Q2 shape (J2 depth): for each small part, the suppliers who
+    * sold it at its corpus-wide MINIMUM sale price — a correlated
+    * scalar-min subquery (`price = (SELECT min(price) ... WHERE same
+    * part)`) decorrelated into the aggregate-then-equijoin plan
+    * Catalyst itself produces for the SQL form: one map-side-combinable
+    * per-part min over lineitem, joined back on (partkey, price).
+    *
+    * Scale: the min aggregate and the join-back shuffle on l_partkey —
+    * the same key, so AQE reuses the exchange; part (filtered) and
+    * supplier⋈nation are broadcast dims. DISTINCT collapses tie rows
+    * (same part, same supplier, same price sold twice); double equality
+    * is engine-exact because both sides are the same parquet values. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perPartMin = li.groupBy(col("l_partkey").as("mp_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    val p = Tables.part(spark, dir).filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    li.join(perPartMin,
+        col("l_partkey") === col("mp_partkey") &&
+          col("l_extendedprice") === col("min_price"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("min_price"))
+      .distinct()
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
+  /** TPC-H Q21 shape (J4 depth): "sole-blame" suppliers — in a finished
+    * multi-supplier order, this supplier's lineitem came back returned
+    * AND no other supplier's did. One correlated EXISTS (another
+    * supplier participated: left_semi) chained with one correlated NOT
+    * EXISTS (another supplier also failed: left_anti), both keyed on
+    * the order with the supplier inequality as the join residual, then
+    * a per-supplier count and a deterministic top page.
+    *
+    * Scale: both subquery probes shuffle on l_orderkey (AQE reuses the
+    * exchange across the semi and anti stages); supplier is a broadcast
+    * dim; the final top-20 is a TakeOrderedAndProject, not a global
+    * sort. The (numwait DESC, s_name) order is total because s_name is
+    * unique, so the LIMIT cut is deterministic in both engines. */
+  def soleBlameSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val finished = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .join(finished, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    l1.join(l2, col("l_orderkey") === col("ok2") &&
+          col("l_suppkey") =!= col("sk2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("ok3") &&
+          col("l_suppkey") =!= col("sk3"), "left_anti")
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
   // --- A7: rollup / cube ---------------------------------------------------
 
   def rollupSummary(spark: SparkSession, dir: String): DataFrame = {

@@ -20,6 +20,28 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("Q2 shape: decorrelated min joins back on the part key, dims broadcast") {
+    val p = plan("q_min_cost_supplier")
+    // the correlated scalar min decorrelates to one per-part aggregate
+    // joined back to lineitem; part and supplier⋈nation ride broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p.take(1200))
+    assert(p.contains("HashAggregate"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
+  test("Q21 shape: chained semi then anti probe on the order key, top page fused") {
+    val p = plan("q_sole_blame")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(p.contains("LeftAnti"), p.take(1200))
+    // supplier dim must broadcast; the final page is a bounded top-k,
+    // not a global sort
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
   test("top-k queries fuse to TakeOrderedAndProject (no global sort)") {
     assert(plan("q3_top_revenue_orders").contains("TakeOrderedAndProject"))
     assert(plan("cp_oldest_ingest").contains("TakeOrderedAndProject"))
