@@ -1713,27 +1713,37 @@ object SparkEntry {
     s"""WITH $simPqChainCtes,
       |${recallGraftSql("e")}""".stripMargin
 
+  /** The hyperplane matrix as a DuckDB nested-list literal — the
+    * rpMatrixSql discipline: splitmix64-mixed components are computed
+    * ONCE in Scala (SimilarityOps.planeComponent) and interpolated as
+    * doubles (`Double.toString` round-trips exactly), so the oracle
+    * holds bit-identical planes with no in-SQL generator replay. */
+  private def lshPlaneMatrixSql(nPlanesTotal: Int): String =
+    (0 until nPlanesTotal).map { p =>
+      (0 until 64).map(j =>
+        graft.ext.SimilarityOps.planeComponent(p, j).toString)
+        .mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
+
   /** Full replication of the multi-table hyperplane-LSH near-dup join:
-    * the planes are integer-LCG literals (planeComponent — exact in any
-    * engine: the 31-bit value is exactly representable, /2^31 and −0.5
-    * are exact), the plane dots are in-order double folds (bit-identical
-    * to list_sum(list_transform(...)) — the same contract the green
+    * the planes are interpolated literals (lshPlaneMatrixSql), the
+    * plane dots are in-order double folds (bit-identical to
+    * list_sum(list_transform(...)) — the same contract the green
     * brute-force oracle relies on), so bucket membership, the candidate
     * set, and the verified cosines all reproduce exactly. */
   // Shared CTE chain for the embedding near-dup faces: LCG hyperplane
   // buckets per table, candidate equi-join, exact cosine verify.
   // Declared RECURSIVE so the cluster face can append the reachability
   // walk; the pair face simply doesn't use the recursion.
-  private val simNearDupCtes: String =
-    """WITH RECURSIVE emb AS (SELECT vec_id, embedding FROM embeddings),
+  private lazy val simNearDupCtes: String =
+    s"""WITH RECURSIVE emb AS (SELECT vec_id, embedding FROM embeddings),
+      |pm AS (SELECT ${lshPlaneMatrixSql(12)} AS m),
       |tp AS (SELECT t, p FROM generate_series(0, 1) g1(t)
       |       CROSS JOIN generate_series(0, 5) g2(p)),
       |dots AS (SELECT e.vec_id, tp.t, tp.p,
       |    list_sum(list_transform(range(1, 65),
-      |      j -> CAST(e.embedding[j] AS DOUBLE) *
-      |           (CAST((CAST(1103515245 AS BIGINT) * ((tp.t * 6 + tp.p) * 64 + j)
-      |                  + 12345) & 2147483647 AS DOUBLE) / 2147483648.0 - 0.5))) AS d
-      |  FROM emb e CROSS JOIN tp),
+      |      j -> CAST(e.embedding[j] AS DOUBLE) * pm.m[tp.t * 6 + tp.p + 1][j])) AS d
+      |  FROM emb e CROSS JOIN tp, pm),
       |buck AS (SELECT vec_id, t,
       |    CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
       |  FROM dots GROUP BY vec_id, t),
@@ -1758,16 +1768,15 @@ object SparkEntry {
   // sim_decontaminate: same LCG buckets, but candidates are
   // train(label != 0) x holdout(label = 0) bucket collisions; exact
   // cosine verify, per-train-vector match count, flag.
-  private val simDecontaminateSql: String =
-    """WITH emb AS (SELECT vec_id, label, embedding FROM embeddings),
+  private lazy val simDecontaminateSql: String =
+    s"""WITH emb AS (SELECT vec_id, label, embedding FROM embeddings),
+      |pm AS (SELECT ${lshPlaneMatrixSql(12)} AS m),
       |tp AS (SELECT t, p FROM generate_series(0, 1) g1(t)
       |       CROSS JOIN generate_series(0, 5) g2(p)),
       |dots AS (SELECT e.vec_id, tp.t, tp.p,
       |    list_sum(list_transform(range(1, 65),
-      |      j -> CAST(e.embedding[j] AS DOUBLE) *
-      |           (CAST((CAST(1103515245 AS BIGINT) * ((tp.t * 6 + tp.p) * 64 + j)
-      |                  + 12345) & 2147483647 AS DOUBLE) / 2147483648.0 - 0.5))) AS d
-      |  FROM emb e CROSS JOIN tp),
+      |      j -> CAST(e.embedding[j] AS DOUBLE) * pm.m[tp.t * 6 + tp.p + 1][j])) AS d
+      |  FROM emb e CROSS JOIN tp, pm),
       |buck AS (SELECT vec_id, t,
       |    CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
       |  FROM dots GROUP BY vec_id, t),
@@ -1845,32 +1854,41 @@ object SparkEntry {
       |SELECT doc_id, cluster, quality, (rn = 1) AS kept
       |FROM rk ORDER BY doc_id""".stripMargin
 
-  /** Replication of the OR-amplified multi-probe LSH top-k: 4 tables ×
-    * 9-plane buckets (same LCG planes, global plane index t·9+p; 512
-    * buckets/table sizes the corpus/bucket ratio for recall at the test
-    * SFs), probes = the Hamming-radius-≤2 mask list interpolated from
-    * SimilarityOps.lshProbeMasks (identical probed-bucket set by
-    * construction), candidates on (table, bucket) equality, exact
-    * cosine ranking with the (cos DESC, vec_id ASC) tie-break both
-    * engines share. */
+  /** Replication of the query-directed multi-probe LSH top-k: 5 tables
+    * × 9-plane buckets (interpolated splitmix64 planes, global plane
+    * index t·9+p; 512 buckets/table sizes the corpus/bucket ratio for
+    * recall at the test SFs); per (query, table) the probe set is every
+    * subset of the 6 planes with smallest |dot| (ties by in-table plane
+    * index — the same (|d|, p) struct sort the Spark side runs), so the
+    * probed bucket SET is identical by construction. Candidates on
+    * (table, bucket) equality, exact cosine ranking with the
+    * (cos DESC, vec_id ASC) tie-break both engines share. */
   // CTE-only form so sim_ann_eval can graft the brute-force truth and
   // the hit join onto the same chain (the spanChainCtes pattern)
   private lazy val simLshChainCtes: String =
     s"""emb AS (SELECT vec_id, embedding FROM embeddings),
-      |pl AS (SELECT p FROM generate_series(0, 35) g(p)),
+      |pm AS (SELECT ${lshPlaneMatrixSql(45)} AS m),
+      |pl AS (SELECT p FROM generate_series(0, 44) g(p)),
       |dots AS (SELECT e.vec_id, pl.p,
       |    list_sum(list_transform(range(1, 65),
-      |      j -> CAST(e.embedding[j] AS DOUBLE) *
-      |           (CAST((CAST(1103515245 AS BIGINT) * (pl.p * 64 + j)
-      |                  + 12345) & 2147483647 AS DOUBLE) / 2147483648.0 - 0.5))) AS d
-      |  FROM emb e CROSS JOIN pl),
+      |      j -> CAST(e.embedding[j] AS DOUBLE) * pm.m[pl.p + 1][j])) AS d
+      |  FROM emb e CROSS JOIN pl, pm),
       |buck AS (SELECT vec_id, p // 9 AS tbl,
       |    CAST(sum(CASE WHEN d > 0 THEN 1 << (p % 9) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM dots GROUP BY vec_id, p // 9),
-      |probes AS (SELECT q.vec_id AS qid, q.tbl, xor(q.bucket, m.mask) AS bucket
-      |  FROM buck q CROSS JOIN (SELECT unnest(CAST(
-      |    [${graft.ext.SimilarityOps.lshProbeMasks(9, 2).mkString(", ")}]
-      |    AS BIGINT[])) AS mask) m
+      |qd AS (SELECT vec_id, p // 9 AS tbl, p % 9 AS lp,
+      |    row_number() OVER (PARTITION BY vec_id, p // 9
+      |                       ORDER BY abs(d), p % 9) AS rn
+      |  FROM dots WHERE vec_id < 5),
+      |lowp AS (SELECT vec_id, tbl, list(lp ORDER BY rn) AS lps
+      |  FROM qd WHERE rn <= 6 GROUP BY vec_id, tbl),
+      |gg AS (SELECT g FROM generate_series(0, 63) t(g)),
+      |probes AS (SELECT q.vec_id AS qid, q.tbl,
+      |    xor(q.bucket, CAST(list_sum(list_transform(range(1, 7),
+      |      i -> CASE WHEN (gg.g >> (i - 1)) & 1 = 1
+      |                THEN 1 << l.lps[i] ELSE 0 END)) AS BIGINT)) AS bucket
+      |  FROM buck q JOIN lowp l ON l.vec_id = q.vec_id AND l.tbl = q.tbl
+      |  CROSS JOIN gg
       |  WHERE q.vec_id < 5),
       |cand AS (SELECT DISTINCT p.qid, c.vec_id
       |  FROM probes p JOIN buck c ON p.tbl = c.tbl AND p.bucket = c.bucket

