@@ -24,29 +24,20 @@ object SparkEntry {
 
   // --- helpers to keep fixture literals single-sourced ----------------------
 
-  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
-
-  private def listingValues(keys: Seq[String]): String =
-    keys.map(k => s"(${sqlStr(k)})").mkString(", ")
-
-  private def labeledListingValues(rows: Seq[(String, String)]): String =
-    rows.map { case (l, k) => s"(${sqlStr(l)}, ${sqlStr(k)})" }.mkString(", ")
+  private def sqlStr(s: String): String = CpFaces.sqlStr(s)
 
   // ==========================================================================
-  // Control-plane queries (reference semantics over fixture listings)
+  // Control-plane queries (reference semantics over fixture listings) —
+  // face + oracle pairs live in CpFaces, parameterized so graft.FuzzCp
+  // can drive the SAME chains with randomized inputs; here they are
+  // instantiated with the reference-transliterated Fixtures constants.
   // ==========================================================================
 
   private def cpOldestIngest(s: SparkSession, dir: String): DataFrame =
-    ListingOps.oldestPendingIngest(Fixtures.listing(s, Fixtures.outOfOrderKeys))
+    CpFaces.oldestIngest(Fixtures.outOfOrderKeys)(s)
 
   private val cpOldestIngestSql: String =
-    s"""WITH listing(key) AS (VALUES ${listingValues(Fixtures.outOfOrderKeys)}),
-       |parts AS (SELECT string_split(key, '/') AS p FROM listing),
-       |marked AS (SELECT p[2] AS "ingestName", p[3] AS f FROM parts
-       |           WHERE p[3] IN ('bulk.txt', 'incremental.txt')
-       |             AND try_cast(p[2] AS BIGINT) >= 0)
-       |SELECT "ingestName", replace(f, '.txt', '') AS "ingestType"
-       |FROM marked ORDER BY try_cast("ingestName" AS BIGINT) LIMIT 1""".stripMargin
+    CpFaces.oldestIngestSql(Fixtures.outOfOrderKeys)
 
   private val labeledFixtures: Seq[(String, String)] =
     Fixtures.tsFolderKeys.map(("ts_folders", _)) ++
@@ -54,159 +45,49 @@ object SparkEntry {
       Fixtures.badFolderKeys.map(("bad_folders", _)) ++
       Fixtures.outOfOrderKeys.map(("out_of_order", _))
 
-  private def cpHasTsFolders(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val df = labeledFixtures.toDF("fixture", "key")
-    df.select(col("fixture"), get(split(col("key"), "/"), lit(1)).as("folder"))
-      .groupBy(col("fixture"))
-      .agg(max(when(ListingOps.isTimestamp(col("folder")), true).otherwise(false))
-        .as("has_ts_folders"))
-      .orderBy(col("fixture"))
-  }
+  private def cpHasTsFolders(s: SparkSession, dir: String): DataFrame =
+    CpFaces.hasTsFolders(labeledFixtures)(s)
 
   private val cpHasTsFoldersSql: String =
-    s"""WITH listing(fixture, key) AS (VALUES ${labeledListingValues(labeledFixtures)})
-       |SELECT fixture,
-       |       max(CASE WHEN try_cast(string_split(key, '/')[2] AS BIGINT) >= 0
-       |                THEN true ELSE false END) AS has_ts_folders
-       |FROM listing GROUP BY fixture ORDER BY fixture""".stripMargin
+    CpFaces.hasTsFoldersSql(labeledFixtures)
 
-  private def cpIngestFiles(s: SparkSession, dir: String): DataFrame = {
-    val listing = Fixtures.listing(s, Fixtures.tsFolderKeys)
-    ListingOps.ingestFiles(listing, "1538055240").orderBy(col("key"))
-  }
+  private def cpIngestFiles(s: SparkSession, dir: String): DataFrame =
+    CpFaces.ingestFiles(Fixtures.tsFolderKeys, "1538055240")(s)
 
   private val cpIngestFilesSql: String =
-    s"""WITH listing(key) AS (VALUES ${listingValues(Fixtures.tsFolderKeys)})
-       |SELECT key FROM (
-       |  SELECT 'pending/1538055240/manifest.json' AS key
-       |  UNION ALL SELECT 'pending/1538055240'
-       |  UNION ALL SELECT key FROM listing
-       |  WHERE list_contains(string_split(key, '/'), '1538055240')
-       |) ORDER BY key""".stripMargin
+    CpFaces.ingestFilesSql(Fixtures.tsFolderKeys, "1538055240")
 
-  private def cpJobLabels(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val jobs = KubeOps.parseJobs(Seq(Fixtures.jobsJson).toDF("json"))
-    val bulk = KubeOps.jobLabels(jobs, "bulk").withColumn("job_type", lit("bulk"))
-    val delta = KubeOps.jobLabels(jobs, "incremental").withColumn("job_type", lit("delta"))
-    bulk.unionByName(delta).select(col("job_type"), col("name"))
-      .orderBy(col("job_type"), col("name"))
-  }
+  private def cpJobLabels(s: SparkSession, dir: String): DataFrame =
+    CpFaces.jobLabels(Fixtures.jobItems)(s)
 
-  private val cpJobLabelsSql: String = {
-    val names = Seq(
-      Some("elastic-bulk-1538055000"), Some("neo4j-bulk-1538055000"),
-      Some("elastic-delta-1537362006"), Some("elastic-delta-1537362006"),
-      Some("some-other-important-job"), None)
-    val values = names.map {
-      case Some(n) => s"(${sqlStr(n)})"
-      case None    => "(CAST(NULL AS VARCHAR))"
-    }.mkString(", ")
-    s"""WITH jobs(name) AS (VALUES $values),
-       |relevant AS (
-       |  SELECT name FROM jobs
-       |  WHERE len(list_intersect(string_split(coalesce(name, ''), '-'),
-       |                           ['neo4j', 'elastic'])) > 0)
-       |SELECT job_type, name FROM (
-       |  SELECT 'bulk' AS job_type, name FROM relevant WHERE name LIKE '%-bulk-%'
-       |  UNION ALL
-       |  SELECT 'delta' AS job_type, name FROM relevant WHERE name LIKE '%-delta-%'
-       |) ORDER BY job_type, name""".stripMargin
-  }
+  private val cpJobLabelsSql: String =
+    CpFaces.jobLabelsSql(Fixtures.jobItems)
 
-  private def cpJobStatus(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val jobs = KubeOps.parseJobs(Seq(Fixtures.jobsJson).toDF("json"))
-    jobs.select(
-        coalesce(col("name"), lit("")).as("name"),
-        KubeOps.jobSucceeded(col("succeeded")).as("done"))
-      .orderBy(col("name"), col("done"))
-  }
+  private def cpJobStatus(s: SparkSession, dir: String): DataFrame =
+    CpFaces.jobStatus(Fixtures.jobItems)(s)
 
   private val cpJobStatusSql: String =
-    """SELECT name, done FROM (VALUES
-      |  ('', false),
-      |  ('elastic-bulk-1538055000', true),
-      |  ('elastic-delta-1537362006', false),
-      |  ('elastic-delta-1537362006', false),
-      |  ('neo4j-bulk-1538055000', true),
-      |  ('some-other-important-job', true)
-      |) t(name, done) ORDER BY name, done""".stripMargin
+    CpFaces.jobStatusSql(Fixtures.jobItems)
 
-  private def cpPodStatus(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val raw = Fixtures.podJsons.toDF("pod", "json")
-    val parsed = raw.select(col("pod"), from_json(col("json"), KubeOps.podSchema).as("doc"))
-    parsed.select(
-        col("pod"),
-        KubeOps.podReady(col("doc")).as("ready"),
-        unix_timestamp(KubeOps.podStartedAt(col("doc"))).as("started_epoch"),
-        KubeOps.podFresh(KubeOps.podStartedAt(col("doc")),
-          lit("2018-10-10 10:05:00").cast("timestamp")).as("fresh"))
-      .orderBy(col("pod"))
-  }
+  private def cpPodStatus(s: SparkSession, dir: String): DataFrame =
+    CpFaces.podStatus(Fixtures.podDocs, Fixtures.podStartEpoch)(s)
 
-  /** Golden values pinned by helpers.spec.js:41–110,303–328:
-    * 2018-10-10T10:10:00Z = 1539166200, 2018-10-09T10:10:00Z = 1539079800. */
   private val cpPodStatusSql: String =
-    """SELECT pod, ready, started_epoch, fresh FROM (VALUES
-      |  ('pod_no_build', false, CAST(NULL AS BIGINT), false),
-      |  ('pod_not_ready', false, CAST(1539166200 AS BIGINT), true),
-      |  ('pod_ready', true, CAST(1539166200 AS BIGINT), true),
-      |  ('pod_stale', true, CAST(1539079800 AS BIGINT), false),
-      |  ('pod_terminated', false, CAST(NULL AS BIGINT), false)
-      |) t(pod, ready, started_epoch, fresh) ORDER BY pod""".stripMargin
+    CpFaces.podStatusSql(Fixtures.podDocs, Fixtures.podStartEpoch)
 
-  private def cpDurations(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val df = Fixtures.durations.toDF("label", "start_epoch", "end_epoch")
-    df.select(
-        col("label"),
-        TimeOps.jobDuration(col("start_epoch"), col("end_epoch")).as("duration"))
-      .orderBy(col("label"))
-  }
+  private def cpDurations(s: SparkSession, dir: String): DataFrame =
+    CpFaces.durations(Fixtures.durations)(s)
 
-  private val cpDurationsSql: String = {
-    val values = Fixtures.durations.map { case (l, st, en) =>
-      s"(${sqlStr(l)}, $st, ${en.map(_.toString).getOrElse("CAST(NULL AS BIGINT)")})"
-    }.mkString(", ")
-    s"""WITH d(label, start_epoch, end_epoch) AS (VALUES $values)
-       |SELECT label,
-       |       CASE WHEN end_epoch IS NULL THEN 'timestamp error'
-       |            ELSE printf('%dh:%02dmins',
-       |                        ((end_epoch - start_epoch) // 3600) % 24,
-       |                        ((end_epoch - start_epoch) // 60) % 60)
-       |       END AS duration
-       |FROM d ORDER BY label""".stripMargin
-  }
+  private val cpDurationsSql: String =
+    CpFaces.durationsSql(Fixtures.durations)
 
-  private def cpManifestReconcile(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val folderFiles = Fixtures.listing(s, Fixtures.manifestFolderKeys)
-    val manifest = Fixtures.manifestEntries.toDF("FileName", "SHA256")
-    ListingOps.reconcileManifest(folderFiles, manifest)
-      .orderBy(col("which"), col("FileName"))
-  }
+  private def cpManifestReconcile(s: SparkSession, dir: String): DataFrame =
+    CpFaces.manifestReconcile(Fixtures.manifestFolderKeys,
+      Fixtures.manifestEntries)(s)
 
-  private val cpManifestReconcileSql: String = {
-    val manifestValues = Fixtures.manifestEntries
-      .map { case (f, h) => s"(${sqlStr(f)}, ${sqlStr(h)})" }.mkString(", ")
-    s"""WITH listing(key) AS (VALUES ${listingValues(Fixtures.manifestFolderKeys)}),
-       |manifest("FileName", sha) AS (VALUES $manifestValues),
-       |files AS (
-       |  SELECT list_extract(string_split(key, '/'), len(string_split(key, '/'))) AS "FileName"
-       |  FROM listing
-       |  WHERE list_extract(string_split(key, '/'), len(string_split(key, '/')))
-       |        NOT IN ('manifest.json', 'bulk.txt', 'incremental.txt'))
-       |SELECT "FileName", which FROM (
-       |  SELECT "FileName", 'undeclared' AS which FROM files
-       |  WHERE "FileName" NOT IN (SELECT "FileName" FROM manifest)
-       |  UNION ALL
-       |  SELECT "FileName", 'missing' AS which FROM manifest
-       |  WHERE "FileName" NOT IN (SELECT "FileName" FROM files)
-       |) ORDER BY which, "FileName"""".stripMargin
-  }
+  private val cpManifestReconcileSql: String =
+    CpFaces.manifestReconcileSql(Fixtures.manifestFolderKeys,
+      Fixtures.manifestEntries)
 
   // ==========================================================================
   // Relational core [EXT] oracle SQL
@@ -461,77 +342,29 @@ object SparkEntry {
 
   /** F10: hashing surface — sha2/md5 over the manifest fixture names
     * (the integrity-check primitive for J3 verification). */
-  private def cpHashes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Fixtures.manifestEntries.toDF("FileName", "sha_declared")
-      .select(col("FileName"),
-        sha2(col("FileName").cast("binary"), 256).as("sha256_hex"),
-        md5(col("FileName").cast("binary")).as("md5_hex"))
-      .orderBy(col("FileName"))
-  }
+  private def cpHashes(s: SparkSession, dir: String): DataFrame =
+    CpFaces.hashes(Fixtures.manifestEntries.map(_._1))(s)
 
-  private val cpHashesSql: String = {
-    val values = Fixtures.manifestEntries
-      .map { case (f, _) => s"(${sqlStr(f)})" }.mkString(", ")
-    s"""WITH m("FileName") AS (VALUES $values)
-       |SELECT "FileName", sha256("FileName") AS sha256_hex,
-       |       md5("FileName") AS md5_hex
-       |FROM m ORDER BY "FileName"""".stripMargin
-  }
+  private val cpHashesSql: String =
+    CpFaces.hashesSql(Fixtures.manifestEntries.map(_._1))
 
   /** F5: the metrics doc's readable-date format (ingestor.js:332,
     * 'ddd MMM YYYY HH:mm' → 'EEE MMM yyyy HH:mm'; English day/month
     * abbreviations in both engines). */
-  private def cpReadableDate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Fixtures.durations.toDF("label", "start_epoch", "end_epoch")
-      .select(col("label"),
-        TimeOps.readableDate(timestamp_seconds(col("start_epoch"))).as("readable"))
-      .orderBy(col("label"))
-  }
+  private def cpReadableDate(s: SparkSession, dir: String): DataFrame =
+    CpFaces.readableDate(Fixtures.durations)(s)
 
-  private val cpReadableDateSql: String = {
-    val values = Fixtures.durations
-      .map { case (l, st, _) => s"(${sqlStr(l)}, $st)" }.mkString(", ")
-    // make_timestamp(us) yields a NAIVE UTC timestamp, so strftime is
-    // independent of the DuckDB connection's TimeZone (to_timestamp
-    // returns TIMESTAMPTZ and would render in local time on a
-    // non-UTC host); %a/%b are C-locale English always.
-    s"""WITH d(label, start_epoch) AS (VALUES $values)
-       |SELECT label,
-       |       strftime(make_timestamp(CAST(start_epoch AS BIGINT) * 1000000), '%a %b %Y %H:%M') AS readable
-       |FROM d ORDER BY label""".stripMargin
-  }
+  private val cpReadableDateSql: String =
+    CpFaces.readableDateSql(Fixtures.durations)
 
   /** §2.10 UDAF surface in the gate: the typed Times Aggregator rolled
     * up per ingest over the golden fixture (ingestor.spec.js:355–358);
     * mergeable buffer ⇒ the plan is a real partial+final aggregate. */
-  private def cpTimesAgg(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.operators.TimesAggregator
-    import graft.operators.TimesAggregator.SinkEvent
-    val t0 = 1538050000L
-    val events: org.apache.spark.sql.Dataset[(String, SinkEvent)] = Seq(
-      ("A", SinkEvent("neo4j", "start", t0)),
-      ("A", SinkEvent("neo4j", "end", t0 + 8100)),
-      ("A", SinkEvent("elastic", "start", t0 + 5040)),
-      ("A", SinkEvent("elastic", "end", t0 + 8940)),
-      ("B", SinkEvent("neo4j", "start", t0)),
-      ("B", SinkEvent("neo4j", "end", t0 + 600)),
-      ("B", SinkEvent("elastic", "start", t0 + 600))).toDS()
-    events.groupByKey(_._1).mapValues(_._2)
-      .agg(TimesAggregator.aggregator.toColumn.name("times"))
-      .toDF("ingest", "times")
-      .select(col("ingest"), col("times.*"))
-      .orderBy(col("ingest"))
-  }
+  private def cpTimesAgg(s: SparkSession, dir: String): DataFrame =
+    CpFaces.timesAgg(Fixtures.timesEvents)(s)
 
   private val cpTimesAggSql: String =
-    """SELECT * FROM (VALUES
-      |  ('A', '2h:15mins', '1h:05mins', '2h:29mins', true),
-      |  ('B', '0h:10mins', 'timestamp error', 'timestamp error', false)
-      |) t(ingest, neo_job_duration, elastic_job_duration,
-      |    total_job_duration, complete) ORDER BY ingest""".stripMargin
+    CpFaces.timesAggSql(Fixtures.timesEvents)
 
   /** A6/F-surface: exact distinct users + value totals per event type. */
   private def evUserStats(s: SparkSession, dir: String): DataFrame =

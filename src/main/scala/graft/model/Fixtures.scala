@@ -142,4 +142,45 @@ object Fixtures {
     import spark.implicits._
     keys.toDF("key")
   }
+
+  /** [[jobsJson]] as structured items — the single-sourced input the
+    * parameterized CpFaces builders (and their fuzz twin) consume;
+    * CpFaces.jobsJson(jobItems) renders the same document shape. */
+  val jobItems: Seq[graft.CpFaces.JobItem] = Seq(
+    graft.CpFaces.JobItem(Some("elastic-bulk-1538055000"), Some(1L), None, complete = true),
+    graft.CpFaces.JobItem(Some("neo4j-bulk-1538055000"), Some(1L), None, complete = true),
+    graft.CpFaces.JobItem(Some("elastic-delta-1537362006"), None, Some(1L), complete = false),
+    graft.CpFaces.JobItem(Some("elastic-delta-1537362006"), None, Some(1L), complete = false),
+    graft.CpFaces.JobItem(Some("some-other-important-job"), Some(1L), None, complete = false),
+    graft.CpFaces.JobItem(None, None, Some(1L), complete = false))
+
+  /** [[podJsons]] as structured docs (epochs: 2018-10-10T10:10:00Z =
+    * 1539166200, 09:00Z = 1539162000, 2018-10-09T10:10:00Z =
+    * 1539079800); job start 2018-10-10T10:05:00Z = 1539165900. */
+  val podStartEpoch: Long = 1539165900L
+  val podDocs: Seq[graft.CpFaces.PodDoc] = Seq(
+    graft.CpFaces.PodDoc("pod_ready", Seq(
+      graft.CpFaces.Container("install", ready = true, 0, Some(1539162000L), terminated = false),
+      graft.CpFaces.Container("build", ready = true, 0, Some(1539166200L), terminated = false))),
+    graft.CpFaces.PodDoc("pod_stale", Seq(
+      graft.CpFaces.Container("build", ready = true, 0, Some(1539079800L), terminated = false))),
+    graft.CpFaces.PodDoc("pod_not_ready", Seq(
+      graft.CpFaces.Container("build", ready = false, 1, Some(1539166200L), terminated = false))),
+    graft.CpFaces.PodDoc("pod_terminated", Seq(
+      graft.CpFaces.Container("build", ready = false, 0, None, terminated = true))),
+    graft.CpFaces.PodDoc("pod_no_build", Seq(
+      graft.CpFaces.Container("sidecar", ready = true, 0, Some(1539166200L), terminated = false))))
+
+  /** cp_times_agg golden events (ingestor.spec.js:355–358 shape). */
+  val timesEvents: Seq[graft.CpFaces.TimesEvent] = {
+    val t0 = 1538050000L
+    Seq(
+      graft.CpFaces.TimesEvent("A", "neo4j", "start", t0),
+      graft.CpFaces.TimesEvent("A", "neo4j", "end", t0 + 8100),
+      graft.CpFaces.TimesEvent("A", "elastic", "start", t0 + 5040),
+      graft.CpFaces.TimesEvent("A", "elastic", "end", t0 + 8940),
+      graft.CpFaces.TimesEvent("B", "neo4j", "start", t0),
+      graft.CpFaces.TimesEvent("B", "neo4j", "end", t0 + 600),
+      graft.CpFaces.TimesEvent("B", "elastic", "start", t0 + 600))
+  }
 }

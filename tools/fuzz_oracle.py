@@ -223,6 +223,41 @@ PREFIXES = ("text_", "dedup_", "ev_", "sim_", "mm_", "samp_",
 EXCLUDE = set()
 
 
+def run_cp_seed(seed):
+    """Control-plane phase: randomized listings / kubectl docs /
+    durations / manifests / Times events via graft.FuzzCp (the same
+    CpFaces builders the registry uses), checked by the same
+    comparator. Covers the 11 cp_* faces the corpus phase cannot (their
+    inputs are fixtures, not the corpus dir)."""
+    d = f"/tmp/graft_fuzz/cp{seed}"
+    shutil.rmtree(d, ignore_errors=True)
+    try:
+        r = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.FuzzCp {seed} {d}"],
+            cwd=REPO, capture_output=True, text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        print(f"seed {seed}: CP FUZZ TIMEOUT")
+        return False
+    errs = [l for l in r.stderr.splitlines() if "[verify]" in l]
+    if errs or r.returncode != 0:
+        print(f"seed {seed}: CP FUZZ ERRORS")
+        for e in errs[:10]:
+            print("  ", e)
+        return False
+    try:
+        c = subprocess.run(
+            [sys.executable, "tools/check_correctness.py", d, d],
+            cwd=REPO, capture_output=True, text=True, timeout=600)
+    except subprocess.TimeoutExpired:
+        print(f"seed {seed}: CP CHECKER TIMEOUT")
+        return False
+    tail = c.stdout.strip().splitlines()[-1] if c.stdout.strip() else "?"
+    ok = "ALL GREEN" in tail
+    print(f"seed {seed} [cp]: {tail}" if ok
+          else f"seed {seed} [cp]: FAIL\n{c.stdout[-4000:]}")
+    return ok
+
+
 def run_seed(seed):
     d = f"/tmp/graft_fuzz/{seed}"
     shutil.rmtree(d, ignore_errors=True)
@@ -274,7 +309,8 @@ def main():
     if not os.path.exists(src):
         sys.exit("need a prior Verify dump at /tmp/vout for the name list")
     shutil.copy(src, "/tmp/graft_fuzz/oracle_sql.json")
-    bad = [s for s in range(seed0, seed0 + n) if not run_seed(s)]
+    bad = [s for s in range(seed0, seed0 + n)
+           if not (run_seed(s) and run_cp_seed(s))]
     if bad:
         sys.exit(f"FUZZ FAILURES: seeds {bad}")
     print(f"fuzz: {n} seeds ALL GREEN")
