@@ -667,20 +667,31 @@ object EventOps {
     * Scale: the raw scan is the only data-sized work (map-side
     * combining count to a days×types table); totals broadcast back;
     * both windows ride one hash(type) exchange. */
-  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("day_num"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    // localCheckpoint: three subplans consume this table (the span
+  def cusumShift(spark: SparkSession, dir: String): DataFrame =
+    // localCheckpoint: three subplans consume the daily table (the span
     // aggregate, the distinct-types grid, the left join) — pin it so
     // the single-raw-scan property is structural, not an AQE
     // exchange-reuse accident (the sourceDrift rule); the table is
     // calendar-days × types sized, far below the corpus
-    val sparseDaily = events(spark, dir)
-      .groupBy(col("event_type"),
+    cusumFromDaily(dailyTypeCounts(events(spark, dir)).localCheckpoint())
+
+  /** The data-sized half of the CUSUM chain: one raw scan, map-side
+    * combined to a (type, day) count table. Counts are a monoid, so
+    * the STREAMING face maintains this table incrementally
+    * (graft.streaming.CusumStream) and re-derives the statistic from
+    * it — batch and stream share everything below by construction. */
+  private[graft] def dailyTypeCounts(evts: DataFrame): DataFrame =
+    evts.groupBy(col("event_type"),
         expr("unix_micros(ts) DIV 86400000000").as("day_num"))
       .agg(count(lit(1)).as("n_events"))
-      .localCheckpoint()
+
+  /** The calendar-sized half: dense-grid fill + the prefix-sum CUSUM
+    * recurrence over an already-aggregated (event_type, day_num,
+    * n_events) table. */
+  private[graft] def cusumFromDaily(sparseDaily: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val span = sparseDaily.agg(min(col("day_num")).as("d0"),
       max(col("day_num")).as("d1"))
     val daily = sparseDaily.select(col("event_type")).distinct()
