@@ -733,11 +733,18 @@ object EventOps {
     * Scale: one raw scan → day-keyed partial+final aggregate (day
     * cardinality = calendar days, tiny); everything after runs on the
     * day table with a 7-row broadcast profile. */
-  def seasonality(spark: SparkSession, dir: String): DataFrame = {
-    val daily = events(spark, dir)
+  def seasonality(spark: SparkSession, dir: String): DataFrame =
+    seasonalityFromDaily(events(spark, dir)
       .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day_num"))
-      .agg(count(lit(1)).as("n_events"))
-      .withColumn("dow", pmod(col("day_num"), lit(7L)))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** The calendar-sized half of [[seasonality]], over an
+    * already-aggregated (day_num, n_events) table — the streaming face
+    * derives that table from the maintained (type, day) count view by
+    * summing over types (counts are a monoid both ways), so batch and
+    * stream share everything below (graft.streaming.CusumStream). */
+  private[graft] def seasonalityFromDaily(dailyIn: DataFrame): DataFrame = {
+    val daily = dailyIn.withColumn("dow", pmod(col("day_num"), lit(7L)))
     val prof = daily.groupBy(col("dow"))
       .agg(count(lit(1)).as("n_days"), sum(col("n_events")).as("total"))
       .withColumn("mean_micro", expr("(total * 1000000L) DIV n_days"))

@@ -84,4 +84,15 @@ object CusumStream {
   def readStatistic(spark: org.apache.spark.sql.SparkSession,
                     viewDir: String): DataFrame =
     EventOps.cusumFromDaily(spark.read.parquet(s"$viewDir/data"))
+
+  /** The seasonality profile served from the SAME maintained view: the
+    * (type, day) counts sum over types back to the per-day table the
+    * batch face aggregates (counts are a monoid in both groupings), so
+    * one maintained view feeds both monitors. */
+  def readSeasonality(spark: org.apache.spark.sql.SparkSession,
+                      viewDir: String): DataFrame =
+    EventOps.seasonalityFromDaily(
+      spark.read.parquet(s"$viewDir/data")
+        .groupBy(col("day_num"))
+        .agg(sum(col("n_events")).as("n_events")))
 }

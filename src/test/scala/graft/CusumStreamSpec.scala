@@ -54,6 +54,12 @@ class CusumStreamSpec extends SparkSuite {
     assert(canon(alerts.orderBy("event_type", "day_num")) ==
       canon(flagged.orderBy("event_type", "day_num")))
 
+    // the seasonality profile served from the SAME view equals its
+    // batch face (one maintained view feeds both monitors)
+    assert(canon(CusumStream.readSeasonality(spark, viewDir)) ==
+      canon(EventOps.seasonality(spark, sf)),
+      "view-served seasonality differs from the batch face")
+
     // replay guard: a fresh query (batch ids restart at 0) re-feeding a
     // chunk must NOT double-merge — _last_batch already covers id 0
     val input2 = MemoryStream[CusumEv]
