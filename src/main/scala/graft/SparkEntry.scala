@@ -1813,10 +1813,12 @@ object SparkEntry {
     * (rpAnnDim dims, top rpAnnCandidates, vec_id tie-break), then
     * exact-re-rank the survivors with the 64-dim cosine. Deterministic
     * end to end, so unlike LSH this approximate index hash-checks. */
-  private val simRpTopKSql: String = {
+  // CTE-only form so sim_rp_eval can graft the brute-force truth onto
+  // the same chain (the simLshChainCtes pattern)
+  private lazy val simRpChainCtes: String = {
     val d = graft.ext.SimilarityOps.rpAnnDim
     val cand = graft.ext.SimilarityOps.rpAnnCandidates
-    s"""WITH m AS (SELECT ${rpMatrixSql(d)} AS mat),
+    s"""m AS (SELECT ${rpMatrixSql(d)} AS mat),
        |e AS (SELECT vec_id, embedding, ${rpSketchExpr(d)} AS red
        |  FROM embeddings, m),
        |q AS (SELECT vec_id AS qid, embedding AS qvec, red AS qred
@@ -1832,10 +1834,20 @@ object SparkEntry {
        |    round(${cosSql("qvec", "embedding")}, 6) AS cos FROM surv),
        |ranked AS (SELECT qid, vec_id, cos,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
-       |  FROM exact)
+       |  FROM exact)""".stripMargin
+  }
+
+  private lazy val simRpTopKSql: String =
+    s"""WITH $simRpChainCtes
        |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
-  }
+
+  /** Replay of SimilarityOps.rpEval: the JL-shortlist chain, the
+    * brute-force truth, and the per-query hit count in one statement
+    * (same graft as simAnnEvalSql / simPqEvalSql). */
+  private lazy val simRpEvalSql: String =
+    s"""WITH $simRpChainCtes,
+       |${recallGraftSql("embeddings")}""".stripMargin
 
   /** Replay of SimilarityOps.int8QuantizeCsv: per-dimension exact
     * min/max (float→double values compare exactly), then the identical
@@ -2262,6 +2274,7 @@ object SparkEntry {
     // RpSketchSpec.
     "sim_rp_reduce" -> ((s, d) => SimilarityOps.rpReduceCsv(s, d)),
     "sim_rp_topk" -> ((s, d) => SimilarityOps.rpTopK(s, d)),
+    "sim_rp_eval" -> ((s, d) => SimilarityOps.rpEval(s, d)),
     // the persisted sketch artifact on its serving path (the candidate
     // scan never reads the wide embedding column); ≡ sim_rp_topk
     "sim_rp_served" -> ((s, d) => SimilarityOps.rpServedTopK(s, d)),
@@ -2600,6 +2613,7 @@ object SparkEntry {
     "sim_int8_topk" -> simInt8TopKSql,
     "sim_int8_eval" -> simInt8EvalSql,
     "sim_rp_topk" -> simRpTopKSql,
+    "sim_rp_eval" -> simRpEvalSql,
     // row-identical to sim_rp_topk (RpSketchSpec pins it), served from
     // the persisted sketch artifact
     "sim_rp_served" -> simRpTopKSql,
