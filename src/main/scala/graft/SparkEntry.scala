@@ -451,6 +451,63 @@ object SparkEntry {
   /** Replay of TextOps.collocations: same adjacent bigrams off the
     * token list, same count floor, same fixed-point PMI (positive
     * operands, so DuckDB's floor `//` ≡ Spark's truncating DIV). */
+  /** Replay of TextOps.dsirScores: md5-prefix hashed-feature buckets,
+    * smoothed target/raw probability ratios in exact micro integers,
+    * per-doc integer-mean score, percentile-threshold selection (the
+    * q_percentiles round-to-4 contract). DuckDB's integer sums widen
+    * to HUGEINT so its intermediate arithmetic can never overflow; the
+    * Spark side's Long bound is documented at the operator. */
+  private lazy val textDsirChainCtes: String = {
+    val t = TextOps.dsirTargetSource
+    val b = TextOps.dsirBuckets
+    val q = TextOps.dsirKeepQuantile
+    s"""toks AS (
+       |  SELECT doc_id, source, t AS token FROM (
+       |    SELECT doc_id, source,
+       |           unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |    FROM documents) z
+       |  WHERE len(t) > 0),
+       |tb AS (SELECT doc_id, source, substring(md5(token), 1, 2) AS b
+       |       FROM toks),
+       |counts AS (SELECT b,
+       |    sum(CASE WHEN source = '$t' THEN 1 ELSE 0 END) AS cnt_t,
+       |    sum(CASE WHEN source <> '$t' THEN 1 ELSE 0 END) AS cnt_r
+       |  FROM tb GROUP BY b),
+       |tot AS (SELECT sum(cnt_t) AS tot_t, sum(cnt_r) AS tot_r FROM counts),
+       |ratios AS (SELECT b,
+       |    ((cnt_t + 1) * (tot_r + $b) * 1000000)
+       |      // ((cnt_r + 1) * (tot_t + $b)) AS ratio_micro
+       |  FROM counts, tot),
+       |perdoc AS (SELECT doc_id, count(*) AS n_tokens,
+       |    sum(ratio_micro) AS w_sum
+       |  FROM tb JOIN ratios USING (b) GROUP BY doc_id),
+       |dscored AS (SELECT doc_id, n_tokens,
+       |    w_sum // n_tokens AS score_micro FROM perdoc),
+       |thr AS (SELECT round(quantile_cont(score_micro, $q), 4) AS thr
+       |        FROM dscored),
+       |dsel AS (SELECT d.doc_id, d.source,
+       |    CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |    CAST(coalesce(s.score_micro, 0) AS BIGINT) AS score_micro,
+       |    (coalesce(s.n_tokens, 0) > 0 AND
+       |     coalesce(CAST(s.score_micro AS DOUBLE) >= thr.thr, false)) AS selected
+       |  FROM documents d LEFT JOIN dscored s USING (doc_id), thr)""".stripMargin
+  }
+
+  private lazy val textDsirSql: String =
+    s"""WITH $textDsirChainCtes
+       |SELECT doc_id, source, n_tokens, score_micro, selected
+       |FROM dsel ORDER BY doc_id""".stripMargin
+
+  private lazy val textDsirMixSql: String =
+    s"""WITH $textDsirChainCtes
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |  CAST(sum(CASE WHEN selected THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS selected_tokens,
+       |  (CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |    // count(*) AS selected_frac_micro
+       |FROM dsel GROUP BY source ORDER BY source""".stripMargin
+
   private val textCollocationsSql: String = {
     val floor = TextOps.collocMinCount
     val k = TextOps.collocTopK
@@ -2217,6 +2274,8 @@ object SparkEntry {
     "text_quality_lr_weights" -> ((s, d) => TextOps.qualityLrWeights(s, d)),
     "text_corpus_card" -> ((s, d) => TextOps.corpusCard(s, d)),
     "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
+    "text_dsir" -> ((s, d) => TextOps.dsirScores(s, d)),
+    "text_dsir_mix" -> ((s, d) => TextOps.dsirMix(s, d)),
     "text_pretrain_corpus" -> ((s, d) => TextOps.pretrainCorpus(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
@@ -2542,6 +2601,8 @@ object SparkEntry {
     "text_quality_lr_weights" -> textQualityLrWeightsSql,
     "text_corpus_card" -> textCorpusCardSql,
     "text_collocations" -> textCollocationsSql,
+    "text_dsir" -> textDsirSql,
+    "text_dsir_mix" -> textDsirMixSql,
     "text_pretrain_corpus" -> textPretrainCorpusSql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,

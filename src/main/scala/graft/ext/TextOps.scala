@@ -888,6 +888,94 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** DSIR selection parameters: the target distribution is one pinned
+    * source (the "looks like this reference corpus" contrast), buckets
+    * are 2 hex chars of md5 (256 — the hashed-feature compression of
+    * Xie et al. 2023), and selection keeps the top quartile. */
+  val dsirTargetSource = "src0"
+  val dsirBuckets = 256
+  val dsirKeepQuantile = 0.75
+
+  /** DSIR-style hashed-n-gram importance selection (`text_dsir`,
+    * `text_dsir_mix`) — "Data Selection for Language Models via
+    * Importance Resampling" (Xie et al. 2023): hash every token into a
+    * small feature space, contrast the TARGET distribution (documents
+    * from [[dsirTargetSource]]) against the raw pool, and score each
+    * document by how target-like its hashed features are; keep the top
+    * [[dsirKeepQuantile]] fraction.
+    *
+    * Fixed-point variant (the PMI-collocations discipline): DSIR sums
+    * per-token log-likelihood ratios; logs are transcendental and do
+    * not replay bit-for-bit across engines, so the per-bucket feature
+    * is the smoothed probability RATIO itself in micro units —
+    * ratio_micro[b] = (cnt_t+1)·(tot_r+B)·10⁶ DIV ((cnt_r+1)·(tot_t+B))
+    * — an exact integer both engines reproduce; a document's score is
+    * the integer mean of its tokens' ratios (sum-of-ratios replaces
+    * sum-of-log-ratios: a monotone per-feature transform with the same
+    * target/raw contrast; the ranking it induces is what the selection
+    * face consumes). Overflow bound: (cnt_t+1)·(tot_r+B)·10⁶ needs
+    * cnt_t·tot_r ≤ 9.2e12 — fine to ~10⁶-token corpora per partition
+    * of the report; at 100 TB drop the 10⁶ scale or score per shard.
+    * Buckets are md5 hex prefixes (the seeded-md5 determinism recipe),
+    * so the feature hash replays verbatim in the oracle.
+    *
+    * Scale: the token explode is the only data-sized work (map-side);
+    * bucket counts collapse to a [[dsirBuckets]]-row table that rides a
+    * broadcast back onto the token stream; the selection threshold is
+    * one exact percentile over PER-DOC scores (doc-count-sized — at
+    * extreme scale swap percentile_cont for approx_percentile) carried
+    * as a 1-row broadcast. Zero-token documents score 0 and are never
+    * selected (they carry no evidence either way). */
+  def dsirScores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = FanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("text"))
+    val toks = docs
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("b", substring(md5(col("token")), 1, 2))
+    val counts = toks.groupBy(col("b")).agg(
+      sum(when(col("source") === dsirTargetSource, 1L).otherwise(0L)).as("cnt_t"),
+      sum(when(col("source") =!= dsirTargetSource, 1L).otherwise(0L)).as("cnt_r"))
+    val tot = counts.agg(sum(col("cnt_t")).as("tot_t"), sum(col("cnt_r")).as("tot_r"))
+    val ratios = counts.crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        s"""((cnt_t + 1L) * (tot_r + $dsirBuckets) * 1000000L)
+           | DIV ((cnt_r + 1L) * (tot_t + $dsirBuckets))""".stripMargin.replace("\n", ""))
+        .as("ratio_micro"))
+    val perDoc = toks.join(broadcast(ratios), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ratio_micro")).as("w_sum"))
+      .withColumn("score_micro", expr("w_sum DIV n_tokens"))
+    val thr = perDoc.agg(
+      round(expr(s"percentile_cont($dsirKeepQuantile) WITHIN GROUP (ORDER BY score_micro)"), 4)
+        .as("thr"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc.select(col("doc_id"), col("n_tokens"), col("score_micro")),
+        Seq("doc_id"), "left")
+      .crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"),
+        (coalesce(col("n_tokens"), lit(0L)) > 0 &&
+          coalesce(col("score_micro").cast("double") >= col("thr"), lit(false)))
+          .as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** `text_dsir_mix`: the per-source admission report of the DSIR
+    * selection — how the kept mix shifts toward target-like sources;
+    * selected token mass is what a sampler downstream would draw from. */
+  def dsirMix(spark: SparkSession, dir: String): DataFrame =
+    dsirScores(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("selected"), col("n_tokens")).otherwise(0L))
+          .as("selected_tokens"))
+      .withColumn("selected_frac_micro",
+        expr("(n_selected * 1000000L) DIV n_docs"))
+      .orderBy(col("source"))
+
   /** Collocation floor and report size: a bigram must recur to rank
     * (kills hapax noise), and the report is the top page. */
   val collocMinCount = 3

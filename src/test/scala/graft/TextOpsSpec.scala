@@ -43,6 +43,39 @@ class TextOpsSpec extends SparkSuite {
     TextOps.repetitionSignals(spark, d).collect()
   }
 
+  test("DSIR selection prefers target-vocabulary documents and skips empty ones") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = tmpDir("textops-dsir")
+    val targetVocab = "alpha beta gamma delta epsilon"
+    val otherVocab = "zork quux blarg wibble frotz"
+    val docs =
+      // the target slice (defines the reference distribution)
+      (0L until 5L).map(i => (i, targetVocab, TextOps.dsirTargetSource)) ++
+        // raw pool: 5 target-like docs, 15 alien-vocabulary docs, 1
+        // empty — 25 SCORED docs total (the empty one never scores), so
+        // the p75 threshold index 0.75·24 = 18 lands exactly on the
+        // target-like tier (indices 15-19 ascending), no interpolation
+        (5L until 10L).map(i => (i, targetVocab + " beta gamma", "raw")) ++
+        (10L until 25L).map(i => (i, otherVocab + " quux zork", "raw")) ++
+        Seq((25L, "", "raw"))
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TextOps.dsirScores(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    // every target-like raw doc outscores every alien-vocabulary doc
+    val targetLike = (5L until 10L).map(rows(_)._1)
+    val alien = (10L until 25L).map(rows(_)._1)
+    assert(targetLike.min > alien.max,
+      s"target-like ${targetLike.toList} !> alien ${alien.toList}")
+    // top-quartile selection keeps the target-like docs, drops aliens
+    assert((5L until 10L).forall(rows(_)._2), s"target-like not selected: $rows")
+    assert((10L until 25L).forall(i => !rows(i)._2), "alien docs selected")
+    // the empty doc carries no evidence and is never selected
+    assert(rows(25L) == (0L, false))
+  }
+
   test("chunkDocuments: coverage, overlap, and reconstruction invariants") {
     val spark2 = spark
     import spark2.implicits._
