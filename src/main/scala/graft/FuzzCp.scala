@@ -153,8 +153,13 @@ object FuzzCp {
     val mFiles = (0 until 2 + rng.nextInt(4)).map(i => s"f${i}_${files(rng.nextInt(files.size))}")
     val mKeys = (mFiles.map(f => s"pending/$mFolder/person/$f") ++
       Seq(s"pending/$mFolder/bulk.txt", s"pending/$mFolder/manifest.json")).distinct
-    val declared = mFiles.filter(_ => rng.nextBoolean()) ++
-      (0 until rng.nextInt(3)).map(i => s"declared_only_$i.csv.gz")
+    // an empty VALUES list is a SQL syntax error, so the manifest
+    // always declares at least one (possibly absent) file
+    val declared = (mFiles.filter(_ => rng.nextBoolean()) ++
+      (0 until rng.nextInt(3)).map(i => s"declared_only_$i.csv.gz")) match {
+      case e if e.isEmpty => Seq("declared_only_0.csv.gz")
+      case e => e
+    }
     val entriesM = declared.distinct.map(f => (f, f"sha${rng.nextInt(1 << 30)}%08x"))
 
     // hash face input: unicode + quote-bearing names
