@@ -508,6 +508,26 @@ object SparkEntry {
        |    // count(*) AS selected_frac_micro
        |FROM dsel GROUP BY source ORDER BY source""".stripMargin
 
+  /** Replay of SampleOps.dsirResample: the DSIR score chain composed
+    * with the samp_pps systematic-PPS draw (exact integer prefix sums
+    * + DIV target counting) — the importance-RESAMPLING estimator
+    * hash-checks end to end. */
+  private lazy val sampDsirSql: String = {
+    val n = graft.ext.SampleOps.dsirSampleN
+    s"""WITH $textDsirChainCtes,
+       |line AS MATERIALIZED (
+       |  SELECT doc_id, source, score_micro,
+       |    CAST(sum(score_micro) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(score_micro) OVER () AS BIGINT) AS w_total
+       |  FROM dsel)
+       |SELECT doc_id, source, score_micro, cum,
+       |  ($n * cum) // w_total - ($n * (cum - score_micro)) // w_total AS hits
+       |FROM line
+       |WHERE ($n * cum) // w_total - ($n * (cum - score_micro)) // w_total > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val textCollocationsSql: String = {
     val floor = TextOps.collocMinCount
     val k = TextOps.collocTopK
@@ -2276,6 +2296,7 @@ object SparkEntry {
     "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
     "text_dsir" -> ((s, d) => TextOps.dsirScores(s, d)),
     "text_dsir_mix" -> ((s, d) => TextOps.dsirMix(s, d)),
+    "samp_dsir" -> ((s, d) => SampleOps.dsirResample(s, d)),
     "text_pretrain_corpus" -> ((s, d) => TextOps.pretrainCorpus(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
@@ -2603,6 +2624,9 @@ object SparkEntry {
     "text_collocations" -> textCollocationsSql,
     "text_dsir" -> textDsirSql,
     "text_dsir_mix" -> textDsirMixSql,
+    // samp_dsir: the DSIR chain feeding the samp_pps systematic-PPS
+    // prefix-sum draw — importance resampling, hash-checked end to end
+    "samp_dsir" -> sampDsirSql,
     "text_pretrain_corpus" -> textPretrainCorpusSql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,

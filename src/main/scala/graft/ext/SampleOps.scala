@@ -244,13 +244,28 @@ object SampleOps {
     * per-partition totals (P rows) broadcast back as offsets: zero
     * exchanges beyond the range partitioning itself, the same recipe as
     * Relational.withGlobalRank but carrying a SUM instead of a count. */
-  def ppsSample(spark: SparkSession, dir: String, n: Int = ppsN): DataFrame = {
+  def ppsSample(spark: SparkSession, dir: String, n: Int = ppsN): DataFrame =
+    ppsDraw(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      n, tagName = "lang", wName = "n_chars")
+      .orderBy(col("doc_id"))
+
+  /** The shared systematic-PPS core: `rows` = (doc_id, <tag>, <w>);
+    * one draw per equally spaced target on the weight line, hits by
+    * exact integer prefix-sum arithmetic. Consumed by [[ppsSample]]
+    * (w = n_chars: token-weighted corpus mixing) and [[dsirResample]]
+    * (w = the DSIR importance score: importance RESAMPLING). Zero-
+    * weight rows occupy empty segments and can never be drawn. */
+  private[graft] def ppsDraw(rows: DataFrame, n: Int,
+                             tagName: String, wName: String): DataFrame = {
+    val spark = rows.sparkSession
     import spark.implicits._
     // full parallelism, never capped: the per-partition-totals step is
     // O(P) rows in one task, trivially fine at any real cluster's P
     val parts = math.max(1, spark.sparkContext.defaultParallelism)
-    val ranged = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val ranged = rows
+      .select(col("doc_id"), col(tagName).cast("string").as("tag"),
+        col(wName).cast("long").as("w"))
       .repartitionByRange(parts, col("doc_id").asc)
       .sortWithinPartitions(col("doc_id").asc)
       .withColumn("pid", spark_partition_id().cast("long"))
@@ -262,13 +277,13 @@ object SampleOps {
     // requires pinning one layout so both consumers see the same pids.
     val withLocal = ranged.mapPartitions { it =>
       var s = 0L
-      it.map { case (id, lang, w, pid) => s += w; (id, lang, w, pid, s) }
-    }.toDF("doc_id", "lang", "n_chars", "pid", "local_cum")
+      it.map { case (id, tag, w, pid) => s += w; (id, tag, w, pid, s) }
+    }.toDF("doc_id", "tag", "w", "pid", "local_cum")
       .localCheckpoint()
     // per-partition totals -> exclusive offsets (P rows; the only
     // single-partition step in the plan) and the grand total W
     val cumW = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val offs = withLocal.groupBy(col("pid")).agg(sum(col("n_chars")).as("t"))
+    val offs = withLocal.groupBy(col("pid")).agg(sum(col("w")).as("t"))
       .withColumn("off", coalesce(sum(col("t")).over(cumW), lit(0L)))
       .withColumn("w_total", sum(col("t")).over(Window.partitionBy()))
       .select(col("pid"), col("off"), col("w_total"))
@@ -277,11 +292,29 @@ object SampleOps {
       // DIV, not `/`: float division + truncation can round a just-below-
       // integer quotient up; DIV is exact long arithmetic in both engines
       .withColumn("hits", expr(
-        s"(${n}L * cum) DIV w_total - (${n}L * (cum - n_chars)) DIV w_total"))
+        s"(${n}L * cum) DIV w_total - (${n}L * (cum - w)) DIV w_total"))
       .filter(col("hits") > 0)
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("cum"), col("hits"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("tag").as(tagName), col("w").as(wName),
+        col("cum"), col("hits"))
   }
+
+  val dsirSampleN = 100
+
+  /** DSIR importance RESAMPLING (`samp_dsir`): the second half of Xie
+    * et al. 2023 — draw the training set with probability proportional
+    * to the learned importance weight ([[TextOps.dsirScores]]'
+    * score_micro), via the same systematic-PPS line as `samp_pps`.
+    * `hits` is the multiplicity a repetition-tolerant data order
+    * consumes; Σhits = n exactly; zero-token documents have weight 0
+    * and can never be drawn. Expected draw count per doc = n·w/W — the
+    * importance-resampling estimator, with the whole draw replaying
+    * bit-for-bit cross-engine (exact integer prefix sums). */
+  def dsirResample(spark: SparkSession, dir: String,
+                   n: Int = dsirSampleN): DataFrame =
+    ppsDraw(graft.ext.TextOps.dsirScoresUnsorted(spark, dir)
+        .select(col("doc_id"), col("source"), col("score_micro")),
+      n, tagName = "source", wName = "score_micro")
+      .orderBy(col("doc_id"))
 
   val tokenBudgetPerSource = 3000L
   val tokenBudgetSeed = "graft-budget-v1"

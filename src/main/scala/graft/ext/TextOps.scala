@@ -926,7 +926,13 @@ object TextOps {
     * extreme scale swap percentile_cont for approx_percentile) carried
     * as a 1-row broadcast. Zero-token documents score 0 and are never
     * selected (they carry no evidence either way). */
-  def dsirScores(spark: SparkSession, dir: String): DataFrame = {
+  def dsirScores(spark: SparkSession, dir: String): DataFrame =
+    dsirScoresUnsorted(spark, dir).orderBy(col("doc_id"))
+
+  /** Unsorted face for pipeline consumers ([[dsirMix]], the
+    * `samp_dsir` resampler) — they re-aggregate or re-range-partition,
+    * so the registered face's global sort is wasted work there. */
+  private[graft] def dsirScoresUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val docs = FanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), col("source"), col("text"))
     val toks = docs
@@ -959,14 +965,13 @@ object TextOps {
         (coalesce(col("n_tokens"), lit(0L)) > 0 &&
           coalesce(col("score_micro").cast("double") >= col("thr"), lit(false)))
           .as("selected"))
-      .orderBy(col("doc_id"))
   }
 
   /** `text_dsir_mix`: the per-source admission report of the DSIR
     * selection — how the kept mix shifts toward target-like sources;
     * selected token mass is what a sampler downstream would draw from. */
   def dsirMix(spark: SparkSession, dir: String): DataFrame =
-    dsirScores(spark, dir)
+    dsirScoresUnsorted(spark, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
