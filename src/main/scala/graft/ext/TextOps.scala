@@ -929,33 +929,70 @@ object TextOps {
   def dsirScores(spark: SparkSession, dir: String): DataFrame =
     dsirScoresUnsorted(spark, dir).orderBy(col("doc_id"))
 
+  /** (doc_id, source, b) token-bucket stream — the chain's only
+    * data-sized table. */
+  private def dsirToks(spark: SparkSession, dir: String): DataFrame =
+    FanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("b", substring(md5(col("token")), 1, 2))
+
+  /** (b, cnt_t, cnt_r) per OBSERVED bucket. */
+  private def dsirCounts(spark: SparkSession, dir: String): DataFrame =
+    dsirToks(spark, dir).groupBy(col("b")).agg(
+      sum(when(col("source") === dsirTargetSource, 1L).otherwise(0L)).as("cnt_t"),
+      sum(when(col("source") =!= dsirTargetSource, 1L).otherwise(0L)).as("cnt_r"))
+
+  private def dsirRatioExpr: String =
+    s"""((cnt_t + 1L) * (tot_r + $dsirBuckets) * 1000000L)
+       | DIV ((cnt_r + 1L) * (tot_t + $dsirBuckets))""".stripMargin.replace("\n", "")
+
+  /** Sparse (b, ratio_micro) over observed buckets. */
+  private def dsirRatios(spark: SparkSession, dir: String): DataFrame = {
+    val counts = dsirCounts(spark, dir)
+    val tot = counts.agg(sum(col("cnt_t")).as("tot_t"), sum(col("cnt_r")).as("tot_r"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("b"), expr(dsirRatioExpr).as("ratio_micro"))
+  }
+
+  /** The DENSE 256-bucket ratio grid (bucket_idx, ratio_micro) — the
+    * serving artifact (streaming/DsirStream): unobserved buckets carry
+    * the add-1-smoothed zero-count ratio so out-of-vocabulary tokens
+    * serve a defined default. */
+  def dsirRatioGrid(spark: SparkSession, dir: String): DataFrame = {
+    val counts = dsirCounts(spark, dir)
+    val tot = counts.agg(sum(col("cnt_t")).as("tot_t"), sum(col("cnt_r")).as("tot_r"))
+    spark.range(dsirBuckets).select(col("id").as("bucket_idx"),
+        format_string("%02x", col("id")).as("b"))
+      .join(counts, Seq("b"), "left")
+      .na.fill(0L, Seq("cnt_t", "cnt_r"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket_idx"), expr(dsirRatioExpr).as("ratio_micro"))
+      .orderBy(col("bucket_idx"))
+  }
+
+  /** The 1-row selection threshold (the percentile the batch face
+    * gates on) — persisted next to the grid so serving admission
+    * matches batch admission. */
+  def dsirThreshold(spark: SparkSession, dir: String): DataFrame =
+    dsirPerDoc(spark, dir).agg(
+      round(expr(s"percentile_cont($dsirKeepQuantile) WITHIN GROUP (ORDER BY score_micro)"), 4)
+        .as("thr"))
+
+  private def dsirPerDoc(spark: SparkSession, dir: String): DataFrame =
+    dsirToks(spark, dir)
+      .join(broadcast(dsirRatios(spark, dir)), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ratio_micro")).as("w_sum"))
+      .withColumn("score_micro", expr("w_sum DIV n_tokens"))
+
   /** Unsorted face for pipeline consumers ([[dsirMix]], the
     * `samp_dsir` resampler) — they re-aggregate or re-range-partition,
     * so the registered face's global sort is wasted work there. */
   private[graft] def dsirScoresUnsorted(spark: SparkSession, dir: String): DataFrame = {
-    val docs = FanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("source"), col("text"))
-    val toks = docs
-      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("token"))
-      .filter(length(col("token")) > 0)
-      .withColumn("b", substring(md5(col("token")), 1, 2))
-    val counts = toks.groupBy(col("b")).agg(
-      sum(when(col("source") === dsirTargetSource, 1L).otherwise(0L)).as("cnt_t"),
-      sum(when(col("source") =!= dsirTargetSource, 1L).otherwise(0L)).as("cnt_r"))
-    val tot = counts.agg(sum(col("cnt_t")).as("tot_t"), sum(col("cnt_r")).as("tot_r"))
-    val ratios = counts.crossJoin(broadcast(tot))
-      .select(col("b"), expr(
-        s"""((cnt_t + 1L) * (tot_r + $dsirBuckets) * 1000000L)
-           | DIV ((cnt_r + 1L) * (tot_t + $dsirBuckets))""".stripMargin.replace("\n", ""))
-        .as("ratio_micro"))
-    val perDoc = toks.join(broadcast(ratios), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("ratio_micro")).as("w_sum"))
-      .withColumn("score_micro", expr("w_sum DIV n_tokens"))
-    val thr = perDoc.agg(
-      round(expr(s"percentile_cont($dsirKeepQuantile) WITHIN GROUP (ORDER BY score_micro)"), 4)
-        .as("thr"))
-    docs.select(col("doc_id"), col("source"))
+    val perDoc = dsirPerDoc(spark, dir)
+    val thr = dsirThreshold(spark, dir)
+    FanOut(Tables.documents(spark, dir)).select(col("doc_id"), col("source"))
       .join(perDoc.select(col("doc_id"), col("n_tokens"), col("score_micro")),
         Seq("doc_id"), "left")
       .crossJoin(broadcast(thr))
