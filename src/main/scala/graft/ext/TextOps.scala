@@ -664,6 +664,7 @@ object TextOps {
     bpeMemo.synchronized(bpeMemo.clear())
     lrMemo.synchronized(lrMemo.clear())
     driftTokCache.synchronized(driftTokCache.clear())
+    dsirCache.synchronized(dsirCache.clear())
   }
 
   private val bpeMemo = scala.collection.mutable.Map
@@ -986,10 +987,29 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"), sum(col("ratio_micro")).as("w_sum"))
       .withColumn("score_micro", expr("w_sum DIV n_tokens"))
 
+  /** Per-dir memo of the scored-and-gated table (the span/LR/BPE
+    * discipline): THREE registered faces consume it (`text_dsir`,
+    * `text_dsir_mix`, `samp_dsir`), and without the memo each re-paid
+    * the token explode, the bucket counts, and the percentile.
+    * Released with the session caches via [[clearSessionState]]. */
+  private val dsirCache =
+    scala.collection.mutable.Map.empty[String, DataFrame]
+
   /** Unsorted face for pipeline consumers ([[dsirMix]], the
     * `samp_dsir` resampler) — they re-aggregate or re-range-partition,
     * so the registered face's global sort is wasted work there. */
-  private[graft] def dsirScoresUnsorted(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def dsirScoresUnsorted(spark: SparkSession, dir: String): DataFrame =
+    dsirCache.synchronized {
+      dsirCache.getOrElseUpdate(dir, {
+        val t = graft.ext.DedupOps.registerCache(
+          dsirScoresBuild(spark, dir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        t.count()
+        t
+      })
+    }
+
+  private def dsirScoresBuild(spark: SparkSession, dir: String): DataFrame = {
     val perDoc = dsirPerDoc(spark, dir)
     val thr = dsirThreshold(spark, dir)
     FanOut(Tables.documents(spark, dir)).select(col("doc_id"), col("source"))
