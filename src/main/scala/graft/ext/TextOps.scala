@@ -902,8 +902,9 @@ object TextOps {
     * Importance Resampling" (Xie et al. 2023): hash every token into a
     * small feature space, contrast the TARGET distribution (documents
     * from [[dsirTargetSource]]) against the raw pool, and score each
-    * document by how target-like its hashed features are; keep the top
-    * [[dsirKeepQuantile]] fraction.
+    * document by how target-like its hashed features are; keep the
+    * documents ABOVE the [[dsirKeepQuantile]] score percentile (the top
+    * 1−q fraction — q=0.75 keeps the top quartile).
     *
     * Fixed-point variant (the PMI-collocations discipline): DSIR sums
     * per-token log-likelihood ratios; logs are transcendental and do

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -25,9 +25,21 @@ import graft.operators.EventOps
   * Unlike IncrementalAgg's bucket-partitioned view, this view is NOT
   * bucketed: it is bounded by calendar × |types| (thousands of rows at
   * any horizon), so a full rewrite per batch is cheaper than partition
-  * bookkeeping. Replay safety is the IncrementalAgg guard: _last_batch
-  * records the last applied id; a replayed batch is a no-op, so counts
-  * never double-merge.
+  * bookkeeping.
+  *
+  * Replay/restart safety (r12 advice): the view commits each batch by
+  * writing the merged counts to a VERSIONED directory `data_b<id>` and
+  * then writing a single `_meta` file carrying (owner checkpoint,
+  * batch id) — one file create is the commit point for both the data
+  * and the replay guard, so a crash between the data write and the
+  * meta write leaves `_meta` pointing at the previous version and the
+  * retried batch re-merges from THAT version: idempotent per batch,
+  * counts never double-merge. Batch ids are only monotone for the
+  * lifetime of one checkpointed query, so `maintain` REQUIRES a
+  * checkpoint location and records it as the view's owner; a different
+  * query (whose ids restart at 0) pointed at the same view fails
+  * loudly instead of silently dropping its first batches of genuinely
+  * new events.
   *
   * The alert sink is ScoreStream-style serving: after each merge the
   * current flagged (type, day) rows overwrite `alertDir` — the monitor
@@ -35,64 +47,113 @@ import graft.operators.EventOps
   */
 object CusumStream {
 
+  /** Resolve the filesystem FROM THE PATH'S SCHEME (not the default
+    * FS): viewDir may live on file:// while the default is hdfs:// or
+    * s3a:// — FileSystem.get(conf) would consult the wrong store. */
+  private def fsFor(p: Path, spark: SparkSession): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def metaPath(viewDir: String) = new Path(viewDir, "_meta")
+
+  /** (owner checkpoint location, last applied batch id), if the view
+    * has ever committed. */
+  private def readMeta(fs: FileSystem, viewDir: String): Option[(String, Long)] = {
+    val mp = metaPath(viewDir)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val lines =
+        try new String(in.readAllBytes(), "UTF-8").split("\n", 2)
+        finally in.close()
+      Some((lines(1).trim, lines(0).trim.toLong))
+    }
+  }
+
+  /** Apply one micro-batch to the view: merge the batch's daily-type
+    * counts into version `data_b<batchId>`, refresh the alert page,
+    * then commit with one `_meta` write. Public so a unit test can
+    * exercise the crash/replay matrix without a streaming harness. */
+  def applyBatch(batch: DataFrame, batchId: Long, viewDir: String,
+                 alertDir: String, owner: String): Unit = {
+    val spark = batch.sparkSession
+    val vp = new Path(viewDir)
+    val fs = fsFor(vp, spark)
+    val meta = readMeta(fs, viewDir)
+    meta.foreach { case (o, _) =>
+      require(o == owner,
+        s"view $viewDir is owned by the query checkpointed at '$o'; a query " +
+          s"checkpointed at '$owner' restarts batch ids at 0 and its new " +
+          "events would be silently dropped by the replay guard — resume " +
+          "from the owning checkpoint or start a fresh viewDir")
+    }
+    val lastApplied = meta.map(_._2).getOrElse(-1L)
+    if (batchId > lastApplied) {
+      val delta = EventOps.dailyTypeCounts(batch.toDF()).localCheckpoint()
+      val prev = new Path(vp, s"data_b$lastApplied")
+      val merged =
+        if (lastApplied >= 0 && fs.exists(prev))
+          spark.read.parquet(prev.toString)
+            .unionByName(delta)
+            .groupBy(col("event_type"), col("day_num"))
+            .agg(sum(col("n_events")).as("n_events"))
+            .localCheckpoint()
+        else delta
+      merged.write.mode("overwrite")
+        .parquet(new Path(vp, s"data_b$batchId").toString)
+      // alert page: full-history statistic over the merged view
+      EventOps.cusumFromDaily(merged)
+        .filter(col("shift_flag"))
+        .write.mode("overwrite").parquet(alertDir)
+      // the commit point: data version + guard land in ONE file create
+      val out = fs.create(metaPath(viewDir), true)
+      try out.write(s"$batchId\n$owner".getBytes("UTF-8")) finally out.close()
+      // best-effort GC of superseded versions (failure here is garbage,
+      // not corruption — the next batch's sweep collects it)
+      try fs.listStatus(vp).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("data_b") && n != s"data_b$batchId")
+          fs.delete(st.getPath, true)
+      } catch { case _: Throwable => () }
+    }
+  }
+
   /** Maintain the daily-count view from `events` (needs `ts` and
-    * `event_type` columns) and keep the alert page fresh. */
+    * `event_type` columns) and keep the alert page fresh. The
+    * checkpoint is REQUIRED: it is what keeps batch ids monotone for
+    * the view's lifetime, and it names the view's owner. */
   def maintain(events: DataFrame, viewDir: String, alertDir: String,
-               trigger: Trigger = Trigger.AvailableNow(),
-               checkpointDir: Option[String] = None): StreamingQuery = {
-    val base = events.writeStream.outputMode("append")
-    checkpointDir.foreach(base.option("checkpointLocation", _))
-    base
+               checkpointDir: String,
+               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-        val metaPath = new Path(s"$viewDir/_last_batch")
-        val lastApplied: Long =
-          if (fs.exists(metaPath)) {
-            val in = fs.open(metaPath)
-            try new String(in.readAllBytes(), "UTF-8").trim.toLong
-            finally in.close()
-          } else -1L
-        if (batchId > lastApplied) {
-          val delta = EventOps.dailyTypeCounts(batch.toDF()).localCheckpoint()
-          val dataPath = new Path(s"$viewDir/data")
-          val merged =
-            if (fs.exists(dataPath))
-              spark.read.parquet(dataPath.toString)
-                .unionByName(delta)
-                .groupBy(col("event_type"), col("day_num"))
-                .agg(sum(col("n_events")).as("n_events"))
-                .localCheckpoint()
-            else delta
-          merged.write.mode("overwrite").parquet(dataPath.toString)
-          // alert page: full-history statistic over the merged view
-          EventOps.cusumFromDaily(merged)
-            .filter(col("shift_flag"))
-            .write.mode("overwrite").parquet(alertDir)
-          val out = fs.create(metaPath, true)
-          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-        }
-        ()
+        applyBatch(batch.toDF(), batchId, viewDir, alertDir, checkpointDir)
       }
       .trigger(trigger)
       .start()
+
+  /** The committed data directory `_meta` points at — readers must go
+    * through the meta so an uncommitted version is never visible. */
+  def currentData(spark: SparkSession, viewDir: String): DataFrame = {
+    val fs = fsFor(new Path(viewDir), spark)
+    val (_, batchId) = readMeta(fs, viewDir).getOrElse(
+      throw new IllegalStateException(s"view $viewDir has no committed batch"))
+    spark.read.parquet(new Path(viewDir, s"data_b$batchId").toString)
   }
 
   /** The full streamed statistic (not just flagged rows) from the
     * maintained view — what CusumStreamSpec compares against the batch
     * face. */
-  def readStatistic(spark: org.apache.spark.sql.SparkSession,
-                    viewDir: String): DataFrame =
-    EventOps.cusumFromDaily(spark.read.parquet(s"$viewDir/data"))
+  def readStatistic(spark: SparkSession, viewDir: String): DataFrame =
+    EventOps.cusumFromDaily(currentData(spark, viewDir))
 
   /** The seasonality profile served from the SAME maintained view: the
     * (type, day) counts sum over types back to the per-day table the
     * batch face aggregates (counts are a monoid in both groupings), so
     * one maintained view feeds both monitors. */
-  def readSeasonality(spark: org.apache.spark.sql.SparkSession,
-                      viewDir: String): DataFrame =
+  def readSeasonality(spark: SparkSession, viewDir: String): DataFrame =
     EventOps.seasonalityFromDaily(
-      spark.read.parquet(s"$viewDir/data")
+      currentData(spark, viewDir)
         .groupBy(col("day_num"))
         .agg(sum(col("n_events")).as("n_events")))
 }

@@ -29,11 +29,19 @@ import graft.ext.TextOps
 object DsirStream {
 
   /** Train on `dir` and persist (bucket_idx, ratio_micro) ×256 plus a
-    * 1-row threshold table under `artifactDir`. */
+    * 1-row threshold table under `artifactDir`. Fails fast on a
+    * degenerate corpus: percentile_cont over zero tokenized documents
+    * is NULL, and serving a null threshold as 0.0 would silently admit
+    * every document while the batch face selects none. */
   def writeModel(spark: SparkSession, dir: String, artifactDir: String): Unit = {
     TextOps.dsirRatioGrid(spark, dir)
       .write.mode("overwrite").parquet(s"$artifactDir/ratios")
-    TextOps.dsirThreshold(spark, dir)
+    val thrDf = TextOps.dsirThreshold(spark, dir)
+    val row = thrDf.collect().head
+    require(!row.isNullAt(row.fieldIndex("thr")),
+      s"DSIR threshold is NULL — training corpus at $dir has no tokenized documents")
+    thrDf.sparkSession.createDataFrame(
+      java.util.List.of(row), thrDf.schema)
       .write.mode("overwrite").parquet(s"$artifactDir/threshold")
   }
 
@@ -49,8 +57,12 @@ object DsirStream {
       s"ratio artifact must carry the dense grid, got ${grid.size}")
     val ratioArr = array((0 until TextOps.dsirBuckets).map(i =>
       lit(grid(i.toLong))): _*)
-    val thr = spark.read.parquet(s"$artifactDir/threshold").collect()
-      .head.getAs[Double]("thr")
+    val thrRow = spark.read.parquet(s"$artifactDir/threshold").collect().head
+    // a NULL here would unbox to 0.0 and admit EVERYTHING — refuse to
+    // serve a degenerate model (the batch face selects nothing for it)
+    require(!thrRow.isNullAt(thrRow.fieldIndex("thr")),
+      s"threshold artifact at $artifactDir carries NULL — retrain on a non-empty corpus")
+    val thr = thrRow.getAs[Double]("thr")
     val toks = filter(TextOps.tokens(col("text")), t => length(t) > 0)
     // bucket index = first 2 hex chars of md5(token), as an int lookup
     // into the literal grid (conv is codegen'd; +1 for 1-based arrays)

@@ -12,7 +12,10 @@ final case class CusumEv(ts: java.sql.Timestamp, event_type: String)
 
 /** Streaming CUSUM: the incrementally-maintained daily view re-derives
   * the EXACT batch statistic after a chunked replay of the event
-  * stream, and the replay guard makes re-applied batches no-ops. */
+  * stream; the versioned-commit protocol makes replayed batches no-ops,
+  * makes a crash between the data and meta writes recoverable, and
+  * fails loudly when a DIFFERENT query (restarted batch ids) points at
+  * an existing view. */
 class CusumStreamSpec extends SparkSuite {
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
@@ -34,9 +37,10 @@ class CusumStreamSpec extends SparkSuite {
     val base = tmpDir("graft-cusum-stream")
     val viewDir = s"$base/view"
     val alertDir = s"$base/alerts"
+    val ckpt = s"$base/ckpt"
 
     val input = MemoryStream[CusumEv]
-    val q = CusumStream.maintain(input.toDF(), viewDir, alertDir,
+    val q = CusumStream.maintain(input.toDF(), viewDir, alertDir, ckpt,
       Trigger.ProcessingTime(0))
     try {
       chunks.foreach { c => input.addData(c); q.processAllAvailable() }
@@ -60,16 +64,58 @@ class CusumStreamSpec extends SparkSuite {
       canon(EventOps.seasonality(spark, sf)),
       "view-served seasonality differs from the batch face")
 
-    // replay guard: a fresh query (batch ids restart at 0) re-feeding a
-    // chunk must NOT double-merge — _last_batch already covers id 0
+    // ownership guard: a DIFFERENT query (fresh checkpoint ⇒ batch ids
+    // restart at 0) pointed at the same view must fail LOUDLY — its new
+    // events would otherwise be silently dropped by the replay guard
     val input2 = MemoryStream[CusumEv]
     val q2 = CusumStream.maintain(input2.toDF(), viewDir, alertDir,
-      Trigger.ProcessingTime(0))
+      s"$base/ckpt2", Trigger.ProcessingTime(0))
     try {
       input2.addData(chunks.head)
-      q2.processAllAvailable()
+      val failed =
+        try { q2.processAllAvailable(); false }
+        catch { case _: Throwable => true }
+      assert(failed, "a non-owning query merged into the view")
     } finally q2.stop()
     assert(canon(CusumStream.readStatistic(spark, viewDir)) == batch,
-      "replayed batch double-merged into the view")
+      "the rejected query still changed the view")
+  }
+
+  test("per-batch commit is idempotent across replays and torn writes") {
+    import spark.implicits._
+    val rows = EventOps.events(spark, sf)
+      .select($"ts".cast("timestamp"), $"event_type")
+      .as[CusumEv].collect().toSeq
+    val (b0, b1) = rows.splitAt(rows.size / 2)
+    val base = tmpDir("graft-cusum-apply")
+    val viewDir = s"$base/view"
+    val alertDir = s"$base/alerts"
+    val owner = s"$base/ckpt"
+    def df(c: Seq[CusumEv]) = spark.createDataFrame(c)
+
+    CusumStream.applyBatch(df(b0), 0L, viewDir, alertDir, owner)
+    val after0 = canon(CusumStream.readStatistic(spark, viewDir))
+
+    // replayed batch id (foreachBatch redelivery) is a no-op
+    CusumStream.applyBatch(df(b0), 0L, viewDir, alertDir, owner)
+    assert(canon(CusumStream.readStatistic(spark, viewDir)) == after0,
+      "replayed batch double-merged")
+
+    // torn write: batch 1's DATA directory lands but the meta write
+    // never happens (crash between the two). The retry must re-merge
+    // from the COMMITTED version, not the torn one.
+    val torn = df(b1).limit(1)
+    graft.operators.EventOps.dailyTypeCounts(torn.toDF())
+      .write.mode("overwrite").parquet(s"$viewDir/data_b1")
+    CusumStream.applyBatch(df(b1), 1L, viewDir, alertDir, owner)
+
+    val streamed = canon(CusumStream.readStatistic(spark, viewDir))
+    val batch = canon(EventOps.cusumShift(spark, sf))
+    assert(streamed == batch, "torn-write retry lost or doubled counts")
+
+    // a foreign owner is rejected before touching anything
+    intercept[IllegalArgumentException] {
+      CusumStream.applyBatch(df(b0), 0L, viewDir, alertDir, s"$base/other")
+    }
   }
 }

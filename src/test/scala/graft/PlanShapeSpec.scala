@@ -263,4 +263,22 @@ class PlanShapeSpec extends SparkSuite {
     val wide = spark.range(0, 1000, 1, dp * 4).toDF("v")
     assert(graft.ext.FanOut(wide) eq wide, "wide scan was repartitioned")
   }
+
+  test("PLAN_SNAPSHOT covers the registry exactly (no drift either way)") {
+    // the snapshot contract is machine-checked: every registered query
+    // has a snapshot entry and no snapshot entry is stale. Keys appear
+    // as "<name>": at the top level of the JSON object.
+    val path = java.nio.file.Paths.get("PLAN_SNAPSHOT.json")
+    assume(java.nio.file.Files.exists(path), "snapshot not in working dir")
+    val body = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    // top-level keys are lines of the form `  "<name>": {...}` — the
+    // per-query counter objects are written inline on one line each
+    val snapKeys = "(?m)^\\s{2}\"([A-Za-z0-9_]+)\":".r
+      .findAllMatchIn(body).map(_.group(1)).toSet
+    val registry = SparkEntry.queries.keySet
+    assert(registry.diff(snapKeys).isEmpty,
+      s"registered but unsnapshotted: ${registry.diff(snapKeys)}")
+    assert(snapKeys.diff(registry).isEmpty,
+      s"snapshotted but unregistered: ${snapKeys.diff(registry)}")
+  }
 }
