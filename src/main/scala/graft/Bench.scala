@@ -49,6 +49,13 @@ object Bench {
     val loadStart = loadavg()
     // A crashed query must never masquerade as a fast one: record -1 and
     // list it in "errs" so the JSON line distinguishes fast from broken.
+    // Per-query share of the named session-cache builds (BuildTimers):
+    // the memoized chains bill their one-time construction to whichever
+    // query touches them FIRST, so the cold number alone can't separate
+    // "this query got slower" from "this query now pays a shared build".
+    // Diffing the build table around each query attributes that.
+    val buildShare = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var buildsBefore = BuildTimers.snapshot()
     val timings = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -61,6 +68,11 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (ok) sec else -1.0
       }
+      val buildsAfter = BuildTimers.snapshot()
+      val delta = buildsAfter.map { case (k, v) =>
+        v - buildsBefore.getOrElse(k, 0.0) }.sum
+      if (delta > 0.005) buildShare(name) = delta
+      buildsBefore = buildsAfter
       if (runs > 1)
         System.err.println(f"[bench] $name: ${times.map(t => f"$t%.2f").mkString(" ")}")
       name -> times
@@ -139,9 +151,12 @@ object Bench {
         "BENCH_DETAIL.json")
       val detail = results.toSeq.sortBy(-_._2).map { case (k, v) =>
         val w = warmMed.get(k).map(m => s""","warm_med":${fmt(m, 2)}""").getOrElse("")
-        s""""$k":{"cold":${if (v < 0) "-1" else fmt(v, 2)}$w}"""
+        val b = buildShare.get(k).map(s => s""","build_sec":${fmt(s, 2)}""").getOrElse("")
+        s""""$k":{"cold":${if (v < 0) "-1" else fmt(v, 2)}$w$b}"""
       }.mkString("{", ",", "}")
-      val body = s"""{"sf":"$sfDir","runs":$runs,"n_ok":$nOk,"n_err":${errNames.size},"load_start":$loadStart,"load_end":$loadEnd$contamField,"queries":$detail}"""
+      val builds = BuildTimers.snapshot().toSeq.sortBy(-_._2)
+        .map { case (k, v) => s""""$k":${fmt(v, 2)}""" }.mkString("{", ",", "}")
+      val body = s"""{"sf":"$sfDir","runs":$runs,"n_ok":$nOk,"n_err":${errNames.size},"load_start":$loadStart,"load_end":$loadEnd$contamField,"builds":$builds,"queries":$detail}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         body.getBytes("UTF-8"))
     } catch { case e: Throwable =>

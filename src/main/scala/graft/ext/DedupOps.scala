@@ -43,6 +43,7 @@ object DedupOps {
     graft.ext.SimilarityOps.clearNearDupCache()
     graft.operators.GraphOps.clearGraphCaches()
     graft.ext.TextOps.clearSessionState()
+    graft.streaming.CusumStream.clearServedViews()
   }
 
   /** Memoized per-(dir, n) shingle tables shared by the whole dedup
@@ -73,7 +74,7 @@ object DedupOps {
   private[graft] def hashedShingles(spark: SparkSession, dir: String,
                                     n: Int): DataFrame =
     shingleCaches.synchronized {
-      shingleCaches.getOrElseUpdate((dir, n, "hashed"), {
+      shingleCaches.getOrElseUpdate((dir, n, "hashed"), graft.BuildTimers.timed("shingles_hashed") {
         // single-file inputs arrive as one partition; spread the per-row
         // shingle compute across cores before persisting
         val hashed = registerCache(Tables.documents(spark, dir)
@@ -90,7 +91,7 @@ object DedupOps {
   private[graft] def stringShingles(spark: SparkSession, dir: String,
                                     n: Int): DataFrame =
     shingleCaches.synchronized {
-      shingleCaches.getOrElseUpdate((dir, n, "strings"), {
+      shingleCaches.getOrElseUpdate((dir, n, "strings"), graft.BuildTimers.timed("shingles_strings") {
         val docs = registerCache(Tables.documents(spark, dir)
           .transform(FanOut(_))
           .select(col("doc_id"), shingles(col("text"), n).as("sh"))
@@ -399,7 +400,8 @@ object DedupOps {
                             n: Int, threshold: Double): DataFrame =
     clusterCache.synchronized {
       clusterCache.getOrElseUpdate((dir, n, threshold),
-        runClusterLoop(spark, dir, n, threshold))
+        graft.BuildTimers.timed("dedup_cluster_labels")(
+          runClusterLoop(spark, dir, n, threshold)))
     }
 
   def dedupClusters(spark: SparkSession, dir: String,
@@ -1035,7 +1037,7 @@ object DedupOps {
     * stays out of the cache. */
   private[graft] def spanCoverage(spark: SparkSession, dir: String): DataFrame =
     spanCache.synchronized {
-      spanCache.getOrElseUpdate(dir, {
+      spanCache.getOrElseUpdate(dir, graft.BuildTimers.timed("span_coverage") {
         val t = registerCache(spanCoverageBuild(spark, dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         t.count()

@@ -438,7 +438,7 @@ object TextOps {
     // registered with the session cache registry so releaseShared()
     // frees it — a bare per-call persist leaked in long sessions.
     val bySrcTok = driftTokCache.synchronized {
-      driftTokCache.getOrElseUpdate((spark, dir), {
+      driftTokCache.getOrElseUpdate((spark, dir), graft.BuildTimers.timed("drift_tokens") {
         val toks = Tables.documents(spark, dir)
           .transform(graft.ext.FanOut(_))
           .select(col("source"), explode(tokens(col("text"))).as("tok"))
@@ -680,7 +680,8 @@ object TextOps {
       : (Seq[(Long, String, String, String, Long)], Seq[DataFrame]) =
     bpeMemo.synchronized {
       bpeMemo.getOrElseUpdate(s"$dir#$rounds",
-        bpeTrainChainUncached(spark, dir, rounds))
+        graft.BuildTimers.timed("bpe_train")(
+          bpeTrainChainUncached(spark, dir, rounds)))
     }
 
   private def bpeTrainChainUncached(spark: SparkSession, dir: String,
@@ -1001,7 +1002,7 @@ object TextOps {
     * so the registered face's global sort is wasted work there. */
   private[graft] def dsirScoresUnsorted(spark: SparkSession, dir: String): DataFrame =
     dsirCache.synchronized {
-      dsirCache.getOrElseUpdate(dir, {
+      dsirCache.getOrElseUpdate(dir, graft.BuildTimers.timed("dsir_scores") {
         val t = graft.ext.DedupOps.registerCache(
           dsirScoresBuild(spark, dir)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1220,7 +1221,7 @@ object TextOps {
   private[graft] def lrTrain(spark: SparkSession, dir: String,
                              rounds: Int = lrRounds)
       : (Array[Long], DataFrame) = lrMemo.synchronized {
-    lrMemo.getOrElseUpdate(s"$dir#$rounds", {
+    lrMemo.getOrElseUpdate(s"$dir#$rounds", graft.BuildTimers.timed("lr_train") {
       val feats = lrFeatures(spark, dir).localCheckpoint()
       var w = Array(0L, 0L, 0L, 0L)
       var r = 0

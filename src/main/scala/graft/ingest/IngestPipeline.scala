@@ -7,7 +7,7 @@ import scala.concurrent.duration.Duration
 import scala.concurrent.{Await, ExecutionContext, Future}
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{KubeOps, ListingOps, TimeOps}
@@ -281,15 +281,14 @@ object IngestPipeline {
       .option("entity", entity)
       .load()
 
-  /** One sink load = write every entity to `warehouse/<sink>/<entity>`
-    * with overwrite (S9+S10 idempotency). */
-  private def runSink(spark: SparkSession, bucket: String, warehouse: String,
-                      params: IngestParams, sink: String,
+  /** One sink load = feed every entity through the bound [[LoadSink]]
+    * (S9+S10 idempotency is the sink's contract — the parquet binding
+    * overwrites `warehouse/<sink>/<entity>`). */
+  private def runSink(spark: SparkSession, bucket: String,
+                      params: IngestParams, sink: LoadSink,
                       entityNames: Seq[String]): Unit =
     entityNames.foreach { e =>
-      loadEntity(spark, bucket, params.ingestName, e)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$warehouse/$sink/$e")
+      sink.writeEntity(e, loadEntity(spark, bucket, params.ingestName, e))
     }
 
   /** T6 rolling-update / CI-settle stage (ingestor.js:231–236, 259): after
@@ -340,16 +339,18 @@ object IngestPipeline {
                onSinkEvent: (String, String) => Unit = (_, _) => (),
                podsFor: String => Seq[String] = _ => Nil,
                settle: () => Unit = () => (),
-               maxPolls: Int = 10000): Unit = {
+               maxPolls: Int = 10000,
+               sinks: Option[Sinks] = None): Unit = {
+    val bound = sinks.getOrElse(Sinks.parquet(spark, warehouse))
     def neo(): Unit = {
       times.neoStart = Some(clock()); onSinkEvent("neo4j", "start")
-      runSink(spark, bucket, warehouse, params, "neo4j", entityNames)
+      runSink(spark, bucket, params, bound.load("neo4j"), entityNames)
       awaitRollingUpdate(spark, () => podsFor("neo4j"), times.neoStart.get, settle, maxPolls)
       times.neoEnd = Some(clock()); onSinkEvent("neo4j", "end")
     }
     def elastic(): Unit = {
       times.elasticStart = Some(clock()); onSinkEvent("elastic", "start")
-      runSink(spark, bucket, warehouse, params, "elastic", entityNames)
+      runSink(spark, bucket, params, bound.load("elastic"), entityNames)
       awaitRollingUpdate(spark, () => podsFor("elastic"), times.elasticStart.get, settle, maxPolls)
       times.elasticEnd = Some(clock()); onSinkEvent("elastic", "end")
     }
@@ -379,9 +380,11 @@ object IngestPipeline {
                          clock: () => Long = () => System.currentTimeMillis / 1000,
                          onSinkEvent: (String, String) => Unit = (_, _) => (),
                          podsFor: String => Seq[String] = _ => Nil,
-                         settle: () => Unit = () => ())
+                         settle: () => Unit = () => (),
+                         sinks: Option[Sinks] = None)
       : Option[IngestMetrics] = {
     import spark.implicits._
+    val bound = sinks.getOrElse(Sinks.parquet(spark, warehouse))
     val listing = listKeys(spark, bucket)
     if (listing.isEmpty) return None
     val hasTs = ListingOps.hasTimestampFolders(listing)
@@ -399,7 +402,7 @@ object IngestPipeline {
     val startSec = clock()
     val entityNames = entities(listing, params.ingestName)
     runSinks(spark, bucket, warehouse, params, entityNames, times, clock,
-      onSinkEvent, podsFor, settle)
+      onSinkEvent, podsFor, settle, sinks = Some(bound))
 
     val endSec = clock()
     val loadDate = new java.sql.Timestamp(endSec * 1000L)
@@ -416,9 +419,9 @@ object IngestPipeline {
       elastic_job_duration = formatDuration(times.elasticStart, times.elasticEnd),
       total_job_duration = formatDuration(Some(startSec), Some(endSec)))
 
-    // S8: metrics sink (mongo in the reference; parquet append here)
-    spark.createDataset(Seq(metrics)).write
-      .mode(SaveMode.Append).parquet(s"$warehouse/es_load_dates")
+    // S8: metrics sink (mongo in the reference — mongodb.js:30–38;
+    // the bound MetricsSink, parquet by default)
+    bound.metrics.append(metrics)
 
     // commit: delete consumed folder (T4), reset session state (T8)
     if (times.isComplete) {

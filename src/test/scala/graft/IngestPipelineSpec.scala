@@ -105,6 +105,33 @@ class IngestPipelineSpec extends SparkSuite {
     assert(bulkEvents.count(_._2 == "end") == 2)
   }
 
+  test("sink seam: custom bindings receive loads + metrics, T5 order intact") {
+    val bucket = tmpDir("graft-bucket")
+    val wh = tmpDir("graft-wh")
+    makeIngest(bucket, "1538055240", "incremental")
+    val calls = mutable.ArrayBuffer.empty[(String, String, Long)]
+    val metricsSeen = mutable.ArrayBuffer.empty[IngestPipeline.IngestMetrics]
+    final class Rec(val name: String) extends graft.ingest.LoadSink {
+      def writeEntity(entity: String, df: org.apache.spark.sql.DataFrame): Unit =
+        calls.synchronized { calls += ((name, entity, df.count())) }
+    }
+    val binding = graft.ingest.Sinks(
+      load = n => new Rec(n),
+      metrics = m => metricsSeen.synchronized { metricsSeen += m })
+    val m = IngestPipeline.processPendingOnce(spark, bucket, wh,
+      sinks = Some(binding))
+    assert(m.isDefined)
+    // delta ⇒ neo4j's entity load strictly precedes elastic's (T5 holds
+    // THROUGH the seam), and each sink saw the 3 loaded rows
+    assert(calls.toSeq == Seq(("neo4j", "person", 3L), ("elastic", "person", 3L)),
+      s"seam calls: $calls")
+    // metrics went through the bound MetricsSink, not the parquet table,
+    // and the default warehouse saw no writes at all
+    assert(metricsSeen.map(_.ingest).toSeq == Seq("1538055240"))
+    assert(!Files.exists(Paths.get(s"$wh/es_load_dates")))
+    assert(!Files.exists(Paths.get(s"$wh/neo4j")))
+  }
+
   test("sinks receive the CSV.gz data; metrics row has the golden shape") {
     val bucket = tmpDir("graft-bucket")
     val wh = tmpDir("graft-wh")

@@ -258,6 +258,33 @@ def run_cp_seed(seed):
     return ok
 
 
+def run_stream_seed(seed):
+    """Streaming phase: replay the seed's random corpus through the
+    streaming surfaces (CusumStream merge/commit, DedupStream digest
+    admission, ScoreStream/DsirStream serving) in seed-randomized
+    chunkings with duplicate-batch replays, asserting streamed == batch
+    (graft.FuzzStream). Needs run_seed's corpus dir on disk."""
+    d = f"/tmp/graft_fuzz/{seed}"
+    try:
+        r = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.FuzzStream {seed} {d}"],
+            cwd=REPO, capture_output=True, text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        print(f"seed {seed}: STREAM FUZZ TIMEOUT")
+        return False
+    fails = [l for l in r.stdout.splitlines() if "[fuzzstream] FAIL" in l]
+    ok = r.returncode == 0 and not fails and "ALL OK" in r.stdout
+    if ok:
+        print(f"seed {seed} [stream]: ALL OK")
+    else:
+        print(f"seed {seed} [stream]: FAIL")
+        for f in fails[:10]:
+            print("  ", f)
+        if not fails:
+            print(r.stdout[-2000:], r.stderr[-1000:])
+    return ok
+
+
 def run_seed(seed):
     d = f"/tmp/graft_fuzz/{seed}"
     shutil.rmtree(d, ignore_errors=True)
@@ -310,7 +337,7 @@ def main():
         sys.exit("need a prior Verify dump at /tmp/vout for the name list")
     shutil.copy(src, "/tmp/graft_fuzz/oracle_sql.json")
     bad = [s for s in range(seed0, seed0 + n)
-           if not (run_seed(s) and run_cp_seed(s))]
+           if not (run_seed(s) and run_cp_seed(s) and run_stream_seed(s))]
     if bad:
         sys.exit(f"FUZZ FAILURES: seeds {bad}")
     print(f"fuzz: {n} seeds ALL GREEN")
