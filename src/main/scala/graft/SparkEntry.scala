@@ -2302,6 +2302,11 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
     // trained quality/language filter (micro-quantized logistic GD)
     "text_quality_lr" -> ((s, d) => TextOps.qualityLrScores(s, d)),
+    // serving-path faces (r12 judge #6 discipline): score the corpus
+    // THROUGH the persisted model artifacts the streams serve from —
+    // the artifact round-trip joins the driver gate, not just a spec
+    "text_lr_served" -> ((s, d) => graft.streaming.ScoreStream.servedScores(s, d)),
+    "text_dsir_served" -> ((s, d) => graft.streaming.DsirStream.servedScores(s, d)),
     "text_quality_lr_weights" -> ((s, d) => TextOps.qualityLrWeights(s, d)),
     "text_corpus_card" -> ((s, d) => TextOps.corpusCard(s, d)),
     "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
@@ -2635,6 +2640,12 @@ object SparkEntry {
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_quality_lr" -> textQualityLrSql,
+    // served faces replay the SAME trained chain, projected to the
+    // serving columns (scores are artifact-round-trip identical)
+    "text_lr_served" ->
+      s"SELECT doc_id, score, pred FROM ($textQualityLrSql) t ORDER BY doc_id",
+    "text_dsir_served" ->
+      s"SELECT doc_id, n_tokens, score_micro, selected FROM ($textDsirSql) t ORDER BY doc_id",
     "text_quality_lr_weights" -> textQualityLrWeightsSql,
     "text_corpus_card" -> textCorpusCardSql,
     "text_collocations" -> textCollocationsSql,

@@ -43,7 +43,7 @@ object DedupOps {
     graft.ext.SimilarityOps.clearNearDupCache()
     graft.operators.GraphOps.clearGraphCaches()
     graft.ext.TextOps.clearSessionState()
-    graft.streaming.CusumStream.clearServedViews()
+    graft.streaming.ServedArtifacts.clear()
   }
 
   /** Memoized per-(dir, n) shingle tables shared by the whole dedup

@@ -147,36 +147,6 @@ object CusumStream {
   def readStatistic(spark: SparkSession, viewDir: String): DataFrame =
     EventOps.cusumFromDaily(currentData(spark, viewDir))
 
-  private val servedViews =
-    scala.collection.mutable.Map.empty[String, String]
-
-  /** Drop the served-view memo and its temp dirs (called from
-    * DedupOps.releaseShared with the other session artifacts). Clears
-    * REGARDLESS of deletion failures — a half-deleted dir must never
-    * stay memoized. */
-  private[graft] def clearServedViews(): Unit =
-    servedViews.synchronized {
-      servedViews.values.foreach { d =>
-        try {
-          // the view dir is <base>/view — delete the whole base
-          val root = java.nio.file.Paths.get(d).getParent
-          if (root != null && java.nio.file.Files.exists(root)) {
-            val walk = java.nio.file.Files.walk(root)
-            try {
-              import scala.jdk.CollectionConverters._
-              walk.iterator().asScala.toSeq
-                .sortBy(-_.getNameCount)
-                .foreach(p => java.nio.file.Files.deleteIfExists(p))
-            } finally walk.close()
-          }
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[graft] cusum view cleanup of $d failed: $e")
-        }
-      }
-      servedViews.clear()
-    }
-
   /** `ev_cusum_served`: the maintained view's statistic under a
     * replayed chunked ingest — built once per (session, dir) by pushing
     * three disjoint hash-slices of the batch events table through the
@@ -188,20 +158,15 @@ object CusumStream {
     * streamed-maintenance path inside the driver gate (the
     * `sim_ivf_served` discipline applied to the monitor). */
   def servedStatistic(spark: SparkSession, dir: String): DataFrame = {
-    val viewDir = servedViews.synchronized {
-      servedViews.getOrElseUpdate(dir, graft.BuildTimers.timed("cusum_view") {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_cusumview_").toString
-        val ev = EventOps.events(spark, dir)
-        (0 until 3).foreach { i =>
-          CusumStream.applyBatch(
-            ev.filter(pmod(xxhash64(col("ts"), col("event_type")), lit(3)) === i),
-            i.toLong, s"$base/view", s"$base/alerts", owner = "served-replay")
-        }
-        s"$base/view"
-      })
+    val base = ServedArtifacts.dir("cusumview", dir) { d =>
+      val ev = EventOps.events(spark, dir)
+      (0 until 3).foreach { i =>
+        applyBatch(
+          ev.filter(pmod(xxhash64(col("ts"), col("event_type")), lit(3)) === i),
+          i.toLong, s"$d/view", s"$d/alerts", owner = "served-replay")
+      }
     }
-    readStatistic(spark, viewDir)
+    readStatistic(spark, s"$base/view")
   }
 
   /** The seasonality profile served from the SAME maintained view: the

@@ -71,13 +71,32 @@ object DsirStream {
         conv(substring(md5(t), 1, 2), 16, 10).cast("int") + 1)
     docs
       .withColumn("__toks", toks)
-      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      // total on NULL text (size/aggregate of a null array are null):
+      // a null-text doc serves as (0 tokens, score 0, not selected) —
+      // exactly the batch face's coalesce semantics
+      .withColumn("n_tokens",
+        coalesce(size(col("__toks")), lit(0)).cast("long"))
       .withColumn("w_sum", aggregate(col("__toks"), lit(0L),
         (acc, t) => acc + ratioOf(t)))
       .select(col("doc_id"), col("n_tokens"),
         when(col("n_tokens") > 0, expr("w_sum DIV n_tokens"))
           .otherwise(lit(0L)).as("score_micro"))
-      .withColumn("selected",
-        col("n_tokens") > 0 && col("score_micro").cast("double") >= lit(thr))
+      .withColumn("selected", coalesce(
+        col("n_tokens") > 0 && col("score_micro").cast("double") >= lit(thr),
+        lit(false)))
+  }
+
+  /** `text_dsir_served`: the admission serving path as a registered
+    * oracle face — train-and-persist the 256-bucket grid + threshold
+    * once per session, then score the corpus THROUGH the artifact (the
+    * dense literal-array fold). The served per-doc score is the same
+    * exact-integer mean the batch face computes, so the batch oracle
+    * (projected to the served columns) hash-checks the artifact
+    * round-trip inside the driver gate. */
+  def servedScores(spark: SparkSession, dir: String): DataFrame = {
+    val art = ServedArtifacts.dir("dsirmodel", dir)(d => writeModel(spark, dir, d))
+    scoreStream(graft.model.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")), art)
+      .orderBy(col("doc_id"))
   }
 }

@@ -51,4 +51,18 @@ object ScoreStream {
       .select(col("doc_id"), round(p, 6).as("score"),
         (p >= lit(0.5)).as("pred"))
   }
+
+  /** `text_lr_served`: the serving path as a registered oracle face —
+    * train-and-persist once per session, then score the corpus THROUGH
+    * the artifact (weights re-loaded from parquet and re-planted as
+    * plan literals). Identical training and identical score expression
+    * ⇒ row-identical to the batch `text_quality_lr` scores, so the
+    * batch oracle (projected to the served columns) hash-checks the
+    * artifact round-trip inside the driver gate. */
+  def servedScores(spark: SparkSession, dir: String): DataFrame = {
+    val art = ServedArtifacts.dir("lrmodel", dir)(d => writeModel(spark, dir, d))
+    scoreStream(graft.model.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")), art)
+      .orderBy(col("doc_id"))
+  }
 }
