@@ -468,9 +468,13 @@ object DedupOps {
     ccLabelsCounted(spark, pairTable)._1
 
   /** ccLabels plus the number of LS+SS rounds the loop ran — exposed so
-    * the spec can assert the logarithmic-round guarantee. */
+    * the spec can assert the logarithmic-round guarantee.
+    * `useDriverGate = false` forces the distributed loop (the spec's
+    * round-count pin needs it; production callers leave it on). */
   private[graft] def ccLabelsCounted(spark: SparkSession,
-                                     pairTable: DataFrame): (DataFrame, Int) = {
+                                     pairTable: DataFrame,
+                                     useDriverGate: Boolean = true)
+      : (DataFrame, Int) = {
     val pairs = pairTable.toDF("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the (expensive) pair generation at the session's full
@@ -478,6 +482,47 @@ object DedupOps {
     // lazy, and the first loop action must not drag the corpus-wide
     // shingle join down to the loop's partition count
     val edgeCount = pairs.count()
+    // Size-gated driver union-find (the triangle-broadcast discipline,
+    // r13): a near-dup pair set that fits the session's BROADCAST
+    // budget (16 B/edge — two LongType columns, Catalyst's own data
+    // width) is solved in one collect + path-compressed union-find
+    // instead of O(log d) driver-paced shuffle rounds. At test scale
+    // that turns ~6 two-pass Spark rounds of pure scheduling overhead
+    // into milliseconds; above the gate (web-scale pair tables) the
+    // LS/SS loop below is unchanged. Driver state is bounded by the
+    // same conf every auto-broadcast decision already prices. Long-id
+    // edges only — any other key type stays on the distributed path.
+    val longIds = pairs.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val gate = graft.operators.GraphOps.broadcastThresholdBytes(spark)
+    if (useDriverGate && longIds && gate >= 0 && edgeCount * 16L <= gate) {
+      val rows = pairs.collect()
+      pairs.unpersist()
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      val nodes = new java.util.TreeSet[java.lang.Long]()
+      rows.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        nodes.add(a); nodes.add(b)
+        val (ra, rb) = (find(a), find(b))
+        // attach the larger root under the smaller ⇒ a root IS its
+        // component minimum, matching the LS/SS fixpoint's labels
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      import scala.jdk.CollectionConverters._
+      val labels = spark.createDataFrame(
+        nodes.asScala.toSeq.map(n => (n.toLong, find(n))))
+        .toDF("doc_id", "label")
+      return (labels, 0)
+    }
     // The edge tables hold one row per duplicate pair. Size the loop's
     // exchanges from that materialized count (~100k edges/partition)
     // rather than a hardcoded constant: at test scale the loop runs a

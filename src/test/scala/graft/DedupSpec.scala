@@ -311,7 +311,10 @@ class DedupSpec extends SparkSuite {
     // rounds); large-star/small-star must close it logarithmically
     val d = 1024
     val path = (0 until d).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
-    val (labels, rounds) = DedupOps.ccLabelsCounted(spark, path)
+    // force the distributed loop: 1024 edges would otherwise take the
+    // size-gated driver union-find and never exercise LS/SS
+    val (labels, rounds) =
+      DedupOps.ccLabelsCounted(spark, path, useDriverGate = false)
     val lbl = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lbl.size == d + 1, "every endpoint labeled exactly once")
     assert(lbl.values.forall(_ == 0L), "single component, min label 0")
@@ -327,7 +330,16 @@ class DedupSpec extends SparkSuite {
     // high-id star center mixed in: a hub whose neighbors are all smaller
     val star = (0 until 30).map(i => (240L, i.toLong * 3))
     val all = (pairs ++ star).distinct
-    val (labels, _) = DedupOps.ccLabelsCounted(spark, all.toDF("doc_a", "doc_b"))
+    // BOTH modes must produce identical labels: the size-gated driver
+    // union-find (default at this size) and the distributed LS/SS loop
+    val (labels, gateRounds) =
+      DedupOps.ccLabelsCounted(spark, all.toDF("doc_a", "doc_b"))
+    assert(gateRounds == 0, "expected the driver-gate path at 430 edges")
+    val (labelsDist, _) = DedupOps.ccLabelsCounted(
+      spark, all.toDF("doc_a", "doc_b"), useDriverGate = false)
+    assert(labels.collect().map(_.toSeq).toSet ==
+      labelsDist.collect().map(_.toSeq).toSet,
+      "driver-gate labels differ from the distributed loop")
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // reference union-find
     val parent = scala.collection.mutable.Map.empty[Long, Long]
