@@ -120,6 +120,44 @@ object SparkEntry {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
+  // Q7 shape: two-nation shipping volume by ship year
+  private val qVolumeShippingSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // Q8 shape: NATION_1's share of revenue delivered to ASIA customers,
+  // per order year — exact integer micro units end to end
+  private val qMarketShareSql: String =
+    """SELECT o_year, nation_units, total_units,
+      |  (nation_units * 1000000) // total_units AS mkt_share_micro
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(sum(CASE WHEN sn.n_name = 'NATION_1'
+      |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS nation_units,
+      |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_units
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+      |    JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+      |  GROUP BY 1) t
+      |ORDER BY o_year""".stripMargin
+
   private val q3TopRevenueOrdersSql: String =
     """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
       |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
@@ -1675,6 +1713,20 @@ object SparkEntry {
       |SELECT vec_a, vec_b, cos FROM v WHERE cos >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // sim_knn_graph: both directions of every verified bucket-collision
+  // pair, top-3 per vector by (cos DESC, nbr ASC) — the same chain, no
+  // threshold, ranked instead of filtered.
+  private lazy val simKnnGraphSql: String =
+    s"""$simNearDupCtes,
+      |sym AS (SELECT vec_a AS vec_id, vec_b AS nbr_id, cos FROM v
+      |        UNION ALL SELECT vec_b, vec_a, cos FROM v),
+      |rk AS (SELECT vec_id, nbr_id, cos,
+      |    row_number() OVER (PARTITION BY vec_id
+      |                       ORDER BY cos DESC, nbr_id ASC) AS "rank"
+      |  FROM sym)
+      |SELECT vec_id, "rank", nbr_id, cos FROM rk WHERE "rank" <= 3
+      |ORDER BY vec_id, "rank"""".stripMargin
+
   // sim_decontaminate: same LCG buckets, but candidates are
   // train(label != 0) x holdout(label = 0) bucket collisions; exact
   // cosine verify, per-train-vector match count, flag.
@@ -2264,6 +2316,10 @@ object SparkEntry {
     // relational core [EXT]
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q5_revenue_by_nation" -> ((s, d) => Relational.revenueByNation(s, d)),
+    // TPC-H Q7/Q8 shapes: two-nation shipping volume and exact-integer
+    // regional market share — the dims all broadcast, one fact shuffle
+    "q_volume_shipping" -> ((s, d) => Relational.volumeShipping(s, d)),
+    "q_market_share" -> ((s, d) => Relational.marketShare(s, d)),
     "q3_top_revenue_orders" -> ((s, d) => Relational.topRevenueOrders(s, d)),
     "q_revenue_by_brand" -> ((s, d) => Relational.revenueByBrand(s, d)),
     "q_semi_join" -> ((s, d) => Relational.customersWithBigOrders(s, d)),
@@ -2380,6 +2436,9 @@ object SparkEntry {
     "sim_int8_topk" -> ((s, d) => SimilarityOps.int8TopK(s, d)),
     "sim_int8_eval" -> ((s, d) => SimilarityOps.int8Eval(s, d)),
     "sim_near_dups" -> ((s, d) => SimilarityOps.embeddingNearDups(s, d)),
+    // corpus-wide kNN graph over the banded candidates, per-vector
+    // top-3 on the native bounded-heap exec (SemDeDup's input table)
+    "sim_knn_graph" -> ((s, d) => SimilarityOps.knnGraph(s, d)),
     "sim_clusters" -> ((s, d) => SimilarityOps.semanticClusters(s, d)),
     "sim_semantic_keeper" -> ((s, d) => SimilarityOps.semanticKeeper(s, d)),
     "sim_decontaminate" -> ((s, d) => SimilarityOps.semanticDecontaminate(s, d)),
@@ -2554,6 +2613,8 @@ object SparkEntry {
     "cp_manifest_reconcile" -> cpManifestReconcileSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "q5_revenue_by_nation" -> q5RevenueByNationSql,
+    "q_volume_shipping" -> qVolumeShippingSql,
+    "q_market_share" -> qMarketShareSql,
     "q3_top_revenue_orders" -> q3TopRevenueOrdersSql,
     "q_revenue_by_brand" -> qBrandSql,
     "q_semi_join" -> qSemiSql,
@@ -2715,6 +2776,7 @@ object SparkEntry {
     // dot folds are engine-exact, so the oracle replays bucketing,
     // probing, and verification bit-for-bit.
     "sim_near_dups" -> simNearDupsSql,
+    "sim_knn_graph" -> simKnnGraphSql,
     "sim_clusters" -> simClustersSql,
     "sim_semantic_keeper" -> simSemanticKeeperSql,
     "sim_decontaminate" -> simDecontaminateSql,

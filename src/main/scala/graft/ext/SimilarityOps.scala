@@ -732,6 +732,37 @@ object SimilarityOps {
     nearDupPairs(spark, dir, threshold, planesPerTable, nTables)
       .orderBy(col("vec_a"), col("vec_b"))
 
+  /** `sim_knn_graph`: the LSH-blocked k-nearest-neighbor GRAPH over the
+    * whole corpus — for EVERY vector, its `k` best neighbors among the
+    * bucket-collision candidates, by (cosine DESC, neighbor id ASC).
+    * This is the building block SemDeDup-style curation and graph-ANN
+    * serving both start from; unlike [[lshTopK]] (a handful of query
+    * vectors against the corpus) the output is corpus-sized, so the
+    * all-pairs trap is the whole design problem.
+    *
+    * Scale: candidates come from the SHARED banded bucket join
+    * ([[nearDupPairs]] at threshold −1: every verified bucket-collision
+    * pair, memoized per session — never all-pairs, each distinct pair
+    * pays one cosine); the per-vector top-k runs on the native
+    * bounded-heap TopKPerGroupExec (no sort, ClusteredDistribution on
+    * vec_id), so the only corpus-sized exchange is the one hash
+    * partition the heap aggregation needs. Neighbor lists are capped at
+    * k by construction — downstream joins see k·N rows, not the
+    * collision multiset. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3,
+               planesPerTable: Int = 6, nTables: Int = 2): DataFrame = {
+    val pairs = nearDupPairs(spark, dir, -1.0, planesPerTable, nTables)
+    val sym = pairs.select(col("vec_a").as("vec_id"),
+        col("vec_b").as("nbr_id"), col("cos"))
+      .unionByName(pairs.select(col("vec_b").as("vec_id"),
+        col("vec_a").as("nbr_id"), col("cos")))
+    graft.plans.TopKPerGroup.topK(sym, Seq("vec_id"),
+        Seq(("cos", false), ("nbr_id", true)), k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cos"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Semantic decontamination (`sim_decontaminate`): flag every train
     * vector (label ≠ 0) whose cosine to ANY holdout vector (label = 0,
     * the benchmark/eval embedding set) reaches the threshold — the

@@ -807,4 +807,83 @@ object Relational {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
       .orderBy(col("status"))
   }
+
+  /** `q_volume_shipping` (TPC-H Q7 shape): revenue shipped between two
+    * named nations, by (supplier nation, customer nation, ship year).
+    * The fact chain joins lineitem→orders once on the order key; the
+    * supplier and customer maps and BOTH nation dims ride broadcasts,
+    * so the nation-pair predicate evaluates map-side and the only
+    * shuffle is the final 3-key aggregate. Money stays in the exact
+    * decimal-sum-then-double discipline ([[dsum]]). */
+  def volumeShipping(spark: SparkSession, dir: String,
+                     nationA: String = "NATION_1",
+                     nationB: String = "NATION_2"): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("snk"))
+      .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** `q_market_share` (TPC-H Q8 shape): of all lineitem revenue
+    * delivered to one REGION's customers per order year, the fraction
+    * supplied by one nation. The share is computed in EXACT integers:
+    * revenue sums as DECIMAL(18,4), scales to ten-thousandths as a
+    * BIGINT, and the ratio is integer micro units — one conditional-sum
+    * aggregate, no join of two aggregates, engine-exact. Dims all
+    * broadcast; the single shuffle is the per-year aggregate. */
+  def marketShare(spark: SparkSession, dir: String,
+                  regionName: String = "ASIA",
+                  nationName: String = "NATION_1"): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val cnat = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === regionName)
+      .select(col("n_nationkey").as("cnk"))
+    val snat = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val units = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cnat), col("c_nationkey") === col("cnk"), "left_semi")
+      .join(broadcast(snat), col("s_nationkey") === col("snk"))
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .groupBy(col("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === nationName, units)
+          .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 4))))
+          * 10000).cast("long").as("nation_units"),
+        (sum(units) * 10000).cast("long").as("total_units"))
+      .withColumn("mkt_share_micro",
+        expr("(nation_units * 1000000) DIV total_units"))
+      .orderBy(col("o_year"))
+  }
 }

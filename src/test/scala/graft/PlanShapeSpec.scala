@@ -63,9 +63,26 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
 
+  test("Q7/Q8 shapes broadcast every dimension; at most one fact shuffle join") {
+    Seq("q_volume_shipping", "q_market_share").foreach { q =>
+      val p = plan(q)
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, s"$q: ${p.take(900)}")
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 1, q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("knn graph runs on the native bounded-heap exec, no sort before it") {
+    val p = plan("sim_knn_graph")
+    assert(p.contains("TopKPerGroup"), p.take(900))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(900))
+  }
+
   test("similarity/dedup candidate joins are equi-joins, never cross joins") {
     Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-        "sim_near_dups", "sim_lsh_topk").foreach { q =>
+        "sim_near_dups", "sim_lsh_topk", "sim_knn_graph").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), s"$q has a cross join")

@@ -538,4 +538,23 @@ class SimilaritySpec extends SparkSuite {
     assert(got.toSeq == sel)
     assert(poolIds.contains(got.head._2) && got.head._3 == pool.head._2)
   }
+
+  test("knn graph equals a driver replay of top-k over the candidate pairs") {
+    import graft.ext.SimilarityOps
+    val pairs = SimilarityOps.embeddingNearDups(spark, sf, threshold = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sym = pairs.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+    val want = sym.groupBy(_._1).toSeq.flatMap { case (v, nbrs) =>
+      nbrs.toSeq.sortBy { case (_, n, c) => (-c, n) }.take(3).zipWithIndex
+        .map { case ((_, n, c), i) => (v, i + 1L, n, c) }
+    }.toSet
+    val got = SimilarityOps.knnGraph(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+    // every row's rank within bounds, and ranks are dense per vector
+    val byVec = got.groupBy(_._1)
+    assert(byVec.values.forall(rs =>
+      rs.map(_._2).toSeq.sorted == (1L to rs.size).toSeq))
+  }
 }

@@ -132,7 +132,7 @@ def gen_tpch(rng, d):
     n_nat = 10
     pq.write_table(pa.table({
         "n_nationkey": pa.array(range(n_nat), pa.int32()),
-        "n_name": pa.array([f"NATION{i}" for i in range(n_nat)], pa.string()),
+        "n_name": pa.array([f"NATION_{i}" for i in range(n_nat)], pa.string()),
         "n_regionkey": pa.array([rng.randrange(5) for _ in range(n_nat)],
                                 pa.int32())}), f"{d}/nation.parquet")
     segs = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
