@@ -1555,7 +1555,9 @@ object SparkEntry {
     * their previous centroid) — then corpus assignment, 4-probe
     * selection, and candidate ranking. Deterministic training is what
     * makes an approximate TRAINED index hash-checkable at all. */
-  private val simIvfTopKSql: String = {
+  // CTE-only form (the simLshChainCtes pattern) so sim_ivf_eval can
+  // graft the brute-force truth and the hit join onto the same chain
+  private lazy val simIvfChainCtes: String = {
     val rounds = (1 to 2).map { r =>
       s"""s$r AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS cs
          |  FROM e CROSS JOIN c${r - 1} c),
@@ -1572,7 +1574,7 @@ object SparkEntry {
          |  UNION ALL SELECT c.cid, c.cv FROM c${r - 1} c
          |    WHERE NOT EXISTS (SELECT 1 FROM x$r x WHERE x.cid = c.cid))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < 16),
        |$rounds,
        |fs AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS cs
@@ -1589,10 +1591,20 @@ object SparkEntry {
        |  JOIN e q ON q.vec_id = p.qid JOIN e v ON v.vec_id = a.vec_id),
        |ranked AS (SELECT qid, vec_id, cos,
        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
-       |  FROM sims)
+       |  FROM sims)""".stripMargin
+  }
+
+  private lazy val simIvfTopKSql: String =
+    s"""WITH $simIvfChainCtes
        |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
-  }
+
+  /** Replay of SimilarityOps.ivfEval: the trained-IVF chain at the
+    * default 4-probe budget, the brute-force truth, and the per-query
+    * hit count in one statement (same graft as simAnnEvalSql). */
+  private lazy val simIvfEvalSql: String =
+    s"""WITH $simIvfChainCtes,
+       |${recallGraftSql("e")}""".stripMargin
 
   /** Full replay of the TRAINED PQ face (SimilarityOps.pqTopK): per
     * subspace (m=8, dsub=8, ksub=64), 2 unrolled Lloyd's rounds with
@@ -2413,6 +2425,9 @@ object SparkEntry {
     // posting list is scanned, so the result must equal brute force —
     // the recall knob checked at its endpoint by the brute-force oracle
     "sim_ivf_fullprobe" -> ((s, d) => SimilarityOps.ivfTopK(s, d, nCentroids = 16, nProbe = 16)),
+    // recall@5 of the DEFAULT 4-probe serving budget vs brute force —
+    // the eval-family member fullprobe can't be (it is exact)
+    "sim_ivf_eval" -> ((s, d) => SimilarityOps.ivfEval(s, d)),
     // the PERSISTED index on its serving path: build the parquet
     // artifact once per session, query with literal-cid partition
     // pruning; identical training ⇒ row-identical to sim_ivf_topk, so
@@ -2765,6 +2780,7 @@ object SparkEntry {
     // (fixed-point Lloyd's means, cosine-argmax assignment), so the
     // oracle replays training end to end — see simIvfTopKSql/simPqTopKSql.
     "sim_ivf_topk" -> simIvfTopKSql,
+    "sim_ivf_eval" -> simIvfEvalSql,
     // the persisted-index serving path trains identically to the inline
     // face (same deterministic Lloyd's, same probe math), so the same
     // trained replay covers it — now exercised through cid partition

@@ -873,6 +873,18 @@ object SimilarityOps {
     topKRecall(rpTopK(spark, dir, numQueries, k),
       bruteForceTopK(spark, dir, numQueries, k), k)
 
+  /** IVF self-measurement (`sim_ivf_eval`): [[annEval]] for the
+    * trained IVF index at its default probe budget (nProbe = 4 of 16
+    * centroids) — the recall number `sim_ivf_fullprobe` can't give
+    * (full probe is exact by construction; serving never runs full
+    * probe). Closes the last gap in the eval family: every approximate
+    * index (LSH, IVF, PQ, int8, RP) now ships an oracle-checked
+    * recall. */
+  def ivfEval(spark: SparkSession, dir: String,
+              numQueries: Int = 5, k: Int = 5): DataFrame =
+    topKRecall(ivfTopK(spark, dir, numQueries, k),
+      bruteForceTopK(spark, dir, numQueries, k), k)
+
   /** Shared recall@k join: hit = same (qid, vec_id) in both top-k
     * sets; every truth qid emits a row (0 hits included). Both inputs
     * are k·|queries| tables, so every join here is tiny. */
