@@ -2218,6 +2218,24 @@ object SparkEntry {
       |FROM (SELECT media_id, unnest(range(0, dur, 1000)) AS frame_ms FROM m)
       |ORDER BY media_id, frame_ms""".stripMargin
 
+  // mm_frame_dedup: document-backed media only; frame signature = md5
+  // over a 16-char text window at the frame index (the deterministic
+  // decode stand-in) — duplicate-only report
+  private lazy val mmFrameDedupSql: String =
+    s"""WITH m AS (SELECT doc_id AS media_id, text,
+      |    CAST(octet_length(encode(text)) * 40 AS BIGINT) AS dur
+      |  FROM documents),
+      |fr AS (SELECT media_id, text,
+      |    unnest(range(0, dur, 1000)) AS frame_ms FROM m WHERE dur > 0),
+      |sig AS (SELECT media_id,
+      |    md5(substring(text, CAST(frame_ms // 40 AS INT) + 1, 16)) AS frame_sig
+      |  FROM fr)
+      |SELECT frame_sig, count(DISTINCT media_id) AS n_media,
+      |  count(*) AS n_frames,
+      |  min(media_id) AS min_media, max(media_id) AS max_media
+      |FROM sig GROUP BY 1 HAVING count(DISTINCT media_id) >= 2
+      |ORDER BY frame_sig""".stripMargin
+
   // ==========================================================================
   // Event-time [EXT] oracle SQL
   // ==========================================================================
@@ -2465,6 +2483,8 @@ object SparkEntry {
     "mm_audio_meta" -> ((s, d) => MultimodalOps.audioMeta(s, d)),
     "mm_resize" -> ((s, d) => MultimodalOps.resize(s, d)),
     "mm_frames" -> ((s, d) => MultimodalOps.sampleFrames(s, d)),
+    // cross-media duplicate frames (the video near-dup primitive)
+    "mm_frame_dedup" -> ((s, d) => MultimodalOps.frameDedup(s, d)),
     // the file-granularity landing zone: binaryFile source → decode
     "mm_binary_ingest" -> ((s, d) => MultimodalOps.binaryIngest(s, d)),
     // incremental-pipeline bookkeeping: snapshot diff summary
@@ -2815,6 +2835,7 @@ object SparkEntry {
     "mm_audio_meta" -> mmAudioMetaSql,
     "mm_resize" -> mmResizeSql,
     "mm_frames" -> mmFramesSql,
+    "mm_frame_dedup" -> mmFrameDedupSql,
     // the binaryFile chain must land on the same literal expected
     // metadata as the parquet-column chain
     "mm_binary_ingest" ->
