@@ -1581,21 +1581,26 @@ object SparkEntry {
        |  FROM e CROSS JOIN c2 c),
        |corp AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
-       |  FROM fs WHERE vec_id >= 5) z WHERE rn = 1),
-       |prb AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
-       |  FROM fs WHERE vec_id < 5) z WHERE rn <= 4),
-       |sims AS (SELECT p.qid, a.vec_id,
-       |    round(${cosSql("q.embedding", "v.embedding")}, 6) AS cos
-       |  FROM prb p JOIN corp a ON p.cid = a.cid
-       |  JOIN e q ON q.vec_id = p.qid JOIN e v ON v.vec_id = a.vec_id),
-       |ranked AS (SELECT qid, vec_id, cos,
-       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
-       |  FROM sims)""".stripMargin
+       |  FROM fs WHERE vec_id >= 5) z WHERE rn = 1)""".stripMargin
   }
 
+  /** The probe/rank tail of the IVF chain at probe budget `p`, CTE
+    * names suffixed so several budgets can coexist in one statement. */
+  private def simIvfRankedCtes(p: Int, sfx: String): String =
+    s"""prb$sfx AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+       |  FROM fs WHERE vec_id < 5) z WHERE rn <= $p),
+       |sims$sfx AS (SELECT p.qid, a.vec_id,
+       |    round(${cosSql("q.embedding", "v.embedding")}, 6) AS cos
+       |  FROM prb$sfx p JOIN corp a ON p.cid = a.cid
+       |  JOIN e q ON q.vec_id = p.qid JOIN e v ON v.vec_id = a.vec_id),
+       |ranked$sfx AS (SELECT qid, vec_id, cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+       |  FROM sims$sfx)""".stripMargin
+
   private lazy val simIvfTopKSql: String =
-    s"""WITH $simIvfChainCtes
+    s"""WITH $simIvfChainCtes,
+       |${simIvfRankedCtes(4, "")}
        |SELECT qid, rnk AS "rank", vec_id, cos FROM ranked WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
 
@@ -1604,7 +1609,42 @@ object SparkEntry {
     * hit count in one statement (same graft as simAnnEvalSql). */
   private lazy val simIvfEvalSql: String =
     s"""WITH $simIvfChainCtes,
+       |${simIvfRankedCtes(4, "")},
        |${recallGraftSql("e")}""".stripMargin
+
+  /** Replay of SimilarityOps.ivfCurve: ONE trained chain, the ranked
+    * tail instantiated per probe budget, one shared brute-force truth,
+    * per-(budget, query) recall unioned. */
+  private lazy val simIvfCurveSql: String = {
+    val probes = Seq(1, 2, 4, 8, 16)
+    val tails = probes.map(p => simIvfRankedCtes(p, s"_$p")).mkString(",\n")
+    val recs = probes.map { p =>
+      s"""atop_$p AS (SELECT qid, vec_id FROM ranked_$p WHERE rnk <= 5),
+         |hits_$p AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM atop_$p a JOIN btop b ON a.qid = b.qid AND a.vec_id = b.vec_id
+         |  GROUP BY a.qid),
+         |rec_$p AS (SELECT CAST($p AS BIGINT) AS n_probe, qs.qid,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  (CAST(coalesce(h.n_hit, 0) AS BIGINT) * 1000000) // 5 AS recall_micro
+         |  FROM qs LEFT JOIN hits_$p h ON h.qid = qs.qid)""".stripMargin
+    }.mkString(",\n")
+    val union = probes.map(p => s"SELECT * FROM rec_$p").mkString("\n  UNION ALL ")
+    s"""WITH $simIvfChainCtes,
+       |$tails,
+       |bq AS (SELECT vec_id AS qid, embedding AS qvec FROM e WHERE vec_id < 5),
+       |bc AS (SELECT vec_id, embedding FROM e WHERE vec_id >= 5),
+       |bsims AS (SELECT qid, bc.vec_id,
+       |    round(${cosSql("qvec", "bc.embedding")}, 6) AS cos
+       |  FROM bq, bc),
+       |branked AS (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+       |  FROM bsims),
+       |btop AS (SELECT qid, vec_id FROM branked WHERE rnk <= 5),
+       |qs AS (SELECT DISTINCT qid FROM btop),
+       |$recs
+       |SELECT * FROM ($union) u
+       |ORDER BY n_probe, qid""".stripMargin
+  }
 
   /** Full replay of the TRAINED PQ face (SimilarityOps.pqTopK): per
     * subspace (m=8, dsub=8, ksub=64), 2 unrolled Lloyd's rounds with
@@ -2446,6 +2486,9 @@ object SparkEntry {
     // recall@5 of the DEFAULT 4-probe serving budget vs brute force —
     // the eval-family member fullprobe can't be (it is exact)
     "sim_ivf_eval" -> ((s, d) => SimilarityOps.ivfEval(s, d)),
+    // recall per probe budget (1..16 of 16) — the serving-cost curve;
+    // the 16-probe rows anchor at exactly 10^6 (full probe ≡ truth)
+    "sim_ivf_curve" -> ((s, d) => SimilarityOps.ivfCurve(s, d)),
     // the PERSISTED index on its serving path: build the parquet
     // artifact once per session, query with literal-cid partition
     // pruning; identical training ⇒ row-identical to sim_ivf_topk, so
@@ -2801,6 +2844,7 @@ object SparkEntry {
     // oracle replays training end to end — see simIvfTopKSql/simPqTopKSql.
     "sim_ivf_topk" -> simIvfTopKSql,
     "sim_ivf_eval" -> simIvfEvalSql,
+    "sim_ivf_curve" -> simIvfCurveSql,
     // the persisted-index serving path trains identically to the inline
     // face (same deterministic Lloyd's, same probe math), so the same
     // trained replay covers it — now exercised through cid partition

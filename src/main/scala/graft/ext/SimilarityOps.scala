@@ -885,6 +885,23 @@ object SimilarityOps {
     topKRecall(ivfTopK(spark, dir, numQueries, k),
       bruteForceTopK(spark, dir, numQueries, k), k)
 
+  /** `sim_ivf_curve`: recall@k per PROBE BUDGET (nProbe ∈ 1,2,4,8,16 of
+    * 16 centroids) — the serving-cost decision table ([[dimCurve]]'s
+    * role for the IVF index): how many posting lists must a deployment
+    * scan for the recall it needs. One row per (budget, query); the
+    * 16-probe rows are a built-in exactness anchor (full probe ≡ brute
+    * force ⇒ recall 10⁶). Training is the session-memoized centroid
+    * run, shared across all budgets and with the other IVF faces. */
+  def ivfCurve(spark: SparkSession, dir: String,
+               numQueries: Int = 5, k: Int = 5): DataFrame =
+    Seq(1, 2, 4, 8, 16).map { p =>
+      topKRecall(ivfTopK(spark, dir, numQueries, k, nProbe = p),
+        bruteForceTopK(spark, dir, numQueries, k), k)
+        .select(lit(p.toLong).as("n_probe"), col("qid"), col("n_hit"),
+          col("recall_micro"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("n_probe"), col("qid"))
+
   /** Shared recall@k join: hit = same (qid, vec_id) in both top-k
     * sets; every truth qid emits a row (0 hits included). Both inputs
     * are k·|queries| tables, so every join here is tiny. */
