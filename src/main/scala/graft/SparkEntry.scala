@@ -137,6 +137,21 @@ object SparkEntry {
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // per-join-key skew planning table over lineitem — all exact integers
+  private val qSkewReportSql: String =
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map { k =>
+      s"""SELECT '$k' AS key_col,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+         |  (CAST(max(cnt) AS BIGINT) * 1000000) // CAST(sum(cnt) AS BIGINT)
+         |    AS max_share_micro,
+         |  (CAST(max(cnt) AS BIGINT) * CAST(count(*) AS BIGINT) * 1000000)
+         |    // CAST(sum(cnt) AS BIGINT) AS skew_factor_micro
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS cnt
+         |      FROM lineitem GROUP BY $k) t""".stripMargin
+    }.mkString("\n  UNION ALL ") + "\nORDER BY key_col"
+
   // Q8 shape: NATION_1's share of revenue delivered to ASIA customers,
   // per order year — exact integer micro units end to end
   private val qMarketShareSql: String =
@@ -2390,6 +2405,8 @@ object SparkEntry {
     // regional market share — the dims all broadcast, one fact shuffle
     "q_volume_shipping" -> ((s, d) => Relational.volumeShipping(s, d)),
     "q_market_share" -> ((s, d) => Relational.marketShare(s, d)),
+    // per-join-key skew planning table (max share / skew factor, exact)
+    "q_skew_report" -> ((s, d) => graft.operators.StatsOps.skewReport(s, d)),
     "q3_top_revenue_orders" -> ((s, d) => Relational.topRevenueOrders(s, d)),
     "q_revenue_by_brand" -> ((s, d) => Relational.revenueByBrand(s, d)),
     "q_semi_join" -> ((s, d) => Relational.customersWithBigOrders(s, d)),
@@ -2606,6 +2623,7 @@ object SparkEntry {
     // statistic read from the committed view — batch ≡ streamed is part
     // of the driver gate, not just a spec (r12 judge #6)
     "ev_cusum_served" -> ((s, d) => graft.streaming.CusumStream.servedStatistic(s, d)),
+    "ev_cusum_alerts" -> ((s, d) => graft.streaming.CusumStream.servedAlerts(s, d)),
     "ev_seasonality" -> ((s, d) => EventOps.seasonality(s, d)),
     "ev_weekend_chi2" -> ((s, d) => EventOps.weekendChi2(s, d)),
     "q_price_bands" -> ((s, d) => graft.operators.StatsOps.monthlyPriceBands(s, d)),
@@ -2693,6 +2711,7 @@ object SparkEntry {
     "q5_revenue_by_nation" -> q5RevenueByNationSql,
     "q_volume_shipping" -> qVolumeShippingSql,
     "q_market_share" -> qMarketShareSql,
+    "q_skew_report" -> qSkewReportSql,
     "q3_top_revenue_orders" -> q3TopRevenueOrdersSql,
     "q_revenue_by_brand" -> qBrandSql,
     "q_semi_join" -> qSemiSql,
@@ -3116,6 +3135,10 @@ object SparkEntry {
     // the served face merges the same daily counts and re-derives the
     // same statistic, so the batch oracle hash-checks the streamed path
     "ev_cusum_served" -> evCusumSql,
+    // the alert SINK: the page the last committed batch overwrote ==
+    // the batch statistic's flagged slice
+    "ev_cusum_alerts" ->
+      s"SELECT * FROM ($evCusumSql) t WHERE shift_flag ORDER BY event_type, day_num",
     "ev_seasonality" -> evSeasonalitySql,
     "ev_weekend_chi2" -> evWeekendChi2Sql,
     // q_price_bands: doubled quantiles (lower+upper pair) — integer

@@ -287,4 +287,31 @@ object StatsOps {
         ((num * num) / (den * deny)).as("r2"))
       .orderBy(col("p_brand"))
   }
+
+  /** `q_skew_report`: per-join-key skew statistics over the fact table
+    * — the planning table that decides WHERE salting / AQE skew
+    * handling is needed before a 100 TB run, produced by the engine
+    * itself. For each candidate key: distinct keys, rows, the heaviest
+    * key and its share (exact integer micro units), and the p50/max
+    * count ratio. One count aggregate per key column; the per-key count
+    * tables are key-cardinality sized, the report is |keys| rows. All
+    * integers ⇒ hash-checks cross-engine. */
+  def skewReport(spark: SparkSession, dir: String,
+                 keys: Seq[String] = Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      : DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    keys.map { k =>
+      l.groupBy(col(k).as("key")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          lit(k).as("key_col"),
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"))
+        .withColumn("max_share_micro", expr("(max_cnt * 1000000L) DIV n_rows"))
+        // max/mean in micro units — the standard skew factor, exact
+        .withColumn("skew_factor_micro",
+          expr("(max_cnt * n_keys * 1000000L) DIV n_rows"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("key_col"))
+  }
 }

@@ -157,8 +157,8 @@ object CusumStream {
     * the batch `ev_cusum` — the `evCusumSql` oracle hash-checks the
     * streamed-maintenance path inside the driver gate (the
     * `sim_ivf_served` discipline applied to the monitor). */
-  def servedStatistic(spark: SparkSession, dir: String): DataFrame = {
-    val base = ServedArtifacts.dir("cusumview", dir) { d =>
+  private def servedViewBase(spark: SparkSession, dir: String): String =
+    ServedArtifacts.dir("cusumview", dir) { d =>
       val ev = EventOps.events(spark, dir)
       (0 until 3).foreach { i =>
         applyBatch(
@@ -166,8 +166,20 @@ object CusumStream {
           i.toLong, s"$d/view", s"$d/alerts", owner = "served-replay")
       }
     }
-    readStatistic(spark, s"$base/view")
-  }
+
+  def servedStatistic(spark: SparkSession, dir: String): DataFrame =
+    readStatistic(spark, s"${servedViewBase(spark, dir)}/view")
+
+  /** `ev_cusum_alerts`: the ALERT PAGE itself — the parquet the LAST
+    * committed batch overwrote (what a monitor actually polls), read
+    * back as a registered face. Because every merge refreshes the page
+    * from the full-history statistic, the page after the replayed
+    * ingest equals the batch statistic's flagged slice, so the batch
+    * oracle (filtered to flags) hash-checks the SINK, not just the
+    * view. */
+  def servedAlerts(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${servedViewBase(spark, dir)}/alerts")
+      .orderBy(col("event_type"), col("day_num"))
 
   /** The seasonality profile served from the SAME maintained view: the
     * (type, day) counts sum over types back to the per-day table the
