@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -15,25 +15,29 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   1. pre-aggregates to per-key partial sums (map-side combine —
   *      batch-sized, the only pass over new facts);
   *   2. collects the batch's DISTINCT bucket ids (bounded: ≤ number of
-  *      buckets, typically a handful) so the view read is PARTITION
-  *      PRUNED to affected buckets only;
+  *      buckets) so the view read is PRUNED to affected buckets only;
   *   3. merges old+delta partials by re-aggregation (SUM/COUNT are
   *      commutative monoids — merging partials is the same operator);
-  *   4. rewrites ONLY the affected bucket directories via dynamic
-  *      partition overwrite.
+  *   4. writes ONLY the affected buckets into a batch-versioned
+  *      directory and commits with ONE manifest write.
   * Cost per batch is O(batch + touched buckets), independent of view
   * (and corpus) size. The untouched-bucket invariant is what makes
   * this a VIEW MAINTENANCE strategy rather than a recompute
   * (IncrementalAggSpec pins it by file mtimes).
   *
-  * Replay safety: foreachBatch may re-run a batch after a crash, and
-  * re-MERGING a delta double-counts — unlike the digest-store dedup
-  * (where re-admission is benign), so this sink records the last
-  * applied batchId and skips replays: exactly-once view contents as
-  * long as the bucket rewrite and the meta write don't BOTH fail
-  * mid-sequence (the meta write goes last; a crash between them
-  * replays one batch into an already-updated view — detectable via the
-  * recorded id, which is why it is recorded per-view, not assumed). */
+  * Commit protocol (r13 — the CusumStream discipline, extended to a
+  * partitioned view): the manifest file `_meta` carries (owner
+  * checkpoint, last batch id, bucket → version) and is the SINGLE
+  * commit point. A batch writes its merged touched buckets under
+  * `data_b<batchId>/bucket=<b>/` and then rewrites the manifest; a
+  * crash between the two leaves the manifest pointing at the previous
+  * versions, so the retried batch re-merges from THOSE — idempotent
+  * per batch, partials never double-merge. Batch ids are only
+  * monotone for one checkpointed query, so `maintainView` REQUIRES a
+  * checkpoint location and records it as the view's owner: a different
+  * query (ids restart at 0) fails loudly instead of silently skipping
+  * its first batches. Superseded version dirs are GC'd best-effort
+  * after commit (failure leaves garbage, not corruption). */
 object IncrementalAgg {
 
   val nBuckets = 32
@@ -56,64 +60,117 @@ object IncrementalAgg {
       .groupBy((col("bucket") +: keys.map(col)): _*)
       .agg(sum(col("sum_cents")).as("sum_cents"), sum(col("n_rows")).as("n_rows"))
 
-  /** Start maintaining the view at `viewDir` from `facts`. The view
-    * schema is (bucket, keys..., sum_cents, n_rows), partitioned by
-    * bucket. */
-  def maintainView(facts: DataFrame, viewDir: String, keys: Seq[String],
-                   valueCol: String,
-                   trigger: Trigger = Trigger.AvailableNow(),
-                   checkpointDir: Option[String] = None): StreamingQuery = {
-    // restart correctness requires BOTH stores: the checkpoint makes a
-    // restarted query CONTINUE its batchId sequence (so the replay guard
-    // below compares like with like), and _last_batch makes an already-
-    // applied batch a no-op on replay
-    val base = facts.writeStream
-      .outputMode("append")
-    checkpointDir.foreach(base.option("checkpointLocation", _))
-    base
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-        val metaPath = new Path(s"$viewDir/_last_batch")
-        val lastApplied: Long =
-          if (fs.exists(metaPath)) {
-            val in = fs.open(metaPath)
-            try new String(in.readAllBytes(), "UTF-8").trim.toLong
-            finally in.close()
-          } else -1L
-        if (batchId > lastApplied) {
-          val delta = partials(batch.toDF(), keys, valueCol).localCheckpoint()
-          val dataPath = new Path(s"$viewDir/data")
-          val touched = delta.select(col("bucket")).distinct()
-            .collect().map(_.getLong(0)).sorted
-          val merged =
-            if (fs.exists(dataPath)) {
-              val old = spark.read.parquet(dataPath.toString)
-                .filter(col("bucket").isin(touched.toIndexedSeq.map(java.lang.Long.valueOf): _*))
-              merge(old, delta, keys).localCheckpoint()
-            } else delta
-          val prevOverwrite =
-            spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          try
-            merged.write.mode("overwrite").partitionBy("bucket")
-              .parquet(dataPath.toString)
-          finally
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevOverwrite)
-          val out = fs.create(metaPath, true)
-          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+  private def fsFor(p: Path, spark: SparkSession): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Manifest: (owner, last batch id, bucket → version). Format:
+    * line 1 = batchId, line 2 = owner, then `bucket:version` lines. */
+  private def readMeta(fs: FileSystem, viewDir: String)
+      : Option[(String, Long, Map[Long, Long])] = {
+    val mp = new Path(viewDir, "_meta")
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val lines =
+        try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
+        finally in.close()
+      val vers = lines.drop(2).filter(_.contains(":")).map { l =>
+        val Array(b, v) = l.split(":", 2); b.trim.toLong -> v.trim.toLong
+      }.toMap
+      Some((lines(1).trim, lines(0).trim.toLong, vers))
+    }
+  }
+
+  /** Per-bucket view slice at its committed version, with the bucket
+    * column re-attached (per-version dirs don't carry the partition
+    * column when read directly). */
+  private def bucketSlice(spark: SparkSession, viewDir: String,
+                          b: Long, v: Long): DataFrame =
+    spark.read.parquet(s"$viewDir/data_b$v/bucket=$b")
+      .withColumn("bucket", lit(b))
+
+  /** Apply one micro-batch: merge its partials into version
+    * `data_b<batchId>` for the touched buckets, then commit manifest +
+    * guard in ONE file write. Public so the spec can exercise the
+    * crash/replay matrix without a streaming harness. */
+  def applyBatch(batch: DataFrame, batchId: Long, viewDir: String,
+                 keys: Seq[String], valueCol: String, owner: String): Unit = {
+    val spark = batch.sparkSession
+    val vp = new Path(viewDir)
+    val fs = fsFor(vp, spark)
+    val meta = readMeta(fs, viewDir)
+    meta.foreach { case (o, _, _) =>
+      require(o == owner,
+        s"view $viewDir is owned by the query checkpointed at '$o'; a query " +
+          s"checkpointed at '$owner' restarts batch ids at 0 and its batches " +
+          "would be silently skipped by the replay guard — resume from the " +
+          "owning checkpoint or start a fresh viewDir")
+    }
+    val lastApplied = meta.map(_._2).getOrElse(-1L)
+    if (batchId > lastApplied) {
+      val versions = meta.map(_._3).getOrElse(Map.empty[Long, Long])
+      val delta = partials(batch.toDF(), keys, valueCol).localCheckpoint()
+      val touched = delta.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val old = touched.toSeq.flatMap(b => versions.get(b).map(v =>
+        bucketSlice(spark, viewDir, b, v)))
+      val merged =
+        if (old.isEmpty) delta
+        else merge(old.reduce(_.unionByName(_)), delta, keys).localCheckpoint()
+      merged.write.mode("overwrite").partitionBy("bucket")
+        .parquet(new Path(vp, s"data_b$batchId").toString)
+      // the commit point: guard + per-bucket versions in ONE create
+      val newVers = versions ++ touched.map(_ -> batchId)
+      val body = (s"$batchId\n$owner" +:
+        newVers.toSeq.sorted.map { case (b, v) => s"$b:$v" }).mkString("\n")
+      val out = fs.create(new Path(vp, "_meta"), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      // best-effort GC of version dirs no manifest entry references
+      try {
+        val live = newVers.values.toSet
+        fs.listStatus(vp).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("data_b") &&
+              !live.contains(n.stripPrefix("data_b").toLong))
+            fs.delete(st.getPath, true)
         }
-        ()
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /** Start maintaining the view at `viewDir` from `facts`. The view
+    * schema is (bucket, keys..., sum_cents, n_rows), bucket-versioned
+    * per the commit protocol above. The checkpoint is REQUIRED — it
+    * keeps batch ids monotone and names the view's owner. */
+  def maintainView(facts: DataFrame, viewDir: String, keys: Seq[String],
+                   valueCol: String, checkpointDir: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    facts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyBatch(batch.toDF(), batchId, viewDir, keys, valueCol, checkpointDir)
       }
       .trigger(trigger)
       .start()
+
+  /** The committed view contents: every bucket at the version its
+    * manifest entry points to — an uncommitted version is never
+    * visible. */
+  def currentView(spark: SparkSession, viewDir: String): DataFrame = {
+    val fs = fsFor(new Path(viewDir), spark)
+    val (_, _, versions) = readMeta(fs, viewDir).getOrElse(
+      throw new IllegalStateException(s"view $viewDir has no committed batch"))
+    versions.toSeq.sorted
+      .map { case (b, v) => bucketSlice(spark, viewDir, b, v) }
+      .reduce(_.unionByName(_))
   }
 
   /** Read the maintained view back as presentation rows (keys, total,
-    * n_rows) — one pruned scan + the cents→double division. */
-  def readView(spark: org.apache.spark.sql.SparkSession,
-               viewDir: String, keys: Seq[String]): DataFrame =
-    spark.read.parquet(s"$viewDir/data")
+    * n_rows) — pruned per-bucket scans + the cents→double division. */
+  def readView(spark: SparkSession, viewDir: String,
+               keys: Seq[String]): DataFrame =
+    currentView(spark, viewDir)
       .select(keys.map(col) :+
         (col("sum_cents").cast("double") / 100.0).as("total") :+
         col("n_rows"): _*)

@@ -8,9 +8,10 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.IncrementalAgg
 
 /** Incremental aggregate-view maintenance: the view equals a batch
-  * recompute after every micro-batch, untouched bucket partitions are
+  * recompute after every micro-batch, untouched bucket versions are
   * NOT rewritten (the invariant that makes it maintenance rather than
-  * recompute), and replayed batches are skipped. */
+  * recompute), replayed batches are no-ops, a torn write re-merges
+  * from the committed versions, and a non-owning query fails loudly. */
 class IncrementalAggSpec extends SparkSuite {
 
   final case class Fact(brand: String, price: Double)
@@ -24,50 +25,98 @@ class IncrementalAggSpec extends SparkSuite {
     IncrementalAgg.readView(spark, viewDir, Seq("brand")).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
 
-  test("view merges across batches, prunes untouched buckets, skips replays") {
+  test("view merges across batches, prunes untouched buckets, rejects foreign queries") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // pick two brands in DIFFERENT buckets so batch 2 provably leaves
-    // brand-A's partition alone
+    // brand-A's committed version alone
     val Seq(brandA, brandB) = Seq("alpha", "beta", "gamma", "delta")
       .map(b => b -> bucketOf(b)).distinctBy(_._2).take(2).map(_._1)
-    val viewDir = tmpDir("graft-ivm") + "/view"
+    val base = tmpDir("graft-ivm")
+    val viewDir = s"$base/view"
+    val ckpt = s"$base/ckpt"
 
     val input = MemoryStream[Fact]
     val q = IncrementalAgg.maintainView(input.toDF(), viewDir, Seq("brand"),
-      "price", Trigger.ProcessingTime(0))
+      "price", ckpt, Trigger.ProcessingTime(0))
     try {
       input.addData(Fact(brandA, 10.50), Fact(brandA, 2.25), Fact(brandB, 5.00))
       q.processAllAvailable()
       assert(viewTotals(viewDir) ==
         Map(brandA -> (12.75, 2L), brandB -> (5.00, 1L)))
 
-      // snapshot brand-A's partition files before a batch touching only B
-      val fs = org.apache.hadoop.fs.FileSystem.get(
+      // snapshot brand-A's committed version files before a batch
+      // touching only B — its manifest entry must keep pointing at the
+      // SAME untouched files (version 0)
+      val fs = new Path(viewDir).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      def filesOf(b: String): Map[String, Long] = {
-        val dir = new Path(s"$viewDir/data/bucket=${bucketOf(b)}")
+      def filesOf(b: String, version: Long): Map[String, Long] = {
+        val dir = new Path(s"$viewDir/data_b$version/bucket=${bucketOf(b)}")
         fs.listStatus(dir).map(s => s.getPath.getName -> s.getModificationTime).toMap
       }
-      val aBefore = filesOf(brandA)
+      val aBefore = filesOf(brandA, 0L)
 
       input.addData(Fact(brandB, 1.25))
       q.processAllAvailable()
       assert(viewTotals(viewDir) ==
         Map(brandA -> (12.75, 2L), brandB -> (6.25, 2L)))
-      assert(filesOf(brandA) == aBefore,
-        "untouched bucket partition was rewritten")
+      assert(filesOf(brandA, 0L) == aBefore,
+        "untouched bucket version was rewritten")
     } finally q.stop()
 
-    // a FRESH query (batchIds restart at 0) against the same view must
-    // skip its replayed batches: the view is unchanged
+    // a FRESH query (batchIds restart at 0, different checkpoint) must
+    // fail LOUDLY — silently skipping its batches would drop new facts
     val replay = MemoryStream[Fact]
     replay.addData(Fact(brandA, 99.99))
     val q2 = IncrementalAgg.maintainView(replay.toDF(), viewDir, Seq("brand"),
-      "price", Trigger.AvailableNow())
-    q2.processAllAvailable()
+      "price", s"$base/ckpt2", Trigger.ProcessingTime(0))
+    val failed =
+      try { q2.processAllAvailable(); false }
+      catch { case _: Throwable => true }
     q2.stop()
+    assert(failed, "a non-owning query merged into the view")
     assert(viewTotals(viewDir) ==
       Map(brandA -> (12.75, 2L), brandB -> (6.25, 2L)))
+  }
+
+  test("per-batch commit is idempotent across replays and torn writes") {
+    import spark.implicits._
+    val base = tmpDir("graft-ivm-apply")
+    val viewDir = s"$base/view"
+    val owner = s"$base/ckpt"
+    def df(facts: (String, Double)*) =
+      spark.createDataFrame(facts.map(f => Fact(f._1, f._2)))
+
+    IncrementalAgg.applyBatch(df("alpha" -> 10.50, "beta" -> 5.00), 0L,
+      viewDir, Seq("brand"), "price", owner)
+    val after0 = viewTotals(viewDir)
+    assert(after0 == Map("alpha" -> (10.50, 1L), "beta" -> (5.00, 1L)))
+
+    // replayed batch id (foreachBatch redelivery) is a no-op
+    IncrementalAgg.applyBatch(df("alpha" -> 10.50, "beta" -> 5.00), 0L,
+      viewDir, Seq("brand"), "price", owner)
+    assert(viewTotals(viewDir) == after0, "replayed batch double-merged")
+
+    // torn write: batch 1's version DIR lands but the manifest write
+    // never happens. The retry must re-merge from the COMMITTED
+    // versions, not the torn one.
+    spark.createDataFrame(Seq(Fact("alpha", 999.0)))
+      .groupBy(pmod(xxhash64(col("brand")), lit(IncrementalAgg.nBuckets))
+        .as("bucket"), col("brand"))
+      .agg(sum(floor(col("price") * 100 + 0.5).cast("long")).as("sum_cents"),
+        count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$viewDir/data_b1")
+    IncrementalAgg.applyBatch(df("alpha" -> 2.25), 1L,
+      viewDir, Seq("brand"), "price", owner)
+    assert(viewTotals(viewDir) ==
+      Map("alpha" -> (12.75, 2L), "beta" -> (5.00, 1L)),
+      "torn-write retry lost or doubled partials")
+
+    // a foreign owner is rejected before touching anything
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.applyBatch(df("alpha" -> 1.0), 2L,
+        viewDir, Seq("brand"), "price", s"$base/other")
+    }
   }
 }
