@@ -2624,6 +2624,8 @@ object SparkEntry {
     // of the driver gate, not just a spec (r12 judge #6)
     "ev_cusum_served" -> ((s, d) => graft.streaming.CusumStream.servedStatistic(s, d)),
     "ev_cusum_alerts" -> ((s, d) => graft.streaming.CusumStream.servedAlerts(s, d)),
+    // the incremental-view maintainer's protocol under a chunked replay
+    "ev_view_served" -> ((s, d) => graft.streaming.IncrementalAgg.servedView(s, d)),
     "ev_seasonality" -> ((s, d) => EventOps.seasonality(s, d)),
     "ev_weekend_chi2" -> ((s, d) => EventOps.weekendChi2(s, d)),
     "q_price_bands" -> ((s, d) => graft.operators.StatsOps.monthlyPriceBands(s, d)),
@@ -3139,6 +3141,14 @@ object SparkEntry {
     // the batch statistic's flagged slice
     "ev_cusum_alerts" ->
       s"SELECT * FROM ($evCusumSql) t WHERE shift_flag ORDER BY event_type, day_num",
+    // served view partials are an exact monoid: cent-quantized sums
+    // merge associatively, so the batch aggregate replays the protocol
+    "ev_view_served" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS total,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_seasonality" -> evSeasonalitySql,
     "ev_weekend_chi2" -> evWeekendChi2Sql,
     // q_price_bands: doubled quantiles (lower+upper pair) — integer

@@ -174,4 +174,30 @@ object IncrementalAgg {
       .select(keys.map(col) :+
         (col("sum_cents").cast("double") / 100.0).as("total") :+
         col("n_rows"): _*)
+
+  /** `ev_view_served`: the maintained per-type revenue view under a
+    * replayed chunked ingest — three disjoint hash-slices of the
+    * events table pushed through the SAME [[applyBatch]]
+    * merge-and-commit the streaming query runs (types straddle
+    * chunks, so partials genuinely merge), read back through the
+    * committed manifest. Partials are an exact monoid, so the served
+    * view is row-identical to a one-shot batch aggregate — the batch
+    * oracle hash-checks the versioned-manifest protocol inside the
+    * driver gate (the ev_cusum_served discipline for the view
+    * maintainer). */
+  def servedView(spark: SparkSession, dir: String): DataFrame = {
+    val base = ServedArtifacts.dir("aggview", dir) { d =>
+      val ev = graft.operators.EventOps.events(spark, dir)
+        .select(col("ts"), col("event_type"), col("value"))
+      (0 until 3).foreach { i =>
+        applyBatch(
+          ev.filter(pmod(xxhash64(col("ts"), col("event_type"), col("value")),
+            lit(3)) === i),
+          i.toLong, s"$d/view", Seq("event_type"), "value",
+          owner = "served-replay")
+      }
+    }
+    readView(spark, s"$base/view", Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
 }
