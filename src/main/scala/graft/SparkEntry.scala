@@ -2405,6 +2405,10 @@ object SparkEntry {
     // regional market share — the dims all broadcast, one fact shuffle
     "q_volume_shipping" -> ((s, d) => Relational.volumeShipping(s, d)),
     "q_market_share" -> ((s, d) => Relational.marketShare(s, d)),
+    // Q13 shape: count-of-counts over an outer join (zero-order
+    // customers included); Q18 shape: HAVING-qualified big orders
+    "q_custdist" -> ((s, d) => Relational.custDist(s, d)),
+    "q_big_orders" -> ((s, d) => Relational.bigOrders(s, d)),
     // per-join-key skew planning table (max share / skew factor, exact)
     "q_skew_report" -> ((s, d) => graft.operators.StatsOps.skewReport(s, d)),
     "q3_top_revenue_orders" -> ((s, d) => Relational.topRevenueOrders(s, d)),
@@ -2714,6 +2718,24 @@ object SparkEntry {
     "q_volume_shipping" -> qVolumeShippingSql,
     "q_market_share" -> qMarketShareSql,
     "q_skew_report" -> qSkewReportSql,
+    "q_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+        |  CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM (SELECT l_orderkey,
+        |        sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150.0) q
+        |JOIN orders ON o_orderkey = q.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20""".stripMargin,
     "q3_top_revenue_orders" -> q3TopRevenueOrdersSql,
     "q_revenue_by_brand" -> qBrandSql,
     "q_semi_join" -> qSemiSql,

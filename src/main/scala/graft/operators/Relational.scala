@@ -808,6 +808,54 @@ object Relational {
       .orderBy(col("status"))
   }
 
+  /** `q_custdist` (TPC-H Q13 shape): the customer order-count
+    * distribution — how many customers placed exactly k orders,
+    * INCLUDING the zero-order customers only an outer join surfaces.
+    * Two aggregates chained: per-customer count over the outer join,
+    * then the count-of-counts histogram. Scale: orders shuffles once on
+    * o_custkey; the per-customer table is customer-sized and its
+    * histogram aggregate is map-combinable; nothing is broadcast
+    * because customer is the PROBE side of the outer join (the fact
+    * side at real scale is orders, which only shuffles). */
+  def custDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** `q_big_orders` (TPC-H Q18 shape): large-volume orders — orders
+    * whose total line quantity exceeds a threshold, joined back to the
+    * customer. The HAVING aggregate runs FIRST on lineitem alone
+    * (map-combinable, one shuffle on the order key), the tiny qualifier
+    * set then drives broadcast joins against orders and customer, and
+    * the page is a bounded top-k. Quantities are exact decimals so the
+    * sum hash-checks. */
+  def bigOrders(spark: SparkSession, dir: String,
+                minQty: Double = 150.0, k: Int = 20): DataFrame = {
+    val qual = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"))
+    o.join(broadcast(qual), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
   /** `q_volume_shipping` (TPC-H Q7 shape): revenue shipped between two
     * named nations, by (supplier nation, customer nation, ship year).
     * The fact chain joins lineitem→orders once on the order key; the
