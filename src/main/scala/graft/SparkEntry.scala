@@ -146,8 +146,9 @@ object SparkEntry {
          |  CAST(max(cnt) AS BIGINT) AS max_cnt,
          |  (CAST(max(cnt) AS BIGINT) * 1000000) // CAST(sum(cnt) AS BIGINT)
          |    AS max_share_micro,
-         |  (CAST(max(cnt) AS BIGINT) * CAST(count(*) AS BIGINT) * 1000000)
-         |    // CAST(sum(cnt) AS BIGINT) AS skew_factor_micro
+         |  (CAST(max(cnt) AS BIGINT) * 1000000)
+         |    // (CAST(sum(cnt) AS BIGINT) // CAST(count(*) AS BIGINT))
+         |    AS skew_factor_micro
          |FROM (SELECT CAST(count(*) AS BIGINT) AS cnt
          |      FROM lineitem GROUP BY $k) t""".stripMargin
     }.mkString("\n  UNION ALL ") + "\nORDER BY key_col"

@@ -483,43 +483,58 @@ object DedupOps {
     // shingle join down to the loop's partition count
     val edgeCount = pairs.count()
     // Size-gated driver union-find (the triangle-broadcast discipline,
-    // r13): a near-dup pair set that fits the session's BROADCAST
-    // budget (16 B/edge — two LongType columns, Catalyst's own data
-    // width) is solved in one collect + path-compressed union-find
-    // instead of O(log d) driver-paced shuffle rounds. At test scale
-    // that turns ~6 two-pass Spark rounds of pure scheduling overhead
-    // into milliseconds; above the gate (web-scale pair tables) the
-    // LS/SS loop below is unchanged. Driver state is bounded by the
-    // same conf every auto-broadcast decision already prices. Long-id
-    // edges only — any other key type stays on the distributed path.
+    // r13; r14 advice — collect PRIMITIVES): a near-dup pair set that
+    // fits the session's BROADCAST budget (16 B/edge — two LongType
+    // columns, Catalyst's own data width) is solved in one collect +
+    // path-compressed union-find instead of O(log d) driver-paced
+    // shuffle rounds. The collect materializes a flat Array[Long]
+    // (RDD-level long extraction, NOT boxed GenericRows — r13's Row
+    // collect held ~10× the gate's pricing in object headers), so the
+    // driver edge buffer is EXACTLY the 16 B/edge the gate prices; the
+    // union-find itself runs on a sorted primitive node array + int
+    // parent array (12 B/node, nodes ≤ 2·edges), so total driver state
+    // stays within ~3× the broadcast budget worst-case. Above the gate
+    // (web-scale pair tables) the LS/SS loop below is unchanged.
+    // Long-id edges only — any other key type stays distributed.
     val longIds = pairs.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     val gate = graft.operators.GraphOps.broadcastThresholdBytes(spark)
     if (useDriverGate && longIds && gate >= 0 && edgeCount * 16L <= gate) {
-      val rows = pairs.collect()
+      val edges: Array[Long] = pairs.rdd
+        .mapPartitions(it => it.flatMap(r => Iterator(r.getLong(0), r.getLong(1))))
+        .collect()
       pairs.unpersist()
-      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
-        var c = x // path compression
-        while (parent.getOrDefault(c, c) != c) {
-          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+      val nodes: Array[Long] = {
+        val sorted = edges.clone(); java.util.Arrays.sort(sorted)
+        var n = 0
+        var i = 0
+        while (i < sorted.length) { // in-place unique on the sorted copy
+          if (n == 0 || sorted(n - 1) != sorted(i)) { sorted(n) = sorted(i); n += 1 }
+          i += 1
         }
+        java.util.Arrays.copyOf(sorted, n)
+      }
+      val parent = Array.tabulate(nodes.length)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      val nodes = new java.util.TreeSet[java.lang.Long]()
-      rows.foreach { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1))
-        nodes.add(a); nodes.add(b)
-        val (ra, rb) = (find(a), find(b))
-        // attach the larger root under the smaller ⇒ a root IS its
+      var i = 0
+      while (i < edges.length) {
+        val ia = java.util.Arrays.binarySearch(nodes, edges(i))
+        val ib = java.util.Arrays.binarySearch(nodes, edges(i + 1))
+        val (ra, rb) = (find(ia), find(ib))
+        // attach the larger root under the smaller — `nodes` is sorted,
+        // so a smaller index IS a smaller id and a root IS its
         // component minimum, matching the LS/SS fixpoint's labels
-        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        i += 2
       }
-      import scala.jdk.CollectionConverters._
       val labels = spark.createDataFrame(
-        nodes.asScala.toSeq.map(n => (n.toLong, find(n))))
+        nodes.indices.map(j => (nodes(j), nodes(find(j)))))
         .toDF("doc_id", "label")
       return (labels, 0)
     }

@@ -308,9 +308,16 @@ object StatsOps {
           sum(col("cnt")).as("n_rows"),
           max(col("cnt")).as("max_cnt"))
         .withColumn("max_share_micro", expr("(max_cnt * 1000000L) DIV n_rows"))
-        // max/mean in micro units — the standard skew factor, exact
+        // max/mean in micro units — the standard skew factor, exact.
+        // Divide by the floored mean (n_rows DIV n_keys, ≥1 since every
+        // key has ≥1 row) instead of computing max_cnt*n_keys*1e6: that
+        // product overflows BIGINT on high-cardinality 100 TB facts
+        // (max_cnt·n_keys > 9.2e12) and Spark would wrap silently under
+        // non-ANSI while the oracle errors — this form's largest
+        // intermediate is max_cnt*1e6 ≤ n_rows*1e6. The oracle SQL uses
+        // the identical arithmetic, so the face stays hash-exact.
         .withColumn("skew_factor_micro",
-          expr("(max_cnt * n_keys * 1000000L) DIV n_rows"))
+          expr("(max_cnt * 1000000L) DIV (n_rows DIV n_keys)"))
     }.reduce(_.unionByName(_))
       .orderBy(col("key_col"))
   }

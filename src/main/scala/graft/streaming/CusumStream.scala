@@ -27,19 +27,22 @@ import graft.operators.EventOps
   * any horizon), so a full rewrite per batch is cheaper than partition
   * bookkeeping.
   *
-  * Replay/restart safety (r12 advice): the view commits each batch by
-  * writing the merged counts to a VERSIONED directory `data_b<id>` and
-  * then writing a single `_meta` file carrying (owner checkpoint,
-  * batch id) — one file create is the commit point for both the data
-  * and the replay guard, so a crash between the data write and the
-  * meta write leaves `_meta` pointing at the previous version and the
+  * Replay/restart safety (r12 advice, hardened r14): the view commits
+  * each batch by writing the merged counts to a VERSIONED directory
+  * `data_b<id>` and then ATOMICALLY renaming a `_meta` manifest
+  * carrying (owner token, batch id) into place
+  * ([[ViewCommit.commitMeta]] — tmp write + rename-overwrite, so a
+  * crash at ANY point leaves either the previous manifest or the new
+  * one, never a torn file). A crash between the data write and the
+  * meta rename leaves `_meta` pointing at the previous version and the
   * retried batch re-merges from THAT version: idempotent per batch,
   * counts never double-merge. Batch ids are only monotone for the
   * lifetime of one checkpointed query, so `maintain` REQUIRES a
-  * checkpoint location and records it as the view's owner; a different
-  * query (whose ids restart at 0) pointed at the same view fails
-  * loudly instead of silently dropping its first batches of genuinely
-  * new events.
+  * checkpoint location; the view's owner is a UUID token minted into
+  * that checkpoint directory ([[ViewCommit.ownerToken]]) — a different
+  * query, INCLUDING one whose checkpoint was deleted and recreated at
+  * the same path (ids restart at 0), fails loudly instead of silently
+  * dropping its first batches of genuinely new events.
   *
   * The alert sink is ScoreStream-style serving: after each merge the
   * current flagged (type, day) rows overwrite `alertDir` — the monitor
@@ -51,23 +54,17 @@ object CusumStream {
     * FS): viewDir may live on file:// while the default is hdfs:// or
     * s3a:// — FileSystem.get(conf) would consult the wrong store. */
   private def fsFor(p: Path, spark: SparkSession): FileSystem =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ViewCommit.fsFor(p, spark)
 
-  private def metaPath(viewDir: String) = new Path(viewDir, "_meta")
+  private def metaPath(viewDir: String) = ViewCommit.metaPath(viewDir)
 
-  /** (owner checkpoint location, last applied batch id), if the view
-    * has ever committed. */
-  private def readMeta(fs: FileSystem, viewDir: String): Option[(String, Long)] = {
-    val mp = metaPath(viewDir)
-    if (!fs.exists(mp)) None
-    else {
-      val in = fs.open(mp)
-      val lines =
-        try new String(in.readAllBytes(), "UTF-8").split("\n", 2)
-        finally in.close()
-      Some((lines(1).trim, lines(0).trim.toLong))
+  /** (owner token, last applied batch id), if the view has ever
+    * committed. A malformed manifest is a hard, diagnosable error
+    * ([[ViewCommit.metaParseError]]), never a bare parse crash. */
+  private def readMeta(fs: FileSystem, viewDir: String): Option[(String, Long)] =
+    ViewCommit.readMetaLines(fs, viewDir).map { lines =>
+      ViewCommit.parsed(viewDir, lines)(ls => (ls(1).trim, ls(0).trim.toLong))
     }
-  }
 
   /** Apply one micro-batch to the view: merge the batch's daily-type
     * counts into version `data_b<batchId>`, refresh the alert page,
@@ -81,10 +78,11 @@ object CusumStream {
     val meta = readMeta(fs, viewDir)
     meta.foreach { case (o, _) =>
       require(o == owner,
-        s"view $viewDir is owned by the query checkpointed at '$o'; a query " +
-          s"checkpointed at '$owner' restarts batch ids at 0 and its new " +
-          "events would be silently dropped by the replay guard — resume " +
-          "from the owning checkpoint or start a fresh viewDir")
+        s"view $viewDir is owned by the query whose owner token is '$o'; " +
+          s"this query's token is '$owner' (minted into its checkpoint " +
+          "directory at creation), so its batch ids restart at 0 and its " +
+          "new events would be silently dropped by the replay guard — " +
+          "resume from the owning checkpoint or start a fresh viewDir")
     }
     val lastApplied = meta.map(_._2).getOrElse(-1L)
     if (batchId > lastApplied) {
@@ -100,13 +98,10 @@ object CusumStream {
         else delta
       merged.write.mode("overwrite")
         .parquet(new Path(vp, s"data_b$batchId").toString)
-      // alert page: full-history statistic over the merged view
-      EventOps.cusumFromDaily(merged)
-        .filter(col("shift_flag"))
-        .write.mode("overwrite").parquet(alertDir)
-      // the commit point: data version + guard land in ONE file create
-      val out = fs.create(metaPath(viewDir), true)
-      try out.write(s"$batchId\n$owner".getBytes("UTF-8")) finally out.close()
+      // the commit point: data version + guard land in ONE atomic
+      // rename (tmp + rename-overwrite — a crash mid-write can never
+      // leave a torn manifest)
+      ViewCommit.commitMeta(spark, viewDir, s"$batchId\n$owner")
       // best-effort GC of superseded versions (failure here is garbage,
       // not corruption — the next batch's sweep collects it)
       try fs.listStatus(vp).foreach { st =>
@@ -115,6 +110,13 @@ object CusumStream {
           fs.delete(st.getPath, true)
       } catch { case _: Throwable => () }
     }
+    // Alert page AFTER the commit point, derived from the COMMITTED
+    // view: a crash between commit and this write leaves the page one
+    // batch stale — never reflecting an uncommitted merge — and the
+    // replayed (no-op) batch heals the staleness by re-serving here.
+    EventOps.cusumFromDaily(currentData(spark, viewDir))
+      .filter(col("shift_flag"))
+      .write.mode("overwrite").parquet(alertDir)
   }
 
   /** Maintain the daily-count view from `events` (needs `ts` and
@@ -123,14 +125,16 @@ object CusumStream {
     * the view's lifetime, and it names the view's owner. */
   def maintain(events: DataFrame, viewDir: String, alertDir: String,
                checkpointDir: String,
-               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val owner = ViewCommit.ownerToken(events.sparkSession, checkpointDir)
     events.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        applyBatch(batch.toDF(), batchId, viewDir, alertDir, checkpointDir)
+        applyBatch(batch.toDF(), batchId, viewDir, alertDir, owner)
       }
       .trigger(trigger)
       .start()
+  }
 
   /** The committed data directory `_meta` points at — readers must go
     * through the meta so an uncommitted version is never visible. */

@@ -26,18 +26,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * (IncrementalAggSpec pins it by file mtimes).
   *
   * Commit protocol (r13 — the CusumStream discipline, extended to a
-  * partitioned view): the manifest file `_meta` carries (owner
-  * checkpoint, last batch id, bucket → version) and is the SINGLE
-  * commit point. A batch writes its merged touched buckets under
-  * `data_b<batchId>/bucket=<b>/` and then rewrites the manifest; a
-  * crash between the two leaves the manifest pointing at the previous
-  * versions, so the retried batch re-merges from THOSE — idempotent
-  * per batch, partials never double-merge. Batch ids are only
-  * monotone for one checkpointed query, so `maintainView` REQUIRES a
-  * checkpoint location and records it as the view's owner: a different
-  * query (ids restart at 0) fails loudly instead of silently skipping
-  * its first batches. Superseded version dirs are GC'd best-effort
-  * after commit (failure leaves garbage, not corruption). */
+  * partitioned view; hardened r14): the manifest file `_meta` carries
+  * (owner token, last batch id, bucket → version) and is the SINGLE
+  * commit point, installed by an ATOMIC tmp-write + rename-overwrite
+  * ([[ViewCommit.commitMeta]]) so a crash at any point leaves either
+  * the previous manifest or the new one, never a torn file. A batch
+  * writes its merged touched buckets under `data_b<batchId>/bucket=<b>/`
+  * and then renames the manifest; a crash between the two leaves the
+  * manifest pointing at the previous versions, so the retried batch
+  * re-merges from THOSE — idempotent per batch, partials never
+  * double-merge. Batch ids are only monotone for one checkpointed
+  * query, so `maintainView` REQUIRES a checkpoint location; the view's
+  * owner is a UUID token minted into that checkpoint directory
+  * ([[ViewCommit.ownerToken]]) — a different query, INCLUDING one
+  * whose checkpoint was deleted and recreated at the same path (ids
+  * restart at 0), fails loudly instead of silently skipping its first
+  * batches. Superseded version dirs are GC'd best-effort after commit
+  * (failure leaves garbage, not corruption). */
 object IncrementalAgg {
 
   val nBuckets = 32
@@ -61,25 +66,22 @@ object IncrementalAgg {
       .agg(sum(col("sum_cents")).as("sum_cents"), sum(col("n_rows")).as("n_rows"))
 
   private def fsFor(p: Path, spark: SparkSession): FileSystem =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ViewCommit.fsFor(p, spark)
 
-  /** Manifest: (owner, last batch id, bucket → version). Format:
-    * line 1 = batchId, line 2 = owner, then `bucket:version` lines. */
+  /** Manifest: (owner token, last batch id, bucket → version). Format:
+    * line 1 = batchId, line 2 = owner, then `bucket:version` lines.
+    * A malformed manifest is a hard, diagnosable error
+    * ([[ViewCommit.metaParseError]]), never a bare parse crash. */
   private def readMeta(fs: FileSystem, viewDir: String)
-      : Option[(String, Long, Map[Long, Long])] = {
-    val mp = new Path(viewDir, "_meta")
-    if (!fs.exists(mp)) None
-    else {
-      val in = fs.open(mp)
-      val lines =
-        try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
-        finally in.close()
-      val vers = lines.drop(2).filter(_.contains(":")).map { l =>
-        val Array(b, v) = l.split(":", 2); b.trim.toLong -> v.trim.toLong
-      }.toMap
-      Some((lines(1).trim, lines(0).trim.toLong, vers))
+      : Option[(String, Long, Map[Long, Long])] =
+    ViewCommit.readMetaLines(fs, viewDir).map { lines =>
+      ViewCommit.parsed(viewDir, lines) { ls =>
+        val vers = ls.drop(2).filter(_.contains(":")).map { l =>
+          val Array(b, v) = l.split(":", 2); b.trim.toLong -> v.trim.toLong
+        }.toMap
+        (ls(1).trim, ls(0).trim.toLong, vers)
+      }
     }
-  }
 
   /** Per-bucket view slice at its committed version, with the bucket
     * column re-attached (per-version dirs don't carry the partition
@@ -101,10 +103,11 @@ object IncrementalAgg {
     val meta = readMeta(fs, viewDir)
     meta.foreach { case (o, _, _) =>
       require(o == owner,
-        s"view $viewDir is owned by the query checkpointed at '$o'; a query " +
-          s"checkpointed at '$owner' restarts batch ids at 0 and its batches " +
-          "would be silently skipped by the replay guard — resume from the " +
-          "owning checkpoint or start a fresh viewDir")
+        s"view $viewDir is owned by the query whose owner token is '$o'; " +
+          s"this query's token is '$owner' (minted into its checkpoint " +
+          "directory at creation), so its batch ids restart at 0 and its " +
+          "batches would be silently skipped by the replay guard — resume " +
+          "from the owning checkpoint or start a fresh viewDir")
     }
     val lastApplied = meta.map(_._2).getOrElse(-1L)
     if (batchId > lastApplied) {
@@ -119,12 +122,13 @@ object IncrementalAgg {
         else merge(old.reduce(_.unionByName(_)), delta, keys).localCheckpoint()
       merged.write.mode("overwrite").partitionBy("bucket")
         .parquet(new Path(vp, s"data_b$batchId").toString)
-      // the commit point: guard + per-bucket versions in ONE create
+      // the commit point: guard + per-bucket versions in ONE atomic
+      // rename (tmp + rename-overwrite — a crash mid-write can never
+      // leave a torn manifest)
       val newVers = versions ++ touched.map(_ -> batchId)
       val body = (s"$batchId\n$owner" +:
         newVers.toSeq.sorted.map { case (b, v) => s"$b:$v" }).mkString("\n")
-      val out = fs.create(new Path(vp, "_meta"), true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
+      ViewCommit.commitMeta(spark, viewDir, body)
       // best-effort GC of version dirs no manifest entry references
       try {
         val live = newVers.values.toSet
@@ -144,15 +148,17 @@ object IncrementalAgg {
     * keeps batch ids monotone and names the view's owner. */
   def maintainView(facts: DataFrame, viewDir: String, keys: Seq[String],
                    valueCol: String, checkpointDir: String,
-                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val owner = ViewCommit.ownerToken(facts.sparkSession, checkpointDir)
     facts.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        applyBatch(batch.toDF(), batchId, viewDir, keys, valueCol, checkpointDir)
+        applyBatch(batch.toDF(), batchId, viewDir, keys, valueCol, owner)
       }
       .trigger(trigger)
       .start()
+  }
 
   /** The committed view contents: every bucket at the version its
     * manifest entry points to — an uncommitted version is never

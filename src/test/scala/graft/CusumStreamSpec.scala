@@ -118,4 +118,71 @@ class CusumStreamSpec extends SparkSuite {
       CusumStream.applyBatch(df(b0), 0L, viewDir, alertDir, s"$base/other")
     }
   }
+
+  test("a checkpoint deleted and recreated at the SAME path is rejected") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = EventOps.events(spark, sf)
+      .select($"ts".cast("timestamp"), $"event_type")
+      .as[CusumEv].collect().toSeq
+    val base = tmpDir("graft-cusum-recreate")
+    val (viewDir, alertDir, ckpt) = (s"$base/view", s"$base/alerts", s"$base/ckpt")
+
+    val input = MemoryStream[CusumEv]
+    val q = CusumStream.maintain(input.toDF(), viewDir, alertDir, ckpt,
+      Trigger.ProcessingTime(0))
+    try { input.addData(rows); q.processAllAvailable() } finally q.stop()
+    val committed = canon(CusumStream.readStatistic(spark, viewDir))
+
+    // wipe the checkpoint: batch ids restart at 0 but the PATH matches —
+    // the r13 path-string guard silently skipped these batches; the
+    // token guard (a fresh UUID is minted into the recreated dir) must
+    // reject the impostor loudly
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    val input2 = MemoryStream[CusumEv]
+    val q2 = CusumStream.maintain(input2.toDF(), viewDir, alertDir, ckpt,
+      Trigger.ProcessingTime(0))
+    try {
+      input2.addData(rows.take(5))
+      val failed =
+        try { q2.processAllAvailable(); false }
+        catch { case _: Throwable => true }
+      assert(failed, "a recreated checkpoint at the same path was accepted — " +
+        "its batches would be silently dropped by the replay guard")
+    } finally q2.stop()
+    assert(canon(CusumStream.readStatistic(spark, viewDir)) == committed,
+      "the rejected query still changed the view")
+  }
+
+  test("a torn (malformed) manifest is a hard, diagnosable error") {
+    import spark.implicits._
+    val rows = EventOps.events(spark, sf)
+      .select($"ts".cast("timestamp"), $"event_type")
+      .as[CusumEv].collect().toSeq
+    val base = tmpDir("graft-cusum-torn")
+    val (viewDir, alertDir) = (s"$base/view", s"$base/alerts")
+    CusumStream.applyBatch(spark.createDataFrame(rows), 0L, viewDir, alertDir,
+      "owner-a")
+
+    // simulate a torn write from a non-atomic store — exactly the
+    // pre-fix failure: create(_meta, overwrite) truncates, crash lands
+    // before any byte is written
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(viewDir, "_meta"), true).close()
+    val e = intercept[IllegalStateException] {
+      CusumStream.readStatistic(spark, viewDir)
+    }
+    assert(e.getMessage.contains("malformed view manifest"), e.getMessage)
+    assert(e.getMessage.contains("data_b"), "error must name the recovery path")
+
+    // garbage content (parse failure) is the same diagnosable error
+    val out = fs.create(new org.apache.hadoop.fs.Path(viewDir, "_meta"), true)
+    try out.write("not-a-number\n\n".getBytes("UTF-8")) finally out.close()
+    val e2 = intercept[IllegalStateException] {
+      CusumStream.applyBatch(spark.createDataFrame(rows), 1L, viewDir,
+        alertDir, "owner-a")
+    }
+    assert(e2.getMessage.contains("malformed view manifest"), e2.getMessage)
+  }
 }
