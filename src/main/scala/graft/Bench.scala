@@ -46,7 +46,40 @@ object Bench {
         head.toDouble // throws unless numeric
         head
       } catch { case _: Throwable => "-1" }
+    // FOREIGN-CPU sampling (r13 judge #1): the end-of-window loadavg is
+    // confounded by the bench's OWN 32-thread execution (committed idle
+    // artifacts read load_end 2.7-8.6 on runs launched at load_start
+    // 0.7-1.5 — self-inflation, not necessarily contention), so a bare
+    // load_end gate would condemn every artifact. Instead measure the
+    // thing the gate actually cares about: CPU burned by OTHER
+    // processes during the window. /proc/stat gives box-wide busy
+    // jiffies; /proc/self/stat utime+stime covers every thread of this
+    // JVM (Spark executors included, local mode is one process).
+    // foreign cores = (Δbox_busy − Δself) / Δwall. Sampled around EVERY
+    // query → per-query dirty bits in BENCH_DETAIL; whole-run foreign
+    // share gates the artifact alongside load_start.
+    val userHz = 100.0 // USER_HZ; fixed at 100 on linux for ABI compat
+    def jiffies(): (Long, Long) =
+      try {
+        val boxSrc = scala.io.Source.fromFile("/proc/stat")
+        val box = try boxSrc.getLines().next() finally boxSrc.close()
+        val p = box.trim.split("\\s+").drop(1).map(_.toLong)
+        // user nice system idle iowait irq softirq steal — busy = all but idle+iowait
+        val busy = p(0) + p(1) + p(2) +
+          p.lift(5).getOrElse(0L) + p.lift(6).getOrElse(0L) + p.lift(7).getOrElse(0L)
+        val selfSrc = scala.io.Source.fromFile("/proc/self/stat")
+        val s = try selfSrc.mkString finally selfSrc.close()
+        val after = s.substring(s.lastIndexOf(')') + 2).split(" ")
+        (busy, after(11).toLong + after(12).toLong) // utime + stime
+      } catch { case _: Throwable => (-1L, -1L) }
+    def foreignCores(j0: (Long, Long), j1: (Long, Long), wallSec: Double): Double =
+      if (j0._1 < 0 || j1._1 < 0 || wallSec <= 0) -1.0
+      else math.max(0.0, ((j1._1 - j0._1) - (j1._2 - j0._2)) / userHz / wallSec)
+    val foreignMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FOREIGN_MAX", "1.0").toDouble
     val loadStart = loadavg()
+    val runJ0 = jiffies()
+    val runT0 = System.nanoTime()
     // A crashed query must never masquerade as a fast one: record -1 and
     // list it in "errs" so the JSON line distinguishes fast from broken.
     // Per-query share of the named session-cache builds (BuildTimers):
@@ -55,10 +88,15 @@ object Bench {
     // "this query got slower" from "this query now pays a shared build".
     // Diffing the build table around each query attributes that.
     val buildShare = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-query foreign-CPU share (cores averaged over the query's
+    // whole cold+warm window); dirty = that share exceeded foreignMax
+    val foreignShare = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var buildsBefore = BuildTimers.snapshot()
     val timings = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val qj0 = jiffies()
+      val qt0 = System.nanoTime()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -68,6 +106,8 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (ok) sec else -1.0
       }
+      foreignShare(name) =
+        foreignCores(qj0, jiffies(), (System.nanoTime() - qt0) / 1e9)
       val buildsAfter = BuildTimers.snapshot()
       val delta = buildsAfter.map { case (k, v) =>
         v - buildsBefore.getOrElse(k, 0.0) }.sum
@@ -103,22 +143,40 @@ object Bench {
       else s
     }
     val loadEnd = loadavg()
-    // Evidence-hygiene rule (rounds 9-11), now structural: per-query
-    // timings recorded on a loaded box are not comparable round-over-
-    // round (colds swing 3-10x under contention), so the artifact
-    // certifies its own window. load_start above the threshold marks
-    // the WHOLE artifact contaminated; regression arguments must cite
-    // an uncontaminated run.
+    val runForeign =
+      foreignCores(runJ0, jiffies(), (System.nanoTime() - runT0) / 1e9)
+    val dirtyNames = foreignShare.collect {
+      case (n, f) if f > foreignMax => n }.toSeq.sorted
+    // Evidence-hygiene rule (rounds 9-11), now structural AND
+    // end-to-end (r13 judge #1): per-query timings recorded on a
+    // loaded box are not comparable round-over-round (colds swing
+    // 3-10x under contention), so the artifact certifies its own
+    // window — the WHOLE window. load_start above the threshold marks
+    // cold-state pollution (page cache / governor residue of a
+    // just-busy box); the measured whole-run FOREIGN cpu share above
+    // foreignMax marks in-window contention, including the end the
+    // old rule never gated (load_end alone can't be gated: the
+    // bench's own 32 threads inflate it to 2.7-8.6 on genuinely idle
+    // launches). A foreign-cpu probe failure (-1) is treated as
+    // contaminated — unverifiable windows don't certify. Regression
+    // arguments must cite an uncontaminated artifact, and per-query
+    // dirty bits in BENCH_DETAIL adjudicate single-query spikes.
     val idleMax =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_MAX", "1.5").toDouble
-    val contaminated =
+    val startBad =
       try loadStart.toDouble > idleMax catch { case _: Throwable => true }
+    val foreignBad = runForeign < 0 || runForeign > foreignMax
+    val contaminated = startBad || foreignBad
+    val foreignField =
+      s""","foreign_cpu":${if (runForeign < 0) "-1" else f"$runForeign%.2f"}""" +
+        (if (dirtyNames.nonEmpty) s""","n_dirty":${dirtyNames.size}""" else "")
     val contamField =
-      if (contaminated) s""","contaminated":true,"idle_max":$idleMax"""
+      if (contaminated) s""","contaminated":true,"idle_max":$idleMax,"foreign_max":$foreignMax"""
       else ""
     if (contaminated)
       System.err.println(
-        s"[bench] WARNING: load_start $loadStart > $idleMax — artifact marked contaminated")
+        s"[bench] WARNING: load_start=$loadStart (max $idleMax), " +
+          f"foreign_cpu=$runForeign%.2f cores (max $foreignMax) — artifact marked contaminated")
     def line(dec: Int, keep: Int): String = {
       val slowestFirst = results.toSeq.sortBy(-_._2)
       val kept = slowestFirst.take(keep)
@@ -140,7 +198,7 @@ object Bench {
       val errs = if (errNames.nonEmpty)
         s""","errs":${errNames.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       else ""
-      val load = s""","load_start":$loadStart,"load_end":$loadEnd$contamField"""
+      val load = s""","load_start":$loadStart,"load_end":$loadEnd$foreignField$contamField"""
       s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","n_ok":$nOk,"n_err":${errNames.size}$wTotal,"queries":$qs$errs$load$omit,"sf":"$sfDir"}"""
     }
     // Full per-query detail (cold + warm median) goes to a repo-local
@@ -152,11 +210,14 @@ object Bench {
       val detail = results.toSeq.sortBy(-_._2).map { case (k, v) =>
         val w = warmMed.get(k).map(m => s""","warm_med":${fmt(m, 2)}""").getOrElse("")
         val b = buildShare.get(k).map(s => s""","build_sec":${fmt(s, 2)}""").getOrElse("")
-        s""""$k":{"cold":${if (v < 0) "-1" else fmt(v, 2)}$w$b}"""
+        val f = foreignShare.get(k).filter(_ >= 0)
+          .map(x => s""","foreign":${fmt(x, 2)}""").getOrElse("")
+        val d = if (foreignShare.get(k).exists(_ > foreignMax)) s""","dirty":true""" else ""
+        s""""$k":{"cold":${if (v < 0) "-1" else fmt(v, 2)}$w$b$f$d}"""
       }.mkString("{", ",", "}")
       val builds = BuildTimers.snapshot().toSeq.sortBy(-_._2)
         .map { case (k, v) => s""""$k":${fmt(v, 2)}""" }.mkString("{", ",", "}")
-      val body = s"""{"sf":"$sfDir","runs":$runs,"n_ok":$nOk,"n_err":${errNames.size},"load_start":$loadStart,"load_end":$loadEnd$contamField,"builds":$builds,"queries":$detail}"""
+      val body = s"""{"sf":"$sfDir","runs":$runs,"n_ok":$nOk,"n_err":${errNames.size},"load_start":$loadStart,"load_end":$loadEnd$foreignField$contamField,"builds":$builds,"queries":$detail}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         body.getBytes("UTF-8"))
     } catch { case e: Throwable =>
