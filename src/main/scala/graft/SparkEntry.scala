@@ -2438,6 +2438,8 @@ object SparkEntry {
     "q_corr_scalar" -> ((s, d) => Relational.maxPricedLineitems(s, d)),
     "q_min_cost_supplier" -> ((s, d) => Relational.minCostSupplier(s, d)),
     "q_sole_blame" -> ((s, d) => Relational.soleBlameSuppliers(s, d)),
+    "q_small_qty_revenue" -> ((s, d) => Relational.smallQtyRevenue(s, d)),
+    "q_cust_sales_opp" -> ((s, d) => Relational.custSalesOpp(s, d)),
     "q_quarterly" -> ((s, d) => Relational.quarterlyRevenue(s, d)),
     "q_string_funcs" -> ((s, d) => Relational.partTypeStats(s, d)),
     "q_array_agg" -> ((s, d) => Relational.orderKeyArraysCsv(s, d)),
@@ -2796,6 +2798,45 @@ object SparkEntry {
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s.s_name
         |LIMIT 20""".stripMargin,
+    // Q17 shape: the ORACLE keeps the correlated scalar-AVG subquery
+    // (DuckDB decorrelates it into the same per-part aggregate the
+    // Spark side writes explicitly); the 0.2·avg comparison is the
+    // exact-integer form 5·qty·n < sum on both sides
+    "q_small_qty_revenue" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM lineitem l, part p
+        |WHERE l.l_partkey = p.p_partkey
+        |  AND p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND CAST(l.l_quantity AS BIGINT) * 5 *
+        |      (SELECT count(*) FROM lineitem l2
+        |       WHERE l2.l_partkey = p.p_partkey)
+        |    < (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+        |       FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    // Q22 shape: scalar-avg subquery (exact cents·n > sum form) +
+    // NOT EXISTS against date-filtered orders
+    "q_cust_sales_opp" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        |  FROM customer
+        |  WHERE c_nationkey IN (0,1,2,3,4,5,6,7,8,9))
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM c
+        |WHERE bal_cents * (SELECT count(*) FROM c c2 WHERE c2.c_acctbal > 0)
+        |    > (SELECT CAST(sum(c2.bal_cents) AS BIGINT) FROM c c2
+        |       WHERE c2.c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q_quarterly" -> qQuarterlySql,
     "q_string_funcs" -> qStringFuncsSql,
     "q_array_agg" -> qArrayAggSql,

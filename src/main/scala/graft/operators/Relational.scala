@@ -934,4 +934,84 @@ object Relational {
         expr("(nation_units * 1000000) DIV total_units"))
       .orderBy(col("o_year"))
   }
+
+  /** `q_small_qty_revenue` (TPC-H Q17 shape): revenue from
+    * small-quantity lineitems of selected brands — each lineitem
+    * qualifies when its quantity is below 20% of ITS PART'S average
+    * quantity. That correlated scalar AVG against the fact (`l_quantity
+    * < (SELECT 0.2*avg(l_quantity) FROM lineitem WHERE l_partkey =
+    * p.p_partkey)`) decorrelates into ONE per-part aggregate joined
+    * back on the part key — the same discipline as the Q2 correlated
+    * MIN ([[minCostSupplier]]), for the AVG flavor the registry lacked.
+    *
+    * Exactness: quantities are integral, so `qty < 0.2·(sum/n)` is
+    * evaluated as `5·qty·n < sum` in BIGINT — no float boundary can
+    * flip between engines. Revenue is [[dsum]] then one double divide.
+    *
+    * Scale: the brand dimension broadcasts; BOTH the decorrelated
+    * aggregate and the probe side are pre-pruned by that broadcast
+    * semi-join before anything shuffles (the subquery only matters for
+    * parts that survive the brand filter), and both then shuffle on
+    * the SAME key (l_partkey), so AQE reuses the exchange. No nested
+    * loop anywhere. */
+  def smallQtyRevenue(spark: SparkSession, dir: String,
+                      brands: Seq[String] =
+                        Seq("Brand#1", "Brand#2", "Brand#3")): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand").isin(brands: _*))
+      .select(col("p_partkey"), col("p_brand"))
+    val pruned = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val perPart = pruned
+      .groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_li"))
+    pruned
+      .join(perPart, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity").cast("long") * lit(5L) * col("n_li") <
+        col("sum_qty"))
+      .groupBy(col("p_brand"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** `q_cust_sales_opp` (TPC-H Q22 shape): the "sales opportunity"
+    * report — customers in selected nations whose balance exceeds the
+    * average POSITIVE balance of that group but who have placed no
+    * order since the cutoff, counted and totalled per nation. Two
+    * classic decorrelations in one face: the scalar-avg subquery
+    * becomes a 1-row aggregate broadcast as a cross join (the pattern
+    * every `crossJoin` in this repo follows), and the NOT EXISTS
+    * becomes a left_anti against the date-filtered orders.
+    *
+    * Exactness: balances carry exactly 2 decimals, so `bal >
+    * avg(positive bals)` is evaluated as `cents·n > sum_cents` in
+    * BIGINT (cents via floor(x·100+0.5), identical on both engines);
+    * the output total is [[dsum]].
+    *
+    * Scale: the 1-row aggregate broadcasts (never a shuffle); the
+    * anti-join's build side is orders ALREADY date-pruned (a parquet
+    * min/max-pruned scan at real scale); customer and filtered orders
+    * shuffle on the same customer key. */
+  def custSalesOpp(spark: SparkSession, dir: String,
+                   nationKeys: Seq[Int] = 0 to 9,
+                   cutoff: String = "2000-01-01"): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_nationkey").isin(nationKeys: _*))
+      .withColumn("bal_cents",
+        floor(col("c_acctbal") * 100 + 0.5).cast("long"))
+    val avgRow = c.filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("bal_cents")).as("avg_sum_cents"),
+        count(lit(1)).as("avg_n"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgRow))
+      .filter(col("bal_cents") * col("avg_n") > col("avg_sum_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("nationkey"))
+  }
 }

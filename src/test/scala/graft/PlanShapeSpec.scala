@@ -63,6 +63,33 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
 
+  test("Q17 shape: one decorrelated per-part aggregate joined back, no nested loop") {
+    val p = plan("q_small_qty_revenue")
+    // the brand dim broadcasts into BOTH the probe side and the
+    // decorrelated aggregate (each pruned before anything shuffles);
+    // the join-back is the single equi-join on the part key with the
+    // exact-integer 5·qty·n < sum residual
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(1200))
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 1, p.take(1200))
+    assert(p.contains("HashAggregate"), p.take(1200))
+    assert(p.contains("In(p_brand"), "brand filter must reach the part scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
+  test("Q22 shape: scalar avg broadcasts as ONE 1-row join, anti probe date-pruned") {
+    val p = plan("q_cust_sales_opp")
+    // the only nested-loop is the 1-row scalar aggregate broadcast
+    // (IdentityBroadcastMode); the NOT EXISTS is a LeftAnti whose build
+    // side's date predicate reaches the orders scan
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p.take(1200))
+    assert(p.contains("IdentityBroadcastMode"), p.take(1200))
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "cutoff must reach the orders scan as a pushed filter")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("Q7/Q8 shapes broadcast every dimension; at most one fact shuffle join") {
     Seq("q_volume_shipping", "q_market_share").foreach { q =>
       val p = plan(q)
