@@ -140,6 +140,41 @@ class GraphOpsSpec extends SparkSuite {
     assert(rows.head._2 == expected, s"round 1: ${rows.head._2} vs $expected")
   }
 
+  test("early exit: converged loops stop early with output identical to the full unroll") {
+    val spark2 = spark
+    import spark2.implicits._
+    // k-core, k=2 on a triangle: nothing ever drops, so the survivor
+    // count repeats after pass 2 and the peel exits with the remaining
+    // trajectory filled from the fixpoint — 2 passes instead of 7
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val deg0 = tri.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val (stats, passes) =
+      GraphOps.kCorePeelCounted(spark, tri, deg0, k = 2, rounds = 6)
+    assert(passes == 2, s"expected early exit after 2 passes, ran $passes")
+    val rows = stats.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == (1L to 6L).map(r => (r, 3L, 3L)),
+      s"filled trajectory wrong: ${rows.toSeq}")
+
+    // LPA on one triangle: labels stabilize after round 2, detected
+    // after round 3 — 3 rounds run out of 6, same output as the unroll
+    val (lpa, lpaRounds) = GraphOps.lpaCoreCounted(tri, 6)
+    assert(lpaRounds == 3, s"expected LPA exit after 3 rounds, ran $lpaRounds")
+    assert(lpa.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    // oscillating bipartite pair: NEVER equal to its predecessor, so
+    // the exit must not fire and all rounds run (the determinism caveat)
+    val pair = Seq((1L, 2L)).toDF("a", "b")
+    assert(GraphOps.lpaCoreCounted(pair, 4)._2 == 4, "oscillation was cut short")
+
+    // BFS on a 3-chain from seed 100: frontier empties after round 3
+    val chain = Seq((100L, 1L), (1L, 2L)).toDF("a", "b")
+    val (bfs, bfsRounds) = GraphOps.bfsCoreCounted(chain, 6)
+    assert(bfsRounds == 3, s"expected BFS exit after 3 rounds, ran $bfsRounds")
+    assert(bfs.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 1L), (2L, 2L), (100L, 0L)))
+  }
+
   test("label propagation: disjoint cliques converge to min-id communities") {
     val spark2 = spark
     import spark2.implicits._
