@@ -14,33 +14,7 @@ import graft.ingest.IngestPipeline
   * ordering, exactly-once cleanup, metrics golden shape. */
 class IngestPipelineSpec extends SparkSuite {
 
-  private def writeGz(path: String, content: String): Unit = {
-    val f = new File(path)
-    f.getParentFile.mkdirs()
-    val out = new GZIPOutputStream(new FileOutputStream(f))
-    out.write(content.getBytes("UTF-8"))
-    out.close()
-  }
-
-  private def writeManifest(bucket: String, name: String): Unit = {
-    val p = Paths.get(s"$bucket/pending/$name/manifest.json")
-    Files.createDirectories(p.getParent)
-    Files.writeString(p,
-      """{"FileName": "person_headers.csv.gz", "SHA256": "aa"}
-        |{"FileName": "person_sample.csv.gz", "SHA256": "bb"}""".stripMargin)
-  }
-
-  /** Build `pending/<name>/person/...` with marker + optional manifest. */
-  private def makeIngest(bucket: String, name: String, ingestType: String,
-                         withManifest: Boolean = true): Unit = {
-    writeGz(s"$bucket/pending/$name/person/person_headers.csv.gz",
-      "person_id,name,age\n")
-    writeGz(s"$bucket/pending/$name/person/person_sample.csv.gz",
-      "1,alice,30\n2,bob,40\n3,carol,50\n")
-    Files.createDirectories(Paths.get(s"$bucket/pending/$name"))
-    Files.writeString(Paths.get(s"$bucket/pending/$name/$ingestType.txt"), "")
-    if (withManifest) writeManifest(bucket, name)
-  }
+  import IngestFixtures.{makeIngest, writeGz, writeManifest}
 
   test("wait states: empty bucket, no marker, missing manifest all return None") {
     val bucket = tmpDir("graft-bucket")
