@@ -32,3 +32,23 @@ object IngestStream {
       .start()
   }
 }
+
+/** The spark-submit entrypoint `deploy/k8s-ingest.yaml` names — the
+  * production mapping of the reference's cronjob (the 60 s trigger IS
+  * the schedule; the checkpoint volume is what makes a restarted driver
+  * resume instead of reprocess). Args: bucket root, warehouse, streaming
+  * checkpoint dir, trigger seconds. The master comes from spark-submit
+  * (k8s:// in the manifest), never hardcoded here. */
+object IngestStreamMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4,
+      "usage: IngestStreamMain <bucket> <warehouse> <checkpoint> <triggerSeconds>")
+    val Array(bucket, warehouse, checkpoint, trigSec) = args
+    val spark = SparkSession.builder()
+      .appName("graft-ingest")
+      .getOrCreate()
+    val q = IngestStream.start(spark, bucket, warehouse,
+      pollInterval = s"${trigSec.toLong} seconds", checkpoint = checkpoint)
+    q.awaitTermination()
+  }
+}
