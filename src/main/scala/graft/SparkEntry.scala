@@ -2440,6 +2440,10 @@ object SparkEntry {
     "q_sole_blame" -> ((s, d) => Relational.soleBlameSuppliers(s, d)),
     "q_small_qty_revenue" -> ((s, d) => Relational.smallQtyRevenue(s, d)),
     "q_cust_sales_opp" -> ((s, d) => Relational.custSalesOpp(s, d)),
+    "q_priority_wait" -> ((s, d) => Relational.priorityWait(s, d)),
+    "q_top_supplier" -> ((s, d) => Relational.topSupplier(s, d)),
+    "q_dominant_supplier" -> ((s, d) => Relational.dominantSupplier(s, d)),
+    "q_special_revenue" -> ((s, d) => Relational.specialRevenue(s, d)),
     "q_quarterly" -> ((s, d) => Relational.quarterlyRevenue(s, d)),
     "q_string_funcs" -> ((s, d) => Relational.partTypeStats(s, d)),
     "q_array_agg" -> ((s, d) => Relational.orderKeyArraysCsv(s, d)),
@@ -2817,6 +2821,65 @@ object SparkEntry {
         |       FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+    // Q4 shape: EXISTS with a cross-table date-lag residual on the
+    // order key (counts only — exact)
+    "q_priority_wait" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    // Q15 shape: the ORACLE keeps the view + scalar-max subquery; units
+    // are exact BIGINT ten-thousandths on both sides
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_units
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_units
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_units = (SELECT max(total_units) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    // Q20 flavor: correlated share-of-part aggregate — supplier-grain
+    // partials re-sum to the part grain (one fact pass), exact integers
+    "q_dominant_supplier" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |pt AS (
+        |  SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS part_qty
+        |  FROM sp GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  count(*) AS n_dominant,
+        |  CAST(sum(supp_qty) AS BIGINT) AS dom_qty
+        |FROM sp
+        |JOIN pt USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE supp_qty * 6 > part_qty
+        |GROUP BY 1, 2
+        |ORDER BY 1""".stripMargin,
+    // Q19 shape: OR-of-ANDs disjunction over one part join
+    "q_special_revenue" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15
+        |       AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25
+        |       AND p_size BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35
+        |       AND p_size BETWEEN 1 AND 30)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // Q22 shape: scalar-avg subquery (exact cents·n > sum form) +
     // NOT EXISTS against date-filtered orders
     "q_cust_sales_opp" ->

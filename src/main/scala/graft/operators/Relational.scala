@@ -976,6 +976,126 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** `q_priority_wait` (TPC-H Q4 shape): orders per priority that had
+    * at least one LATE lineitem (shipped more than `lateDays` after the
+    * order date). The EXISTS is a left_semi on the order key whose
+    * date-lag predicate is the join RESIDUAL — it references both sides,
+    * so it cannot be pushed below the join, but the equi-key keeps the
+    * probe a hash semi-join (never a nested loop). Counts only ⇒
+    * hash-exact. Scale: one fact shuffle on the order key, then a tiny
+    * 5-row priority aggregate. */
+  def priorityWait(spark: SparkSession, dir: String,
+                   lateDays: Int = 90): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** `q_top_supplier` (TPC-H Q15 shape): the supplier(s) whose revenue
+    * over one ship-date quarter equals the MAXIMUM per-supplier revenue
+    * — the classic view + scalar-max-subquery, decorrelated into the
+    * per-supplier aggregate, a 1-row max broadcast (IdentityBroadcastMode
+    * — the Q22 discipline), and an exact-integer equality. Revenue is
+    * DECIMAL(18,4) summed then scaled to BIGINT ten-thousandths (the
+    * [[marketShare]] units discipline), so "equals the max" cannot
+    * waver between engines. Scale: the quarter predicate prunes the
+    * fact scan; ONE shuffle for the supplier aggregate; supplier dim
+    * broadcasts onto the (tiny) winner set. */
+  def topSupplier(spark: SparkSession, dir: String,
+                  from: String = "1998-01-01",
+                  until: String = "1998-04-01"): DataFrame = {
+    val units = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg((sum(units) * 10000).cast("long").as("total_units"))
+    // scalar max as an unpartitioned window over the SUPPLIER-GRAIN
+    // aggregate (not the fact): referencing `rev` twice duplicates its
+    // lineage — measured as a second full fact scan (exchange reuse
+    // does not canonicalize across the branches) — while the window's
+    // single-partition exchange only carries |suppliers| rows
+    rev.withColumn("max_units",
+        max(col("total_units")).over(Window.partitionBy()))
+      .filter(col("total_units") === col("max_units"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_units"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** `q_dominant_supplier` (TPC-H Q20 flavor): per supplier, how many
+    * parts they DOMINATE — shipped more than 1/`share` of that part's
+    * total shipped quantity. The nested correlated aggregate ("this
+    * supplier's quantity vs the part's total") decorrelates into TWO
+    * aggregates at different grains, where the part-grain total derives
+    * from the supplier-grain partials (one fact scan, partials re-sum —
+    * the monoid trick), an equi-join back on the part key, and the
+    * exact-integer dominance predicate `share·q > total`. Scale: one
+    * fact shuffle to (supp, part) grain; everything after is
+    * aggregate-table-sized; supplier dim broadcasts. */
+  def dominantSupplier(spark: SparkSession, dir: String,
+                       share: Int = 6): DataFrame = {
+    val sp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("supp_qty"))
+    // part-grain total as a window over the supplier-grain partials:
+    // a groupBy-then-join-back references `sp` twice, which duplicates
+    // its lineage into a SECOND full fact scan (measured — exchange
+    // reuse does not fire across the branches); the window re-sums the
+    // already-aggregated table in one pass, one partkey exchange
+    sp.withColumn("part_qty",
+        sum(col("supp_qty")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("supp_qty") * share > col("part_qty"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominant"), sum(col("supp_qty")).as("dom_qty"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominant"),
+        col("dom_qty"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** `q_special_revenue` (TPC-H Q19 shape): revenue under an OR of
+    * brand/quantity/size clause groups — the disjunctive multi-clause
+    * predicate that tests whether the engine keeps ONE part join with
+    * the whole disjunction evaluated map-side (a naive plan unions
+    * three scans). The brand IN superset pushes to the part scan;
+    * the OR-of-ANDs is a residual on the single broadcast join.
+    * Revenue is [[dsum]]-exact, grouped per brand. */
+  def specialRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 15) &&
+          col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 25) &&
+          col("p_size").between(1, 20)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 35) &&
+          col("p_size").between(1, 30)))
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
   /** `q_cust_sales_opp` (TPC-H Q22 shape): the "sales opportunity"
     * report — customers in selected nations whose balance exceeds the
     * average POSITIVE balance of that group but who have placed no

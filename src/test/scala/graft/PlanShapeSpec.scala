@@ -90,6 +90,38 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("Q4 shape: EXISTS is a hash semi-join carrying the date-lag residual") {
+    val p = plan("q_priority_wait")
+    assert(p.contains("LeftSemi"), p.take(900))
+    assert(p.contains("INTERVAL '90' DAY"),
+      "the cross-table lag predicate must ride the join as a residual")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(900))
+  }
+
+  test("Q15/Q20 shapes scan the fact ONCE (scalar/grain totals via window, not re-scan)") {
+    Seq("q_top_supplier" -> "lineitem", "q_dominant_supplier" -> "lineitem")
+      .foreach { case (q, fact) =>
+        val p = plan(q)
+        assert(s"$fact\\.parquet".r.findAllIn(p).length == 1,
+          s"$q re-scans the fact: ${p.take(900)}")
+        assert(p.contains("Window"), s"$q lost the window formulation")
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"), q)
+      }
+    // Q15's pruned quarter must reach the scan
+    assert(plan("q_top_supplier").contains("GreaterThanOrEqual(l_shipdate"),
+      "quarter filter must push to the lineitem scan")
+  }
+
+  test("Q19 shape: one part join, disjunction evaluated on it (no union of scans)") {
+    val p = plan("q_special_revenue")
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p.take(900))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, p.take(900))
+    assert(p.contains("In(p_brand"), "brand superset must push to the part scan")
+    assert(!p.contains("Union"), "disjunction must not plan as a union of scans")
+  }
+
   test("Q7/Q8 shapes broadcast every dimension; at most one fact shuffle join") {
     Seq("q_volume_shipping", "q_market_share").foreach { q =>
       val p = plan(q)
