@@ -160,12 +160,21 @@ object SimilarityOps {
     // Query side (|queries| rows, never corpus-sized): per table, the
     // signed plane dots, the query's own bucket, and the probe buckets.
     val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < numQueries)
-    val perTable = (0 until nTables).map { t =>
-      emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-        lit(t).as("table"),
-        array((0 until nPlanes).map(p =>
-          planeDot(col("embedding"), t * nPlanes + p)): _*).as("dots"))
-    }.reduce(_.unionByName(_))
+    // ONE query-side scan computing every table's plane dots, then an
+    // explode over table ids — the per-table union form re-scanned the
+    // (tiny) query slice nTables times, which at local scale was pure
+    // stage-scheduling overhead and at cluster scale is nTables footer
+    // reads per executor
+    val perTable = emb
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        array((0 until nTables * nPlanes).map(i =>
+          planeDot(col("embedding"), i)): _*).as("dots_all"))
+      .select(col("qid"), col("qvec"),
+        explode(sequence(lit(0), lit(nTables - 1))).as("table"),
+        col("dots_all"))
+      .withColumn("dots",
+        slice(col("dots_all"), col("table") * nPlanes + 1, lit(nPlanes)))
+      .drop("dots_all")
     // own bucket = packed sign bits of the dots (same packing as
     // bucketedEmbeddings, recomputed from the dots already in hand)
     val ownBucket = (0 until nPlanes).map(p =>
