@@ -2441,6 +2441,8 @@ object SparkEntry {
     "q_small_qty_revenue" -> ((s, d) => Relational.smallQtyRevenue(s, d)),
     "q_cust_sales_opp" -> ((s, d) => Relational.custSalesOpp(s, d)),
     "q_priority_wait" -> ((s, d) => Relational.priorityWait(s, d)),
+    "q_important_parts" -> ((s, d) => Relational.importantParts(s, d)),
+    "q_supplier_diversity" -> ((s, d) => Relational.supplierDiversity(s, d)),
     "q_top_supplier" -> ((s, d) => Relational.topSupplier(s, d)),
     "q_dominant_supplier" -> ((s, d) => Relational.dominantSupplier(s, d)),
     "q_special_revenue" -> ((s, d) => Relational.specialRevenue(s, d)),
@@ -2831,6 +2833,34 @@ object SparkEntry {
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // Q11 shape: the ORACLE keeps the classic scalar-subquery-over-the-
+    // same-aggregate form; the threshold is the exact floored mean
+    "q_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) * 10000 AS BIGINT) AS value_units
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_partkey, p_name, p_brand, value_units
+        |FROM pv JOIN part ON l_partkey = p_partkey
+        |WHERE value_units * 2 >
+        |  ((SELECT CAST(sum(value_units) AS BIGINT) FROM pv)
+        |    // (SELECT count(*) FROM pv)) * 3
+        |ORDER BY value_units DESC, p_partkey
+        |LIMIT 100""".stripMargin,
+    // Q16 shape: the ORACLE keeps the classic NOT IN denylist; the
+    // denylist itself is the exact-integer return-rate threshold
+    "q_supplier_diversity" ->
+      """WITH bad AS (
+        |  SELECT l_suppkey FROM lineitem
+        |  GROUP BY 1
+        |  HAVING CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) * 10 > CAST(count(*) AS BIGINT) * 3)
+        |SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT l_suppkey FROM bad)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
     // Q15 shape: the ORACLE keeps the view + scalar-max subquery; units
     // are exact BIGINT ten-thousandths on both sides
     "q_top_supplier" ->

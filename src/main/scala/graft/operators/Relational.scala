@@ -1096,6 +1096,66 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** `q_important_parts` (TPC-H Q11 shape): parts whose revenue
+    * exceeds 1.5× the MEAN per-part revenue — the value-concentration
+    * report whose classic form compares each group's total against a
+    * fraction of the global total (a scalar subquery over the same
+    * aggregate). Both the global total and the part count come from an
+    * unpartitioned WINDOW over the part-grain aggregate (the
+    * [[topSupplier]] single-scan discipline); the comparison is
+    * exact-integer against the floored mean (`2·v > 3·(total DIV n)` —
+    * the [[graft.operators.StatsOps.skewReport]] overflow-safe form:
+    * v·constant never exceeds a few × the global total). Top page is a
+    * bounded top-k by (value desc, partkey). */
+  def importantParts(spark: SparkSession, dir: String,
+                     pageSize: Int = 100): DataFrame = {
+    val units = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+    val pv = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg((sum(units) * 10000).cast("long").as("value_units"))
+    pv.withColumn("avg_units",
+        expr("sum(value_units) OVER () DIV count(1) OVER ()"))
+      .filter(col("value_units") * 2 > col("avg_units") * 3)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("value_units"))
+      .orderBy(col("value_units").desc, col("p_partkey"))
+      .limit(pageSize)
+  }
+
+  /** `q_supplier_diversity` (TPC-H Q16 shape): distinct suppliers per
+    * (brand, size), EXCLUDING "complaint" suppliers — here, suppliers
+    * whose return rate exceeds 30% (the reference Q16 excludes a
+    * supplier denylist via NOT IN; a per-item complaint predicate
+    * excludes every supplier on this corpus's uniform ~25% returns, so
+    * the denylist derives from an exact-integer rate threshold,
+    * `10·returns > 3·lineitems`). ONE fact pass: lineitem pre-aggregates
+    * to (supplier, part) grain carrying item and return counts; the
+    * supplier-grain totals are WINDOWS over that table (the
+    * [[dominantSupplier]] discipline — a groupBy-then-join-back would
+    * re-scan the fact), the denylist becomes a window-predicate filter,
+    * and the oracle states it as the classic NOT IN to pin equivalence.
+    * count(DISTINCT supplier) per (brand, size) is exact. */
+  def supplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_ret"))
+    val w = Window.partitionBy(col("l_suppkey"))
+    sp.withColumn("supp_items", sum(col("n_items")).over(w))
+      .withColumn("supp_ret", sum(col("n_ret")).over(w))
+      .filter(col("supp_ret") * 10 <= col("supp_items") * 3)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
   /** `q_cust_sales_opp` (TPC-H Q22 shape): the "sales opportunity"
     * report — customers in selected nations whose balance exceeds the
     * average POSITIVE balance of that group but who have placed no

@@ -114,6 +114,19 @@ class PlanShapeSpec extends SparkSuite {
       "quarter filter must push to the lineitem scan")
   }
 
+  test("Q11/Q16 shapes: scalar/denylist thresholds via window, one fact scan each") {
+    Seq("q_important_parts", "q_supplier_diversity").foreach { q =>
+      val p = plan(q)
+      assert("lineitem\\.parquet".r.findAllIn(p).length == 1,
+        s"$q re-scans the fact: ${p.take(900)}")
+      assert(p.contains("Window"), s"$q lost the window formulation")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), q)
+    }
+    // Q11's page is a bounded top-k, not a global sort
+    assert(plan("q_important_parts").contains("TakeOrderedAndProject"))
+  }
+
   test("Q19 shape: one part join, disjunction evaluated on it (no union of scans)") {
     val p = plan("q_special_revenue")
     assert("lineitem\\.parquet".r.findAllIn(p).length == 1, p.take(900))
