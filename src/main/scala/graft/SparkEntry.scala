@@ -2443,6 +2443,11 @@ object SparkEntry {
     "q_priority_wait" -> ((s, d) => Relational.priorityWait(s, d)),
     "q_important_parts" -> ((s, d) => Relational.importantParts(s, d)),
     "q_supplier_diversity" -> ((s, d) => Relational.supplierDiversity(s, d)),
+    "q_discount_revenue" -> ((s, d) => Relational.discountRevenue(s, d)),
+    "q_profit_by_nation" -> ((s, d) => Relational.profitByNation(s, d)),
+    "q_returned_customers" -> ((s, d) => Relational.returnedCustomers(s, d)),
+    "q_late_priority_mix" -> ((s, d) => Relational.latePriorityMix(s, d)),
+    "q_promo_share" -> ((s, d) => Relational.promoShare(s, d)),
     "q_top_supplier" -> ((s, d) => Relational.topSupplier(s, d)),
     "q_dominant_supplier" -> ((s, d) => Relational.dominantSupplier(s, d)),
     "q_special_revenue" -> ((s, d) => Relational.specialRevenue(s, d)),
@@ -2833,6 +2838,77 @@ object SparkEntry {
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // Q6 shape: pure predicate-pushdown aggregate, no join
+    "q_discount_revenue" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS forgone_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q9 shape: profit per (supplier nation, order year) on 'red'
+    // parts; cost = 10% of retail per unit, exact integer units
+    "q_profit_by_nation" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |  - (CAST(sum(CAST(p_retailprice * l_quantity
+        |      AS DECIMAL(18,4))) * 10000 AS BIGINT) // 10)
+        |    AS profit_units
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    // Q10 shape: top customers by returned-item revenue in one quarter
+    "q_returned_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) * 10000 AS BIGINT) AS lost_units
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_units DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    // Q12 shape: two-way conditional counts of late-shipped lines per
+    // ship year (no ship-mode column; late = the Q4 cross-table lag)
+    "q_late_priority_mix" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q14 shape: promo revenue share per ship month, exact micro ratio
+    "q_promo_share" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(month(l_shipdate) AS BIGINT) AS l_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT)
+        |    AS promo_units,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_units,
+        |  (CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) * 1000000)
+        |    // CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) * 10000 AS BIGINT) AS promo_share_micro
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // Q11 shape: the ORACLE keeps the classic scalar-subquery-over-the-
     // same-aggregate form; the threshold is the exact floored mean
     "q_important_parts" ->

@@ -1096,6 +1096,141 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** `q_discount_revenue` (TPC-H Q6 shape): the pure predicate-pushdown
+    * aggregate — revenue that would be forgone by eliminating small
+    * discounts on low-quantity items, per ship year. Every predicate
+    * (discount band, quantity cap) and the 4-column projection must
+    * reach the parquet scan; there is no join at all. Money is
+    * [[dsum]]-exact; the double product price·discount is one IEEE
+    * multiply on identical parquet values in both engines. */
+  def discountRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4)
+        .as("forgone_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_year"))
+
+  /** `q_profit_by_nation` (TPC-H Q9 shape): product-line profit per
+    * (supplier nation, order year) for one part class ('red' parts) —
+    * revenue minus a unit cost. The schema has no partsupp, so cost is
+    * 10% of the part's retail price per unit (the same join shape:
+    * a per-(part) cost column riding the part dim into the fact).
+    * Profit is EXACT integers: revenue in BIGINT ten-thousandths minus
+    * cost units computed as retail·qty DECIMAL ten-thousandths DIV 10 —
+    * both sides sum decimals before scaling, so the subtraction
+    * hash-checks. Scale: part (filtered), supplier, nation all
+    * broadcast; the one fact shuffle is lineitem⋈orders on the order
+    * key, then a (nation, year) aggregate. */
+  def profitByNation(spark: SparkSession, dir: String,
+                     nameToken: String = "red"): DataFrame = {
+    val units = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+    val costUnits = (col("p_retailprice") * col("l_quantity"))
+      .cast(DecimalType(18, 4))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains(nameToken))
+      .select(col("p_partkey"), col("p_retailprice"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((((sum(units) * 10000).cast("long")) -
+        expr("CAST(sum(CAST(p_retailprice * l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) DIV 10"))
+        .as("profit_units"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  /** `q_returned_customers` (TPC-H Q10 shape): the top customers by
+    * revenue lost to RETURNED items among orders of one quarter — the
+    * returned-item report. Filters push to both fact scans (returnflag
+    * to lineitem, the quarter to orders); customer and nation broadcast
+    * onto the per-customer aggregate; the page is a bounded top-k in
+    * exact integer units. */
+  def returnedCustomers(spark: SparkSession, dir: String,
+                        from: String = "1998-01-01",
+                        until: String = "1998-04-01",
+                        k: Int = 20): DataFrame = {
+    val units = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg((sum(units) * 10000).cast("long").as("lost_units"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("lost_units"))
+      .orderBy(col("lost_units").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** `q_late_priority_mix` (TPC-H Q12 shape): per ship year, how many
+    * LATE-shipped lineitems (more than `lateDays` after the order date)
+    * belonged to critical-priority orders vs the rest — the two-way
+    * conditional-count report Q12 runs per ship mode (no ship-mode
+    * column in this schema; the late predicate is the Q4 cross-table
+    * lag). One fact join on the order key, conditional sums exact. */
+  def latePriorityMix(spark: SparkSession, dir: String,
+                      lateDays: Int = 60): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_year"))
+
+  /** `q_promo_share` (TPC-H Q14 shape): the share of revenue from
+    * PROMO-class parts per ship month, as an exact integer micro ratio
+    * (one conditional-sum aggregate — the [[marketShare]] discipline,
+    * never a join of two aggregates). Part class broadcasts; ONE fact
+    * shuffle for the (year, month) aggregate. */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val units = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+    val zero = lit(0).cast(DecimalType(18, 4))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("l_year"),
+        month(col("l_shipdate")).cast("long").as("l_month"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", units).otherwise(zero)) * 10000)
+          .cast("long").as("promo_units"),
+        (sum(units) * 10000).cast("long").as("total_units"))
+      .withColumn("promo_share_micro",
+        expr("(promo_units * 1000000) DIV total_units"))
+      .orderBy(col("l_year"), col("l_month"))
+  }
+
   /** `q_important_parts` (TPC-H Q11 shape): parts whose revenue
     * exceeds 1.5× the MEAN per-part revenue — the value-concentration
     * report whose classic form compares each group's total against a

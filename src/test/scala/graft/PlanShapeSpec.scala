@@ -114,6 +114,32 @@ class PlanShapeSpec extends SparkSuite {
       "quarter filter must push to the lineitem scan")
   }
 
+  test("Q6 shape: every predicate and the projection reach the scan; no join") {
+    val p = plan("q_discount_revenue")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_discount,0.05)"), p.take(900))
+    // the PushedFilters display string truncates, so pin the quantity
+    // cap on the Filter node (data filters mirror the pushed set)
+    assert("l_quantity#\\d+ < 24\\.0".r.findFirstIn(p).isDefined, p.take(900))
+    assert(!p.contains("Join"), "Q6 must be a pure scan aggregate")
+  }
+
+  test("Q9/Q10/Q14 shapes: dims broadcast, at most one fact shuffle join, exact units") {
+    Seq("q_profit_by_nation", "q_returned_customers", "q_promo_share")
+      .foreach { q =>
+        val p = plan(q)
+        assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, s"$q: ${p.take(900)}")
+        assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 1, q)
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"), q)
+      }
+    // Q10's page is a bounded top-k; its quarter + returnflag push down
+    val q10 = plan("q_returned_customers")
+    assert(q10.contains("TakeOrderedAndProject"), q10.take(900))
+    assert(q10.contains("EqualTo(l_returnflag,R)") &&
+      q10.contains("GreaterThanOrEqual(o_orderdate"), q10.take(900))
+  }
+
   test("Q11/Q16 shapes: scalar/denylist thresholds via window, one fact scan each") {
     Seq("q_important_parts", "q_supplier_diversity").foreach { q =>
       val p = plan(q)
