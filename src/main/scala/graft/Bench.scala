@@ -77,6 +77,26 @@ object Bench {
       else math.max(0.0, ((j1._1 - j0._1) - (j1._2 - j0._2)) / userHz / wallSec)
     val foreignMax =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FOREIGN_MAX", "1.0").toDouble
+    // BOX-SPEED CALIBRATION (r14): foreign-CPU sampling sees guest-local
+    // contention, but HOST-level throttling/steal on a VM is invisible
+    // to guest /proc — measured as a uniform ~18% smear across every
+    // query between two same-day "clean" windows. A fixed-work
+    // single-thread spin (2^28 splitmix64 steps, ~0.5-1 s) timed at run
+    // start and end makes box speed itself part of the artifact:
+    // same-code runs are comparable only at comparable cal times.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < (1 << 28)) {
+        x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+        x ^= x >>> 27; x *= 0x94D049BB133111EBL
+        x ^= x >>> 31; i += 1
+      }
+      if (x == 42L) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calStart = calibrate()
     val loadStart = loadavg()
     val runJ0 = jiffies()
     val runT0 = System.nanoTime()
@@ -167,8 +187,10 @@ object Bench {
       try loadStart.toDouble > idleMax catch { case _: Throwable => true }
     val foreignBad = runForeign < 0 || runForeign > foreignMax
     val contaminated = startBad || foreignBad
+    val calEnd = calibrate()
     val foreignField =
       s""","foreign_cpu":${if (runForeign < 0) "-1" else f"$runForeign%.2f"}""" +
+        f""","cal_start":$calStart%.2f,"cal_end":$calEnd%.2f""" +
         (if (dirtyNames.nonEmpty) s""","n_dirty":${dirtyNames.size}""" else "")
     val contamField =
       if (contaminated) s""","contaminated":true,"idle_max":$idleMax,"foreign_max":$foreignMax"""
