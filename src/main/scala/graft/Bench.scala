@@ -96,7 +96,31 @@ object Bench {
       if (x == 42L) System.err.println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
+    // parallel sibling: the observed session degradation is MULTI-CORE
+    // throughput (single-thread cal stays ~1.2 s while the suite smears
+    // +20%), so spin the same fixed work on every core — host vCPU
+    // oversubscription shows here and nowhere else
+    def calibratePar(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val t0 = System.nanoTime()
+      val ts = (0 until n).map { _ =>
+        val t = new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L
+          var i = 0
+          while (i < (1 << 27)) {
+            x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+            x ^= x >>> 27; x *= 0x94D049BB133111EBL
+            x ^= x >>> 31; i += 1
+          }
+          if (x == 42L) System.err.println("")
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     val calStart = calibrate()
+    val calParStart = calibratePar()
     val loadStart = loadavg()
     val runJ0 = jiffies()
     val runT0 = System.nanoTime()
@@ -188,9 +212,11 @@ object Bench {
     val foreignBad = runForeign < 0 || runForeign > foreignMax
     val contaminated = startBad || foreignBad
     val calEnd = calibrate()
+    val calParEnd = calibratePar()
     val foreignField =
       s""","foreign_cpu":${if (runForeign < 0) "-1" else f"$runForeign%.2f"}""" +
         f""","cal_start":$calStart%.2f,"cal_end":$calEnd%.2f""" +
+        f""","cal_par_start":$calParStart%.2f,"cal_par_end":$calParEnd%.2f""" +
         (if (dirtyNames.nonEmpty) s""","n_dirty":${dirtyNames.size}""" else "")
     val contamField =
       if (contaminated) s""","contaminated":true,"idle_max":$idleMax,"foreign_max":$foreignMax"""
