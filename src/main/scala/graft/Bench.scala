@@ -119,9 +119,18 @@ object Bench {
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
+    // loadavg is sampled BEFORE the calibration spins (r14 ADVICE): the
+    // calibrations burn ~2 s of all-core CPU immediately before the
+    // sample, inflating the 1-minute loadavg by ~nCores*(1-e^(-t/60))
+    // (~0.5 on 32 cores) and biasing the idle gate toward false
+    // contamination — the r14 final artifact read load_start exactly
+    // 1.50 against the 1.5 threshold vs 0.69 pre-calibration. The
+    // foreign-CPU window (runJ0) stays after the calibrations: the
+    // spins are self-CPU and subtract out of the foreign measure, but
+    // keeping them outside the window avoids diluting its wall-clock.
+    val loadStart = loadavg()
     val calStart = calibrate()
     val calParStart = calibratePar()
-    val loadStart = loadavg()
     val runJ0 = jiffies()
     val runT0 = System.nanoTime()
     // A crashed query must never masquerade as a fast one: record -1 and
@@ -160,6 +169,28 @@ object Bench {
       if (runs > 1)
         System.err.println(f"[bench] $name: ${times.map(t => f"$t%.2f").mkString(" ")}")
       name -> times
+    }
+    // DIRTY-QUERY REQUEUE (r14 judge #3): a query whose own window
+    // carried foreign CPU above foreignMax is re-run ONCE after the
+    // main loop, with a fresh foreign window — the committed artifact
+    // then carries a second reading for every flagged row (clean, or
+    // doubly-dirty = genuinely contended) instead of leaving
+    // adjudication to the next round's hand-diffing. Retry runs are
+    // WARM (all session caches populated), so retry values compare to
+    // warm_med, never to cold.
+    val retryTime = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val retryForeign = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    foreignShare.collect { case (n, f) if f > foreignMax => n }.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        val j0 = jiffies()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        retryTime(name) = if (ok) sec else -1.0
+        retryForeign(name) = foreignCores(j0, jiffies(), sec)
+        System.err.println(f"[bench] retry $name: $sec%.2f s, foreign ${retryForeign(name)}%.2f cores")
+      }
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -213,11 +244,18 @@ object Bench {
     val contaminated = startBad || foreignBad
     val calEnd = calibrate()
     val calParEnd = calibratePar()
+    // all numeric JSON fields go through fmt() (Locale.ROOT): the f""
+    // interpolator is locale-sensitive and a comma-decimal default
+    // locale would emit invalid JSON (r14 ADVICE)
+    val retryCleanCount = retryForeign.count { case (n, f) =>
+      f >= 0 && f <= foreignMax && retryTime.get(n).exists(_ >= 0) }
     val foreignField =
-      s""","foreign_cpu":${if (runForeign < 0) "-1" else f"$runForeign%.2f"}""" +
-        f""","cal_start":$calStart%.2f,"cal_end":$calEnd%.2f""" +
-        f""","cal_par_start":$calParStart%.2f,"cal_par_end":$calParEnd%.2f""" +
-        (if (dirtyNames.nonEmpty) s""","n_dirty":${dirtyNames.size}""" else "")
+      s""","foreign_cpu":${if (runForeign < 0) "-1" else fmt(runForeign, 2)}""" +
+        s""","cal_start":${fmt(calStart, 2)},"cal_end":${fmt(calEnd, 2)}""" +
+        s""","cal_par_start":${fmt(calParStart, 2)},"cal_par_end":${fmt(calParEnd, 2)}""" +
+        (if (dirtyNames.nonEmpty)
+          s""","n_dirty":${dirtyNames.size},"n_retry_clean":$retryCleanCount"""
+        else "")
     val contamField =
       if (contaminated) s""","contaminated":true,"idle_max":$idleMax,"foreign_max":$foreignMax"""
       else ""
@@ -261,7 +299,14 @@ object Bench {
         val f = foreignShare.get(k).filter(_ >= 0)
           .map(x => s""","foreign":${fmt(x, 2)}""").getOrElse("")
         val d = if (foreignShare.get(k).exists(_ > foreignMax)) s""","dirty":true""" else ""
-        s""""$k":{"cold":${if (v < 0) "-1" else fmt(v, 2)}$w$b$f$d}"""
+        val r = retryTime.get(k).map { rt =>
+          val rf = retryForeign.get(k).filter(_ >= 0)
+            .map(x => s""","retry_foreign":${fmt(x, 2)}""").getOrElse("")
+          val rd = if (retryForeign.get(k).exists(x => x < 0 || x > foreignMax))
+            s""","retry_dirty":true""" else ""
+          s""","retry":${if (rt < 0) "-1" else fmt(rt, 2)}$rf$rd"""
+        }.getOrElse("")
+        s""""$k":{"cold":${if (v < 0) "-1" else fmt(v, 2)}$w$b$f$d$r}"""
       }.mkString("{", ",", "}")
       val builds = BuildTimers.snapshot().toSeq.sortBy(-_._2)
         .map { case (k, v) => s""""$k":${fmt(v, 2)}""" }.mkString("{", ",", "}")

@@ -316,6 +316,12 @@ object StatsOps {
         // non-ANSI while the oracle errors — this form's largest
         // intermediate is max_cnt*1e6 ≤ n_rows*1e6. The oracle SQL uses
         // the identical arithmetic, so the face stays hash-exact.
+        // SEMANTIC BREAK vs pre-r14 artifacts (r14 ADVICE, accepted):
+        // dividing by the FLOORED mean inflates the metric by up to
+        // ~2x when the per-key mean is small (e.g. true mean 1.9 →
+        // divisor 1), so skew values are NOT comparable with artifacts
+        // produced before the overflow fix — round-over-round skew
+        // comparisons must start from r14.
         .withColumn("skew_factor_micro",
           expr("(max_cnt * 1000000L) DIV (n_rows DIV n_keys)"))
     }.reduce(_.unionByName(_))

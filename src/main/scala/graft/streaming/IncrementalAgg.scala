@@ -96,19 +96,17 @@ object IncrementalAgg {
     * guard in ONE file write. Public so the spec can exercise the
     * crash/replay matrix without a streaming harness. */
   def applyBatch(batch: DataFrame, batchId: Long, viewDir: String,
-                 keys: Seq[String], valueCol: String, owner: String): Unit = {
+                 keys: Seq[String], valueCol: String, owner: String,
+                 legacyOwner: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val vp = new Path(viewDir)
     val fs = fsFor(vp, spark)
     val meta = readMeta(fs, viewDir)
+    // legacyOwner: a pre-token manifest stores the checkpoint PATH as
+    // owner — accepted once, rewritten to the token by this batch's
+    // commit (ViewCommit.requireOwner)
     meta.foreach { case (o, _, _) =>
-      require(o == owner,
-        s"view $viewDir is owned by the query whose owner token is '$o'; " +
-          s"this query's token is '$owner' (minted into its checkpoint " +
-          "directory at creation), so its batch ids restart at 0 and its " +
-          "batches would be silently skipped by the replay guard — resume " +
-          "from the owning checkpoint or start a fresh viewDir")
-    }
+      ViewCommit.requireOwner(viewDir, o, owner, legacyOwner) }
     val lastApplied = meta.map(_._2).getOrElse(-1L)
     if (batchId > lastApplied) {
       val versions = meta.map(_._3).getOrElse(Map.empty[Long, Long])
@@ -154,7 +152,8 @@ object IncrementalAgg {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        applyBatch(batch.toDF(), batchId, viewDir, keys, valueCol, owner)
+        applyBatch(batch.toDF(), batchId, viewDir, keys, valueCol, owner,
+          legacyOwner = Some(checkpointDir))
       }
       .trigger(trigger)
       .start()

@@ -92,6 +92,27 @@ object ViewCommit {
         throw metaParseError(viewDir, s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
+  /** Replay-guard owner check shared by the maintained views, with a
+    * one-time LEGACY migration path (r14 ADVICE): views committed
+    * before the UUID-token scheme stored the CHECKPOINT PATH as their
+    * owner, so a bare token equality would lock every pre-upgrade view
+    * out of its own legitimate query. A stored owner equal to this
+    * query's checkpoint path (`legacyOwner`) is therefore accepted;
+    * the batch's commitMeta then rewrites the manifest with the minted
+    * token, completing the migration one-way. Any other mismatch is
+    * the loud impostor error, whose message now also names the manual
+    * recovery (edit `_meta` line 2) for hand-migration cases. */
+  def requireOwner(viewDir: String, stored: String, owner: String,
+                   legacyOwner: Option[String]): Unit =
+    require(stored == owner || legacyOwner.contains(stored),
+      s"view $viewDir is owned by the query whose owner token is '$stored'; " +
+        s"this query's token is '$owner' (minted into its checkpoint " +
+        "directory at creation), so its batch ids restart at 0 and its " +
+        "batches would be silently skipped by the replay guard — resume " +
+        "from the owning checkpoint or start a fresh viewDir. If this " +
+        "view is legitimately this query's (committed under a pre-token " +
+        "version), migrate by hand: set _meta line 2 to the token above.")
+
   /** The view-owner identity for a checkpointed query: a UUID minted
     * ONCE into `<checkpointDir>/_graft_owner` when the checkpoint is
     * first used. Deleting + recreating the checkpoint (batch ids

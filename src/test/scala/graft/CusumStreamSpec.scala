@@ -185,4 +185,42 @@ class CusumStreamSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("malformed view manifest"), e2.getMessage)
   }
+
+  test("a pre-token manifest (owner = checkpoint path) migrates to the token") {
+    import spark.implicits._
+    val rows = EventOps.events(spark, sf)
+      .select($"ts".cast("timestamp"), $"event_type")
+      .as[CusumEv].collect().toSeq
+    val (b0, b1) = rows.splitAt(rows.size / 2)
+    val base = tmpDir("graft-cusum-legacy")
+    val (viewDir, alertDir, ckpt) = (s"$base/view", s"$base/alerts", s"$base/ckpt")
+    def df(c: Seq[CusumEv]) = spark.createDataFrame(c)
+
+    // a view committed under the pre-token scheme: owner field is the
+    // checkpoint PATH string
+    CusumStream.applyBatch(df(b0), 0L, viewDir, alertDir, owner = ckpt)
+
+    // the upgraded query (minted UUID token, legacyOwner = its own
+    // checkpoint path) must be ACCEPTED, not locked out (r14 ADVICE)
+    val token = "0f2c8a7e-legacy-migration-token"
+    CusumStream.applyBatch(df(b1), 1L, viewDir, alertDir, owner = token,
+      legacyOwner = Some(ckpt))
+    val streamed = canon(CusumStream.readStatistic(spark, viewDir))
+    val batch = canon(EventOps.cusumShift(spark, sf))
+    assert(streamed == batch, "legacy-migrated replay lost or doubled counts")
+
+    // ...and the commit rewrote the manifest owner to the token
+    // (one-way migration): the PATH no longer matches,
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines = graft.streaming.ViewCommit.readMetaLines(fs, viewDir).get
+    assert(lines(1).trim == token,
+      s"manifest owner not rewritten to the token: '${lines(1)}'")
+
+    // a checkpoint path that is NOT the stored owner is still rejected
+    intercept[IllegalArgumentException] {
+      CusumStream.applyBatch(df(b0), 2L, viewDir, alertDir,
+        owner = "some-other-token", legacyOwner = Some(s"$base/other-ckpt"))
+    }
+  }
 }
