@@ -379,6 +379,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(graft.ext.FanOut(wide) eq wide, "wide scan was repartitioned")
   }
 
+  test("sim_ivf_curve: one linear plan, exactly 2 corpus scans, no union") {
+    // r14's only clean-window regression: the naive 5-branch union
+    // re-derived the corpus-sized IVF assignment and the brute-force
+    // truth PER BRANCH (exchange reuse does not canonicalize across
+    // union branches) — 20 embeddings scans. The single-plan form
+    // resolves all 5 probe budgets with conditional running-rank
+    // windows over ONE probe join: exactly 2 corpus scans (query side
+    // + candidate side), no Union, no per-branch re-derivation.
+    val p = plan("sim_ivf_curve")
+    assert("embeddings\\.parquet".r.findAllIn(p).length == 2,
+      "corpus re-scanned per probe budget: " + p.take(900))
+    assert(!p.contains("Union"), "per-budget union reappeared: " + p.take(900))
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
   test("PLAN_SNAPSHOT covers the registry exactly (no drift either way)") {
     // the snapshot contract is machine-checked: every registered query
     // has a snapshot entry and no snapshot entry is stale. Keys appear
