@@ -101,22 +101,102 @@ object SimilarityOps {
     * fold over a 64-element literal array, in evaluation order, so the
     * double is bit-identical to the oracle's list_sum(list_transform)
     * over the same interpolated literals. */
-  private def planeDot(vec: Column, p: Int): Column = {
+  private[graft] def planeDot(vec: Column, p: Int): Column = {
     val plane = array((0 until 64).map(j => lit(planeComponent(p, j))): _*)
     aggregate(zip_with(vec, plane, (x, w) => x.cast("double") * w),
       lit(0.0), (acc, v) => acc + v)
   }
 
+  /** Native all-plane dots (graft.functions.PlaneDots): ONE static
+    * call per row for planes [firstPlane, firstPlane+nPlanes), matrix
+    * by reference. The fold form embedded a 64-term HOF per plane, and
+    * at 45 planes plan ANALYSIS — not row throughput — dominated the
+    * LSH query side (~0.7 s of sim_lsh_topk's 1.5 s isolated warm at
+    * sf0.1 was driver-side compile of that tree). Bit-equal to
+    * [[planeDot]] by fold order and null poisoning; SimilaritySpec
+    * pins parity on every corpus vector. */
+  private[graft] def planeDotsAll(vec: Column, firstPlane: Int,
+                                  nPlanes: Int): Column = {
+    val matrix = Array.tabulate(nPlanes * 64)(i =>
+      planeComponent(firstPlane + i / 64, i % 64))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PlaneDots(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+        matrix, nPlanes))
+  }
+
   /** Hyperplane-LSH signature: `nPlanes` sign bits packed into a long;
     * `firstPlane` offsets the plane family so independent tables can be
-    * built (OR-amplification). Each plane dot is one `aggregate` over a
-    * 64-element literal array — compact enough for whole-stage codegen
-    * (a fully unrolled 64×nPlanes sum blows the JIT method limit). */
+    * built (OR-amplification). Native fused kernel
+    * (graft.functions.PlaneSignBits) — the composable when/otherwise
+    * sum below is kept as its executable numeric spec. */
   def lshBucket(vec: Column, nPlanes: Int = 12, firstPlane: Int = 0): Column = {
+    val matrix = Array.tabulate(nPlanes * 64)(i =>
+      planeComponent(firstPlane + i / 64, i % 64))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PlaneSignBits(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+        matrix, nPlanes))
+  }
+
+  /** The composable sign-bit formulation lshBucket() replaces — kept as
+    * the executable semantic reference (SimilaritySpec pins equality on
+    * every corpus vector). */
+  private[graft] def lshBucketComposable(vec: Column, nPlanes: Int = 12,
+                                         firstPlane: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
       when(planeDot(vec, firstPlane + p) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** Query-directed multi-probe bucket list from one table's plane
+    * dots — native fused kernel (graft.functions.ProbeBuckets). */
+  private[graft] def probeBucketsNative(dots: Column, probePlanes: Int,
+                                        probeSeq: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ProbeBuckets(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(dots),
+        probePlanes, probeSeq))
+
+  /** The composable probe-lattice formulation probeBucketsNative()
+    * replaces — kept as the executable semantic reference
+    * (SimilaritySpec pins per-row bucket-sequence equality):
+    * own bucket = packed sign bits of the dots; probe planes = the
+    * probePlanes indices with smallest |dot| (ties by index; struct
+    * sort on (|dot|, p) is lexicographic in both engines); every flip
+    * subset scored by the sum of squared dots of its flipped planes
+    * (the boundary-distance proxy — success probability decays with
+    * it), sorted (score, id), first probeSeq kept; bucket = own XOR
+    * mask. The shift is a pow2 table lookup because
+    * functions.shiftleft only shifts by a literal count; d*d (not
+    * pow) so the double replays exactly in the oracle. */
+  private[graft] def probeBucketsComposable(dots: Column, nPlanes: Int,
+                                            probePlanes: Int,
+                                            probeSeq: Int): Column = {
+    val ownBucket = (0 until nPlanes).map(p =>
+      when(element_at(dots, p + 1) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val scored = transform(sequence(lit(0), lit(nPlanes - 1)),
+      p => struct(abs(element_at(dots, p + 1)).as("a"), p.as("p")))
+    val lowP = transform(slice(array_sort(scored), 1, probePlanes),
+      s => s.getField("p"))
+    val pow2 = array((0 until nPlanes).map(p => lit(1L << p)): _*)
+    val subsets = transform(sequence(lit(0), lit((1 << probePlanes) - 1)),
+      g => struct(
+        (1 to probePlanes).map { i =>
+          val d = element_at(dots, element_at(lowP, i) + 1)
+          when(g.bitwiseAND(lit(1 << (i - 1))) =!= 0, d * d)
+            .otherwise(lit(0.0))
+        }.reduce(_ + _).as("s"),
+        g.as("g"),
+        (1 to probePlanes).map { i =>
+          when(g.bitwiseAND(lit(1 << (i - 1))) =!= 0,
+            element_at(pow2, element_at(lowP, i) + 1)).otherwise(lit(0L))
+        }.reduce(_ + _).as("m")))
+    val masks = transform(slice(array_sort(subsets), 1, probeSeq),
+      s => s.getField("m"))
+    transform(masks, m => ownBucket.bitwiseXOR(m))
   }
 
   /** LSH-bucketed ANN with QUERY-DIRECTED multi-probe (Lv et al.,
@@ -152,7 +232,17 @@ object SimilarityOps {
   def lshTopK(spark: SparkSession, dir: String,
               numQueries: Int = 5, k: Int = 5, nPlanes: Int = 9,
               nTables: Int = 5, probePlanes: Int = 6,
-              probeSeq: Int = 64): DataFrame = {
+              probeSeq: Int = 64): DataFrame =
+    lshParts(spark, dir, numQueries, k, nPlanes, nTables,
+      probePlanes, probeSeq)._4
+
+  /** The face's sub-plans (probes, candIds, sims, result) — split out
+    * so the stage-attribution probe can time each boundary; lshTopK
+    * returns the last. */
+  private[graft] def lshParts(spark: SparkSession, dir: String,
+              numQueries: Int = 5, k: Int = 5, nPlanes: Int = 9,
+              nTables: Int = 5, probePlanes: Int = 6,
+              probeSeq: Int = 64): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(probePlanes <= nPlanes, "cannot probe more planes than exist")
     require(probeSeq >= 1 && probeSeq <= (1 << probePlanes),
       "probe sequence must be within the subset lattice")
@@ -167,51 +257,23 @@ object SimilarityOps {
     // reads per executor
     val perTable = emb
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-        array((0 until nTables * nPlanes).map(i =>
-          planeDot(col("embedding"), i)): _*).as("dots_all"))
+        planeDotsAll(col("embedding"), 0, nTables * nPlanes).as("dots_all"))
       .select(col("qid"), col("qvec"),
         explode(sequence(lit(0), lit(nTables - 1))).as("table"),
         col("dots_all"))
       .withColumn("dots",
         slice(col("dots_all"), col("table") * nPlanes + 1, lit(nPlanes)))
       .drop("dots_all")
-    // own bucket = packed sign bits of the dots (same packing as
-    // bucketedEmbeddings, recomputed from the dots already in hand)
-    val ownBucket = (0 until nPlanes).map(p =>
-      when(element_at(col("dots"), p + 1) > 0, lit(1L << p)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    // the probePlanes plane indices with smallest |dot|, ties by index:
-    // struct sort on (|dot|, p) is lexicographic in both engines
-    val scored = transform(sequence(lit(0), lit(nPlanes - 1)),
-      p => struct(abs(element_at(col("dots"), p + 1)).as("a"), p.as("p")))
-    val lowP = transform(slice(array_sort(scored), 1, probePlanes),
-      s => s.getField("p"))
-    // the truncated probe sequence: score every flip subset by the sum
-    // of squared dots of its flipped planes (the boundary-distance
-    // proxy — success probability decays with it), sort (score, id)
-    // and keep the first probeSeq masks. The shift is a pow2 table
-    // lookup because functions.shiftleft only shifts by a literal
-    // count; d*d (not pow) so the double replays exactly in the oracle.
-    val pow2 = array((0 until nPlanes).map(p => lit(1L << p)): _*)
-    val subsets = transform(sequence(lit(0), lit((1 << probePlanes) - 1)),
-      g => struct(
-        (1 to probePlanes).map { i =>
-          val d = element_at(col("dots"), element_at(lowP, i) + 1)
-          when(g.bitwiseAND(lit(1 << (i - 1))) =!= 0, d * d)
-            .otherwise(lit(0.0))
-        }.reduce(_ + _).as("s"),
-        g.as("g"),
-        (1 to probePlanes).map { i =>
-          when(g.bitwiseAND(lit(1 << (i - 1))) =!= 0,
-            element_at(pow2, element_at(lowP, i) + 1)).otherwise(lit(0L))
-        }.reduce(_ + _).as("m")))
-    val masks = transform(slice(array_sort(subsets), 1, probeSeq),
-      s => s.getField("m"))
+    // probe bucket list per (query, table): native fused kernel
+    // (graft.functions.ProbeBuckets) — the composable struct-sort
+    // lattice below (probeBucketsComposable, SimilaritySpec pins
+    // set-equality) built ~1500 HOF nodes the analyzer re-walked on
+    // EVERY run; at 2000-row test corpora plan compile, not data,
+    // dominated this face's warm cost
     val probes = perTable
-      .withColumn("qbucket", ownBucket)
-      .withColumn("mask", explode(masks))
       .select(col("qid"), col("qvec"), col("table"),
-        col("qbucket").bitwiseXOR(col("mask")).as("bucket"))
+        explode(probeBucketsNative(col("dots"), probePlanes, probeSeq))
+          .as("bucket"))
     // candidate IDs first, cosine second: a (qid, vec_id) pair surfaces
     // from up to nTables·probeSeq probes, and computing the cosine on
     // every duplicate before deduping multiplied the verify cost ~3-5×
@@ -236,10 +298,11 @@ object SimilarityOps {
         round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    sims.withColumn("rank", row_number().over(w).cast("long"))
+    val result = sims.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
       .orderBy(col("qid"), col("rank"))
+    (probes, candIds, sims, result)
   }
 
   /** The k-centroid table as a literal array-of-struct column. k·d is

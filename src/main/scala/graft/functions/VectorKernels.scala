@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Static kernels for centroid scoring (IVF assign/probe). Same design
   * as TextHashUtil: one fused JVM loop invoked as a single static call
@@ -78,6 +78,195 @@ object VectorKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** All-plane dot products (see [[PlaneDots]] for the numeric/null
+    * contract). Returns null on length mismatch or a null element —
+    * the exact poisoning semantics of the zip_with/aggregate fold. */
+  def planeDots(vec: ArrayData, matrix: Array[Double], nPlanes: Int): ArrayData = {
+    val dim = matrix.length / nPlanes
+    val n = vec.numElements()
+    if (n != dim) return null
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return null
+      v(i) = vec.getFloat(i).toDouble
+      i += 1
+    }
+    val out = new Array[Double](nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      var acc = 0.0
+      val off = p * dim
+      var j = 0
+      while (j < n) { acc += v(j) * matrix(off + j); j += 1 }
+      out(p) = acc
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Packed sign-bit bucket (see [[PlaneSignBits]]): bit p set iff
+    * dot p > 0; a poisoned (null) dot vector packs to 0, matching the
+    * composable when/otherwise sum. */
+  def planeSignBits(vec: ArrayData, matrix: Array[Double], nPlanes: Int): Long = {
+    val dots = planeDots(vec, matrix, nPlanes)
+    if (dots == null) return 0L
+    var bits = 0L
+    var p = 0
+    while (p < nPlanes) {
+      if (dots.getDouble(p) > 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  /** Query-directed multi-probe bucket list (see [[ProbeBuckets]]):
+    * from one table's plane dots, the `probeSeq` probe buckets — own
+    * signature XOR each kept flip mask. Mirrors the composable
+    * struct-sort pipeline exactly: low-|dot| planes by (|d|, p) asc,
+    * flip subsets scored by Σd², kept by (score, subset-id) asc; double
+    * comparisons via Double.compare, whose NaN-greatest total order is
+    * array_sort's. */
+  def probeBuckets(dots: ArrayData, probePlanes: Int, probeSeq: Int): ArrayData = {
+    val nPlanes = dots.numElements()
+    var i = 0
+    while (i < nPlanes) { if (dots.isNullAt(i)) return null; i += 1 }
+    val d = new Array[Double](nPlanes)
+    var own = 0L
+    i = 0
+    while (i < nPlanes) {
+      d(i) = dots.getDouble(i)
+      if (d(i) > 0) own |= (1L << i)
+      i += 1
+    }
+    // probePlanes plane indices with smallest |dot|, ties by index asc
+    val byAbs = (0 until nPlanes).sortBy(p => (math.abs(d(p)), p))(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+    val lowP = byAbs.take(probePlanes).toArray
+    // score every flip subset by Σ d² of its flipped planes
+    val nSub = 1 << probePlanes
+    val score = new Array[Double](nSub)
+    val mask = new Array[Long](nSub)
+    var g = 0
+    while (g < nSub) {
+      var s = 0.0
+      var m = 0L
+      var b = 0
+      while (b < probePlanes) {
+        if ((g & (1 << b)) != 0) {
+          val dp = d(lowP(b))
+          s += dp * dp
+          m |= (1L << lowP(b))
+        }
+        b += 1
+      }
+      score(g) = s
+      mask(g) = m
+      g += 1
+    }
+    val kept = (0 until nSub).sortBy(g2 => (score(g2), g2))(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+      .take(probeSeq)
+    val out = new Array[Long](kept.size)
+    var o = 0
+    kept.foreach { g2 => out(o) = own ^ mask(g2); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `plane_dots(vec)`: all `nPlanes` hyperplane dots of `vec` in one
+  * call — result(p) = Σ_j vec(j)·matrix(p·dim + j), accumulated
+  * left-to-right in double, the identical fold order and float→double
+  * widening as the composable `aggregate(zip_with(vec, plane, x·w))`
+  * form, so every dot is bit-equal (SimilaritySpec pins parity). The
+  * composable form also nulls out on ANY length mismatch or null
+  * element (zip_with pads the shorter side with null and one null
+  * poisons the fold) — mirrored here exactly. The plane matrix rides
+  * as a reference object, so the analyzed plan is O(1) in
+  * nPlanes×dim instead of one 64-term HOF fold per plane — at 45
+  * planes the fold form's ~3000-node tree made plan ANALYSIS, not row
+  * throughput, the dominant cost of the LSH query side. */
+case class PlaneDots(child: Expression, matrix: Array[Double], nPlanes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nPlanes >= 1 && matrix.length % nPlanes == 0,
+    "matrix must hold one row per plane")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "plane_dots"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.planeDots(input.asInstanceOf[ArrayData], matrix, nPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("planeMatrix", matrix, "double[]")
+    nullSafeCodeGen(ctx, ev, in => s"""
+      ${ev.value} = graft.functions.VectorKernels.planeDots($in, $m, $nPlanes);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneDots =
+    copy(child = newChild)
+}
+
+/** `plane_sign_bits(vec)`: the packed LSH bucket — bit p set iff plane
+  * p's dot is strictly positive. Parity contract with the composable
+  * `when(planeDot > 0, 1L<<p).otherwise(0)` sum: a null dot (length
+  * mismatch / null element) takes the otherwise-branch, so the bucket
+  * degrades to 0, never null; NaN > 0 is false. One static call per
+  * row replaces nPlanes 64-term folds in the signature build. */
+case class PlaneSignBits(child: Expression, matrix: Array[Double], nPlanes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nPlanes >= 1 && nPlanes <= 63 && matrix.length % nPlanes == 0,
+    "matrix must hold one row per plane, bits must fit a long")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "plane_sign_bits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.planeSignBits(input.asInstanceOf[ArrayData], matrix, nPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("planeMatrix", matrix, "double[]")
+    defineCodeGen(ctx, ev,
+      in => s"graft.functions.VectorKernels.planeSignBits($in, $m, $nPlanes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneSignBits =
+    copy(child = newChild)
+}
+
+/** `probe_buckets(dots)`: the multi-probe bucket list for one LSH
+  * table, fused (see VectorKernels.probeBuckets for the contract). The
+  * composable form built ~1500 interpreted HOF nodes (struct sorts
+  * over the 2^probePlanes flip lattice) that the analyzer re-walked on
+  * every run of the LSH query side. Null dots (poisoned input) return
+  * null, which `explode` then drops — the composable behavior. */
+case class ProbeBuckets(child: Expression, probePlanes: Int, probeSeq: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(probeSeq >= 1 && probeSeq <= (1 << probePlanes),
+    "probe sequence must be within the subset lattice")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "probe_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.probeBuckets(input.asInstanceOf[ArrayData], probePlanes, probeSeq)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => s"""
+      ${ev.value} = graft.functions.VectorKernels.probeBuckets($in, $probePlanes, $probeSeq);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ProbeBuckets =
+    copy(child = newChild)
 }
 
 /** `top_centroid_ids(vec)`: ids of the `keep` nearest centroids by

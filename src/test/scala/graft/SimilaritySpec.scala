@@ -189,6 +189,59 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("native plane-dot/sign-bit kernels match the composable fold forms") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // bit-equal dots on every corpus vector, across a multi-table span
+    val nP = 18
+    val dotDiff = emb.select(
+        SimilarityOps.planeDotsAll(col("embedding"), 0, nP).as("native"),
+        array((0 until nP).map(p =>
+          SimilarityOps.planeDot(col("embedding"), p)): _*).as("composable"))
+      .filter(col("native") =!= col("composable")).count()
+    assert(dotDiff == 0L, s"$dotDiff vectors dot differently")
+    // packed buckets across offset plane families (table 0 and table 3)
+    for (first <- Seq(0, 27)) {
+      val bDiff = emb.select(
+          SimilarityOps.lshBucket(col("embedding"), 9, first).as("native"),
+          SimilarityOps.lshBucketComposable(col("embedding"), 9, first)
+            .as("composable"))
+        .filter(col("native") =!= col("composable")).count()
+      assert(bDiff == 0L, s"$bDiff buckets differ at firstPlane=$first")
+    }
+    // probe-bucket SEQUENCES (order included) match the composable
+    // struct-sort lattice on every corpus vector, full and truncated
+    for ((pp, seq) <- Seq((6, 64), (6, 20), (4, 7))) {
+      val nP = 9
+      val withDots = emb.select(col("vec_id"),
+        SimilarityOps.planeDotsAll(col("embedding"), 0, nP).as("dots"))
+      val pDiff = withDots.select(
+          SimilarityOps.probeBucketsNative(col("dots"), pp, seq).as("native"),
+          SimilarityOps.probeBucketsComposable(col("dots"), nP, pp, seq)
+            .as("composable"))
+        .filter(col("native") =!= col("composable")).count()
+      assert(pDiff == 0L,
+        s"$pDiff probe sequences differ at probePlanes=$pp probeSeq=$seq")
+    }
+    // null-poisoning parity: a short vector nulls the dots (zip_with
+    // pads with null) and packs to bucket 0, in BOTH forms
+    val short = emb.limit(3)
+      .withColumn("embedding", expr("slice(embedding, 1, 32)"))
+    val edge = short.select(
+      SimilarityOps.planeDotsAll(col("embedding"), 0, 4).as("nd"),
+      array((0 until 4).map(p =>
+        SimilarityOps.planeDot(col("embedding"), p)): _*).as("cd"),
+      SimilarityOps.lshBucket(col("embedding"), 4).as("nb"),
+      SimilarityOps.lshBucketComposable(col("embedding"), 4).as("cb"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.isNullAt(0), "native dots must null on length mismatch")
+      assert(r.getSeq[Any](1).forall(_ == null), "composable dots not null?")
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L,
+        "poisoned bucket must pack to 0 in both forms")
+    }
+  }
+
   test("near-dup LSH finds planted perturbed copies (cos ≈ 1)") {
     import spark.implicits._
     val base = spark.read.parquet(s"$sf/embeddings.parquet")
