@@ -140,6 +140,42 @@ class GraphOpsSpec extends SparkSuite {
     assert(rows.head._2 == expected, s"round 1: ${rows.head._2} vs $expected")
   }
 
+  test("delta peel trajectory equals a recomputing driver-side reference") {
+    val spark2 = spark
+    import spark2.implicits._
+    // erosion fixture: path-power graph (i ~ i+1, i+2, i+3) — at k=4
+    // the ends (degree 3) peel first and the cascade eats inward one
+    // vertex per round, so EVERY round's delta (drop set, lost-edge
+    // subtraction) is genuinely exercised, not just round 1
+    val es = (0L until 30L).flatMap(i =>
+      Seq(i -> (i + 1), i -> (i + 2), i -> (i + 3)))
+      .filter(_._2 < 30L)
+    val edges = es.toDF("a", "b")
+    val deg0 = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val (stats, _) = GraphOps.kCorePeelCounted(spark, edges, deg0,
+      k = 4, rounds = 6)
+    val got = stats.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // reference: recompute degrees from scratch over the surviving
+    // edge set every round (the pre-delta formulation), on the driver
+    var cur = es
+    var nCore = Vector.empty[Long]
+    var twoE = Vector.empty[Long]
+    for (_ <- 1 to 7) {
+      val deg = cur.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      twoE :+= deg.values.sum
+      nCore :+= deg.count(_._2 >= 4).toLong
+      val alive = deg.filter(_._2 >= 4).keySet
+      cur = cur.filter(e => alive(e._1) && alive(e._2))
+    }
+    val want = (1 to 6).map(r => (r.toLong, nCore(r - 1), twoE(r) / 2))
+    assert(got == want, s"delta $got vs recomputed $want")
+    // the fixture really cascades: at least 3 distinct survivor counts
+    assert(got.map(_._2).distinct.size >= 3, s"fixture didn't cascade: $got")
+  }
+
   test("early exit: converged loops stop early with output identical to the full unroll") {
     val spark2 = spark
     import spark2.implicits._
