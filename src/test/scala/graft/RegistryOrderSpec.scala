@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The family-split registry (r14 judge #7) must be IDENTICAL to the
+  * pre-split single-literal registry: same key sets AND same iteration
+  * order (the order Bench/Verify execute queries — it decides which
+  * query absorbs each shared session-cache build, so a silent
+  * reordering would scramble every round-over-round per-query
+  * comparison). REGISTRY_ORDER.txt was dumped from the monolithic map
+  * at the commit before the split; the composed map must replay it
+  * exactly. New queries append to their family object and to this
+  * fixture (regenerate with `runMain graft.tools.DumpOrder`). */
+class RegistryOrderSpec extends AnyFunSuite {
+
+  private def fixture(): (Seq[String], Seq[String]) = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("REGISTRY_ORDER.txt")), "UTF-8")
+    val Array(q, o) = txt.split("---ORACLE---")
+    (q.trim.split("\n").toSeq, o.trim.split("\n").toSeq)
+  }
+
+  test("composed registry replays the pre-split iteration order exactly") {
+    val (wantQ, wantO) = fixture()
+    val gotQ = SparkEntry.queries.keys.toList
+    val gotO = SparkEntry.oracleSql.keys.toList
+    assert(gotQ.size == wantQ.size, s"${gotQ.size} vs ${wantQ.size} queries")
+    assert(gotQ == wantQ,
+      "query iteration order drifted: first diff at " +
+        gotQ.zip(wantQ).indexWhere { case (a, b) => a != b })
+    assert(gotO == wantO,
+      "oracle iteration order drifted: first diff at " +
+        gotO.zip(wantO).indexWhere { case (a, b) => a != b })
+  }
+
+  test("every query has an oracle entry and vice versa") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  }
+}
