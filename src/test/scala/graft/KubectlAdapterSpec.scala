@@ -117,6 +117,54 @@ class KubectlAdapterSpec extends SparkSuite {
     assert(delEmpty.commands.isEmpty)
   }
 
+  test("runJob waterfall replays end to end through ONE exec boundary") {
+    // the reference's runJob (ingestor.js:238-270): waitForPods ->
+    // create job -> checkJobStatus -> settle -> waitForRollingUpdate.
+    // One scripted runner serves every stage, dispatching on the
+    // command like the jest getOutput switch — so the whole waterfall
+    // crosses the same process seam the reference crosses.
+    val pods = Fixtures.podJsons.toMap
+    val jobStartSec = 1539100000L // before the fresh pod's startedAt
+    var created = List.empty[String]
+    val runner = new Kubectl.CommandRunner {
+      val podPolls = Iterator(pods("pod_not_ready"), pods("pod_ready"))
+      val jobPolls = Iterator(runningJob, completeJob)
+      val rollPolls = Iterator(pods("pod_stale"), pods("pod_ready"))
+      def run(args: Seq[String]): Kubectl.CommandResult = {
+        val cmd = args.drop(baseArgs.size).mkString(" ")
+        cmd match {
+          case c if c.startsWith("get pods neo4j-0") && created.isEmpty =>
+            ok(if (podPolls.hasNext) podPolls.next() else pods("pod_ready"))
+          case c if c.startsWith("create job") =>
+            created ::= c; ok("")
+          case c if c.startsWith("get jobs neo4j-delta-1538055555") =>
+            ok(if (jobPolls.hasNext) jobPolls.next() else completeJob)
+          case c if c.startsWith("get pods neo4j-0") =>
+            ok(if (rollPolls.hasNext) rollPolls.next() else pods("pod_ready"))
+          case c => fail(s"unexpected kubectl call: $c")
+        }
+      }
+    }
+    val ad = new KubectlAdapter(runner, baseArgs)
+    // stage 1: waitForPods — not-ready then ready = 2 polls
+    assert(IngestPipeline.pollForPodReady(spark, ad.podJsonSupplier("neo4j-0")) == 2)
+    // stage 2: create job (exit 0)
+    ad.createJob("neo4j-delta-1538055555", "neo4j-delta")
+    assert(created == List("create job neo4j-delta-1538055555 --from cronjob/neo4j-delta"))
+    // stage 3: checkJobStatus — running then complete = 2 polls
+    assert(IngestPipeline.pollForJobComplete(spark,
+      ad.jobJsonSupplier("neo4j-delta-1538055555")) == 2)
+    // stages 4+5: settle, then rolling update — the stale pod
+    // (startedAt before the job start) polls again; the fresh one ends
+    // the stage. Drives the SAME adapter supplier through
+    // awaitRollingUpdate's freshness predicate.
+    var settles = 0
+    IngestPipeline.awaitRollingUpdate(spark,
+      () => Seq(ad.podJsonSupplier("neo4j-0")()), jobStartSec,
+      settle = () => settles += 1, maxPolls = 10)
+    assert(settles >= 1, "the fixed one-interval settle must run")
+  }
+
   test("a spawn FAILURE (runner throws) is the err callback, not a crash") {
     val runner = new Kubectl.CommandRunner {
       var calls = 0
