@@ -80,16 +80,21 @@ object VectorKernels {
   }
 
   /** All-plane dot products (see [[PlaneDots]] for the numeric/null
-    * contract). Returns null on length mismatch or a null element —
-    * the exact poisoning semantics of the zip_with/aggregate fold. */
+    * contract). A length mismatch or a null element poisons EVERY dot
+    * (zip_with pads the shorter side with null and one null poisons
+    * the whole fold), so the result is an array of nPlanes NULLS —
+    * exactly the composable `array(planeDot(0), planeDot(1), …)`
+    * shape, NOT a null array (a null array would vanish downstream
+    * `explode`s where the composable form still emits rows). */
   def planeDots(vec: ArrayData, matrix: Array[Double], nPlanes: Int): ArrayData = {
     val dim = matrix.length / nPlanes
     val n = vec.numElements()
-    if (n != dim) return null
+    def poisoned = new GenericArrayData(Array.fill[Any](nPlanes)(null))
+    if (n != dim) return poisoned
     val v = new Array[Double](n)
     var i = 0
     while (i < n) {
-      if (vec.isNullAt(i)) return null
+      if (vec.isNullAt(i)) return poisoned
       v(i) = vec.getFloat(i).toDouble
       i += 1
     }
@@ -106,16 +111,23 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Spark SQL's `dot > 0`: NaN is GREATER than any numeric in Spark's
+    * comparison semantics (unlike the JVM, where NaN compares false),
+    * and a null dot takes the when/otherwise(0) branch. */
+  @inline private def sqlGtZero(dot: Double): Boolean =
+    dot > 0 || java.lang.Double.isNaN(dot)
+
   /** Packed sign-bit bucket (see [[PlaneSignBits]]): bit p set iff
-    * dot p > 0; a poisoned (null) dot vector packs to 0, matching the
+    * dot p > 0 under SPARK comparison semantics (NaN sets the bit); a
+    * poisoned (all-null) dot vector packs to 0, matching the
     * composable when/otherwise sum. */
   def planeSignBits(vec: ArrayData, matrix: Array[Double], nPlanes: Int): Long = {
     val dots = planeDots(vec, matrix, nPlanes)
-    if (dots == null) return 0L
+    if (dots.isNullAt(0)) return 0L
     var bits = 0L
     var p = 0
     while (p < nPlanes) {
-      if (dots.getDouble(p) > 0) bits |= (1L << p)
+      if (sqlGtZero(dots.getDouble(p))) bits |= (1L << p)
       p += 1
     }
     bits
@@ -125,19 +137,37 @@ object VectorKernels {
     * from one table's plane dots, the `probeSeq` probe buckets — own
     * signature XOR each kept flip mask. Mirrors the composable
     * struct-sort pipeline exactly: low-|dot| planes by (|d|, p) asc,
-    * flip subsets scored by Σd², kept by (score, subset-id) asc; double
-    * comparisons via Double.compare, whose NaN-greatest total order is
-    * array_sort's. */
+    * flip subsets scored by Σd², kept by (score, subset-id) asc; sign
+    * bits use Spark's NaN-greater-than-zero comparison; double sort
+    * comparisons via the NaN-greatest total order array_sort uses.
+    *
+    * POISONED dots (all null — a degenerate vector): the composable
+    * pipeline still emits a full probe list — own bucket 0, all
+    * |dot| ties break by plane index so lowP = planes 0..probePlanes-1,
+    * and every g>0 subset score is null while g=0 scores 0.0; Spark's
+    * ascending sort is NULLS FIRST, so the kept masks are
+    * g = 1, 2, 3, … (by subset id) with g=0 LAST — i.e. buckets
+    * 1..probeSeq, wrapping to 0 only when the whole lattice is kept.
+    * Reproduced verbatim (and spec-pinned) so degenerate query vectors
+    * keep emitting the same rows as the oracle's composable SQL. */
   def probeBuckets(dots: ArrayData, probePlanes: Int, probeSeq: Int): ArrayData = {
     val nPlanes = dots.numElements()
-    var i = 0
-    while (i < nPlanes) { if (dots.isNullAt(i)) return null; i += 1 }
+    if (nPlanes > 0 && dots.isNullAt(0)) {
+      val nSub = 1 << probePlanes
+      val out = new Array[Long](probeSeq)
+      var i = 0
+      while (i < probeSeq) {
+        out(i) = if (i + 1 < nSub) (i + 1).toLong else 0L
+        i += 1
+      }
+      return new GenericArrayData(out)
+    }
     val d = new Array[Double](nPlanes)
     var own = 0L
-    i = 0
+    var i = 0
     while (i < nPlanes) {
       d(i) = dots.getDouble(i)
-      if (d(i) > 0) own |= (1L << i)
+      if (sqlGtZero(d(i))) own |= (1L << i)
       i += 1
     }
     // probePlanes plane indices with smallest |dot|, ties by index asc
@@ -193,8 +223,10 @@ case class PlaneDots(child: Expression, matrix: Array[Double], nPlanes: Int)
     "matrix must hold one row per plane")
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullable: Boolean = true
+  // a poisoned input yields an array of NULL dots (never a null
+  // array) — the composable array(planeDot…) shape, so downstream
+  // explodes keep emitting rows on degenerate vectors
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def prettyName: String = "plane_dots"
 
   override protected def nullSafeEval(input: Any): Any =
@@ -202,10 +234,8 @@ case class PlaneDots(child: Expression, matrix: Array[Double], nPlanes: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("planeMatrix", matrix, "double[]")
-    nullSafeCodeGen(ctx, ev, in => s"""
-      ${ev.value} = graft.functions.VectorKernels.planeDots($in, $m, $nPlanes);
-      ${ev.isNull} = ${ev.value} == null;
-    """)
+    defineCodeGen(ctx, ev,
+      in => s"graft.functions.VectorKernels.planeDots($in, $m, $nPlanes)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PlaneDots =
@@ -213,11 +243,13 @@ case class PlaneDots(child: Expression, matrix: Array[Double], nPlanes: Int)
 }
 
 /** `plane_sign_bits(vec)`: the packed LSH bucket — bit p set iff plane
-  * p's dot is strictly positive. Parity contract with the composable
-  * `when(planeDot > 0, 1L<<p).otherwise(0)` sum: a null dot (length
-  * mismatch / null element) takes the otherwise-branch, so the bucket
-  * degrades to 0, never null; NaN > 0 is false. One static call per
-  * row replaces nPlanes 64-term folds in the signature build. */
+  * p's dot is strictly positive UNDER SPARK SQL COMPARISON SEMANTICS,
+  * where NaN is greater than any numeric (so a NaN dot SETS its bit —
+  * the JVM's NaN-compares-false would silently diverge from the
+  * composable `when(planeDot > 0, …)` and the oracle SQL). A null dot
+  * (length mismatch / null element) takes the otherwise-branch, so the
+  * bucket degrades to 0, never null. One static call per row replaces
+  * nPlanes 64-term folds in the signature build. */
 case class PlaneSignBits(child: Expression, matrix: Array[Double], nPlanes: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(nPlanes >= 1 && nPlanes <= 63 && matrix.length % nPlanes == 0,
@@ -244,8 +276,10 @@ case class PlaneSignBits(child: Expression, matrix: Array[Double], nPlanes: Int)
   * table, fused (see VectorKernels.probeBuckets for the contract). The
   * composable form built ~1500 interpreted HOF nodes (struct sorts
   * over the 2^probePlanes flip lattice) that the analyzer re-walked on
-  * every run of the LSH query side. Null dots (poisoned input) return
-  * null, which `explode` then drops — the composable behavior. */
+  * every run of the LSH query side. Poisoned (all-null) dots still
+  * emit the full degenerate probe list 0..probeSeq-1 — exactly what
+  * the composable struct-sort pipeline produces, so degenerate query
+  * vectors keep their rows. */
 case class ProbeBuckets(child: Expression, probePlanes: Int, probeSeq: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(probeSeq >= 1 && probeSeq <= (1 << probePlanes),
@@ -253,17 +287,14 @@ case class ProbeBuckets(child: Expression, probePlanes: Int, probeSeq: Int)
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = true
   override def prettyName: String = "probe_buckets"
 
   override protected def nullSafeEval(input: Any): Any =
     VectorKernels.probeBuckets(input.asInstanceOf[ArrayData], probePlanes, probeSeq)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, in => s"""
-      ${ev.value} = graft.functions.VectorKernels.probeBuckets($in, $probePlanes, $probeSeq);
-      ${ev.isNull} = ${ev.value} == null;
-    """)
+    defineCodeGen(ctx, ev,
+      in => s"graft.functions.VectorKernels.probeBuckets($in, $probePlanes, $probeSeq)")
 
   override protected def withNewChildInternal(newChild: Expression): ProbeBuckets =
     copy(child = newChild)

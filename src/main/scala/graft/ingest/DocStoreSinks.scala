@@ -87,6 +87,26 @@ object DocStoreSinks {
     else 0L
   }
 
+  private val genFile = "(.*)\\.g(\\d+)\\.(json|ddl)".r
+
+  /** The highest generation any file on disk carries (committed or
+    * not), 0 on an empty collection. A crashed load leaves files at an
+    * UNCOMMITTED generation; the next load must allocate PAST them —
+    * reusing the number would leak the crashed load's documents into
+    * the new committed generation as phantoms. */
+  private[graft] def maxDiskGen(coll: java.nio.file.Path): Long = {
+    if (!java.nio.file.Files.exists(coll)) return 0L
+    var max = 0L
+    val it = java.nio.file.Files.list(coll)
+    try it.forEach { p =>
+      p.getFileName.toString match {
+        case genFile(_, g, _) => max = math.max(max, g.toLong)
+        case _ => ()
+      }
+    } finally it.close()
+    max
+  }
+
   /** Upsert one load's documents at `gen`: one atomic file per id.
     * Runs ON THE EXECUTORS (this is the seam a real Mongo/ES client
     * binds into, one client per partition). Retry-idempotent per
@@ -94,17 +114,21 @@ object DocStoreSinks {
   private[graft] def upsertDocs(df: DataFrame, keyCol: String,
                                  coll: java.nio.file.Path, gen: Long): Unit = {
     val dir = coll.toString
+    val key = keyCol
     df.select(col(keyCol).cast("string").as("_k"),
         to_json(struct(df.columns.map(col): _*)).as("_doc"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val base = java.nio.file.Paths.get(dir)
         rows.foreach { r =>
-          val p = base.resolve(s"${idFileName(r.getString(0))}.g$gen.json")
-          val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-          java.nio.file.Files.write(tmp, r.getString(1).getBytes("UTF-8"))
-          java.nio.file.Files.move(tmp, p,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // a document store rejects a null id (ES does; Mongo would
+          // mint one, losing upsert identity) — fail LOUDLY with the
+          // column named instead of an executor NPE
+          if (r.isNullAt(0))
+            throw new IllegalArgumentException(
+              s"document id column '$key' is null — every document " +
+                "needs a non-null id for upsert-by-id semantics")
+          writeAtomic(base.resolve(s"${idFileName(r.getString(0))}.g$gen.json"),
+            r.getString(1))
         }
       }
   }
@@ -115,7 +139,13 @@ object DocStoreSinks {
     def writeEntity(entity: String, df: DataFrame): Unit = {
       val coll = collectionDir(root, name, entity)
       java.nio.file.Files.createDirectories(coll)
-      val gen = committedGen(coll) + 1
+      // allocate PAST any uncommitted on-disk generation: a DIFFERENT
+      // load crashed mid-write would otherwise share its number and
+      // its leftover documents would ride into this load's committed
+      // read set as phantoms (a RETRY of the same load may still reuse
+      // the uncommitted generation via upsertDocs — same ids, same
+      // paths, idempotent)
+      val gen = math.max(committedGen(coll), maxDiskGen(coll)) + 1
       writeAtomic(coll.resolve(s"_schema.g$gen.ddl"), df.schema.toDDL)
       upsertDocs(df, df.columns.head, coll, gen)
       // the commit point: one atomic rename flips every reader to the
@@ -167,6 +197,11 @@ object DocStoreSinks {
                  entity: String): DataFrame = {
     val coll = collectionDir(root, sink, entity)
     val gen = committedGen(coll)
+    if (gen == 0L)
+      throw new IllegalStateException(
+        s"document collection $coll has no committed generation — " +
+          "either it was never loaded or a first load crashed before " +
+          "its _meta commit (its g1 files, if any, are uncommitted)")
     val ddl = new String(java.nio.file.Files.readAllBytes(
       coll.resolve(s"_schema.g$gen.ddl")), "UTF-8")
     spark.read.schema(StructType.fromDDL(ddl))

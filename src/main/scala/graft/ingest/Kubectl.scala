@@ -102,9 +102,11 @@ final class KubectlAdapter(runner: Kubectl.CommandRunner,
             return Left(s"malformed kubectl stdout: ${e.getMessage}")
         }
       // from_json maps unparseable stdout to a null doc → zero rows
-      // from explode; distinguish "no jobs" from "not JSON at all":
-      // an empty item list is only trustworthy if the stdout parsed
-      if (parsed.isEmpty && !looksLikeJobsDoc(r.stdout))
+      // from explode; distinguish "no jobs" from "malformed": an empty
+      // result is only trustworthy if the stdout parses to a document
+      // whose items field IS an array ({"items": null}, {"items":
+      // "oops"}, or non-JSON all read as malformed, not as "no jobs")
+      if (parsed.isEmpty && !hasItemsArray(spark, r.stdout))
         Left("malformed kubectl stdout: not a jobs document")
       else {
         val jobType = KubeOps.typePattern(ingestType).stripPrefix("-").stripSuffix("-")
@@ -114,11 +116,17 @@ final class KubectlAdapter(runner: Kubectl.CommandRunner,
     }
   }
 
-  private def looksLikeJobsDoc(stdout: String): Boolean =
-    try {
-      val t = stdout.trim
-      t.startsWith("{") && t.endsWith("}") && t.contains("items")
-    } catch { case _: Throwable => false }
+  /** True iff the stdout parses (under the jobs schema) to a document
+    * whose `items` field is a real array — the structural minimum for
+    * an empty job list to be trusted as "no jobs". */
+  private def hasItemsArray(spark: SparkSession, stdout: String): Boolean = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, from_json}
+    Seq(Option(stdout).getOrElse("")).toDF("json")
+      .select(from_json(col("json"), KubeOps.jobsSchema).as("doc"))
+      .select(col("doc.items").isNotNull.as("ok"))
+      .collect().headOption.exists(r => !r.isNullAt(0) && r.getBoolean(0))
+  }
 
   /** checkJobStatus's poll-shaped supplier for
     * [[IngestPipeline.pollForJobComplete]]: throws on err/stderr (the

@@ -103,10 +103,13 @@ object IncrementalAgg {
     val fs = fsFor(vp, spark)
     val meta = readMeta(fs, viewDir)
     // legacyOwner: a pre-token manifest stores the checkpoint PATH as
-    // owner — accepted once, rewritten to the token by this batch's
-    // commit (ViewCommit.requireOwner)
+    // owner — accepted once and migrated to the token IMMEDIATELY
+    // (a pure replay would never reach the data commit, leaving the
+    // acceptance window open)
     meta.foreach { case (o, _, _) =>
-      ViewCommit.requireOwner(viewDir, o, owner, legacyOwner) }
+      if (ViewCommit.requireOwner(viewDir, o, owner, legacyOwner))
+        ViewCommit.migrateOwner(spark, viewDir, owner)
+    }
     val lastApplied = meta.map(_._2).getOrElse(-1L)
     if (batchId > lastApplied) {
       val versions = meta.map(_._3).getOrElse(Map.empty[Long, Long])

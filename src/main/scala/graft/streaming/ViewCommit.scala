@@ -97,13 +97,14 @@ object ViewCommit {
     * before the UUID-token scheme stored the CHECKPOINT PATH as their
     * owner, so a bare token equality would lock every pre-upgrade view
     * out of its own legitimate query. A stored owner equal to this
-    * query's checkpoint path (`legacyOwner`) is therefore accepted;
-    * the batch's commitMeta then rewrites the manifest with the minted
-    * token, completing the migration one-way. Any other mismatch is
-    * the loud impostor error, whose message now also names the manual
-    * recovery (edit `_meta` line 2) for hand-migration cases. */
+    * query's checkpoint path (`legacyOwner`) is therefore accepted —
+    * the caller must then call [[migrateOwner]] IMMEDIATELY (returns
+    * true) so the window closes on first contact. Any other mismatch
+    * is the loud impostor error, whose message also names the manual
+    * recovery (edit `_meta` line 2) for hand-migration cases.
+    * @return true iff accepted via the legacy path (migration due) */
   def requireOwner(viewDir: String, stored: String, owner: String,
-                   legacyOwner: Option[String]): Unit =
+                   legacyOwner: Option[String]): Boolean = {
     require(stored == owner || legacyOwner.contains(stored),
       s"view $viewDir is owned by the query whose owner token is '$stored'; " +
         s"this query's token is '$owner' (minted into its checkpoint " +
@@ -112,6 +113,24 @@ object ViewCommit {
         "from the owning checkpoint or start a fresh viewDir. If this " +
         "view is legitimately this query's (committed under a pre-token " +
         "version), migrate by hand: set _meta line 2 to the token above.")
+    stored != owner
+  }
+
+  /** One-time legacy migration: rewrite the manifest's OWNER line to
+    * the minted token the moment a legacy (path-owned) manifest is
+    * accepted — NOT at the next data commit, which a pure replay
+    * (batchId ≤ lastApplied) never reaches. Without the immediate
+    * rewrite the path-owner acceptance window stays open indefinitely,
+    * re-exposing the recreated-checkpoint silent-skip hole the token
+    * scheme exists to close; after this commit the path no longer
+    * matches and only the token does. Atomic like every commit. */
+  def migrateOwner(spark: SparkSession, viewDir: String, newOwner: String): Unit = {
+    val fs = fsFor(new Path(viewDir), spark)
+    readMetaLines(fs, viewDir).foreach { lines =>
+      val body = (lines.take(1) ++ Seq(newOwner) ++ lines.drop(2)).mkString("\n")
+      commitMeta(spark, viewDir, body)
+    }
+  }
 
   /** The view-owner identity for a checkpointed query: a UUID minted
     * ONCE into `<checkpointDir>/_graft_owner` when the checkpoint is

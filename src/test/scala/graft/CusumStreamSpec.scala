@@ -201,18 +201,30 @@ class CusumStreamSpec extends SparkSuite {
     CusumStream.applyBatch(df(b0), 0L, viewDir, alertDir, owner = ckpt)
 
     // the upgraded query (minted UUID token, legacyOwner = its own
-    // checkpoint path) must be ACCEPTED, not locked out (r14 ADVICE)
+    // checkpoint path) must be ACCEPTED, not locked out (r14 ADVICE) —
+    // and a PURE REPLAY (batchId <= lastApplied, no data commit) must
+    // STILL migrate the owner immediately, or the path-acceptance
+    // window would stay open indefinitely
     val token = "0f2c8a7e-legacy-migration-token"
+    val before = canon(CusumStream.readStatistic(spark, viewDir))
+    CusumStream.applyBatch(df(b0), 0L, viewDir, alertDir, owner = token,
+      legacyOwner = Some(ckpt))
+    assert(canon(CusumStream.readStatistic(spark, viewDir)) == before,
+      "replayed batch changed the view")
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val linesAfterReplay = graft.streaming.ViewCommit.readMetaLines(fs, viewDir).get
+    assert(linesAfterReplay(1).trim == token,
+      s"pure replay did not migrate the owner: '${linesAfterReplay(1)}'")
+    assert(linesAfterReplay(0).trim.toLong == 0L,
+      "migration must not advance the batch id")
+
+    // the next real batch proceeds under the token
     CusumStream.applyBatch(df(b1), 1L, viewDir, alertDir, owner = token,
       legacyOwner = Some(ckpt))
     val streamed = canon(CusumStream.readStatistic(spark, viewDir))
     val batch = canon(EventOps.cusumShift(spark, sf))
     assert(streamed == batch, "legacy-migrated replay lost or doubled counts")
-
-    // ...and the commit rewrote the manifest owner to the token
-    // (one-way migration): the PATH no longer matches,
-    val fs = new org.apache.hadoop.fs.Path(viewDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lines = graft.streaming.ViewCommit.readMetaLines(fs, viewDir).get
     assert(lines(1).trim == token,
       s"manifest owner not rewritten to the token: '${lines(1)}'")

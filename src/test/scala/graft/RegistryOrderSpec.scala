@@ -7,9 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * order (the order Bench/Verify execute queries — it decides which
   * query absorbs each shared session-cache build, so a silent
   * reordering would scramble every round-over-round per-query
-  * comparison). REGISTRY_ORDER.txt was dumped from the monolithic map
-  * at the commit before the split; the composed map must replay it
-  * exactly. New queries append to their family object and to this
+  * comparison). REGISTRY_ORDER.txt was dumped (graft.tools.DumpOrder)
+  * from the monolithic map in the working tree IMMEDIATELY BEFORE the
+  * split was applied (same session; the fixture and the split landed
+  * in one commit, and the split's pure-move property was additionally
+  * verified by diffing key multisets and normalized member bodies
+  * monolith-vs-registry); the composed map must replay it exactly. New queries append to their family object and to this
   * fixture (regenerate with `runMain graft.tools.DumpOrder`). */
 class RegistryOrderSpec extends AnyFunSuite {
 

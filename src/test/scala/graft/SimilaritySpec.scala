@@ -223,8 +223,12 @@ class SimilaritySpec extends SparkSuite {
       assert(pDiff == 0L,
         s"$pDiff probe sequences differ at probePlanes=$pp probeSeq=$seq")
     }
-    // null-poisoning parity: a short vector nulls the dots (zip_with
-    // pads with null) and packs to bucket 0, in BOTH forms
+    // null-poisoning parity: a short vector nulls EVERY dot (zip_with
+    // pads with null) in BOTH forms — native emits the same array of
+    // null dots (never a null array), buckets pack to 0, and the
+    // degenerate probe list is identical (Spark's ascending sort is
+    // NULLS FIRST, so the null-scored g>0 subsets precede g=0 ⇒ masks
+    // 1..probeSeq in subset order, g=0 last)
     val short = emb.limit(3)
       .withColumn("embedding", expr("slice(embedding, 1, 32)"))
     val edge = short.select(
@@ -232,14 +236,36 @@ class SimilaritySpec extends SparkSuite {
       array((0 until 4).map(p =>
         SimilarityOps.planeDot(col("embedding"), p)): _*).as("cd"),
       SimilarityOps.lshBucket(col("embedding"), 4).as("nb"),
-      SimilarityOps.lshBucketComposable(col("embedding"), 4).as("cb"))
+      SimilarityOps.lshBucketComposable(col("embedding"), 4).as("cb"),
+      SimilarityOps.probeBucketsNative(
+        SimilarityOps.planeDotsAll(col("embedding"), 0, 4), 3, 7).as("np"),
+      SimilarityOps.probeBucketsComposable(
+        SimilarityOps.planeDotsAll(col("embedding"), 0, 4), 4, 3, 7).as("cp"))
       .collect()
     edge.foreach { r =>
-      assert(r.isNullAt(0), "native dots must null on length mismatch")
+      assert(!r.isNullAt(0) && r.getSeq[Any](0).forall(_ == null),
+        "native dots must be an ARRAY OF NULLS on length mismatch (not a null array)")
       assert(r.getSeq[Any](1).forall(_ == null), "composable dots not null?")
       assert(r.getLong(2) == 0L && r.getLong(3) == 0L,
         "poisoned bucket must pack to 0 in both forms")
+      assert(r.getSeq[Long](4) == r.getSeq[Long](5) &&
+        r.getSeq[Long](4) == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L),
+        s"degenerate probe lists differ: ${r.getSeq[Long](4)} vs ${r.getSeq[Long](5)}")
     }
+    // NaN parity: Spark compares NaN GREATER than any numeric, so a
+    // NaN dot must SET its sign bit in both forms (a JVM `> 0` would
+    // silently clear it) and probe sequences must still agree
+    val nanEmb = emb.limit(5).withColumn("embedding",
+      expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN CAST('NaN' AS FLOAT) ELSE x END)"))
+    val nanDiff = nanEmb.select(
+        SimilarityOps.lshBucket(col("embedding"), 9).as("nb"),
+        SimilarityOps.lshBucketComposable(col("embedding"), 9).as("cb"),
+        SimilarityOps.probeBucketsNative(
+          SimilarityOps.planeDotsAll(col("embedding"), 0, 9), 6, 64).as("np"),
+        SimilarityOps.probeBucketsComposable(
+          SimilarityOps.planeDotsAll(col("embedding"), 0, 9), 9, 6, 64).as("cp"))
+      .filter(col("nb") =!= col("cb") || col("np") =!= col("cp")).count()
+    assert(nanDiff == 0L, s"$nanDiff NaN-poisoned rows diverge between forms")
   }
 
   test("near-dup LSH finds planted perturbed copies (cos ≈ 1)") {

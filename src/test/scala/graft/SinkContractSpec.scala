@@ -159,19 +159,24 @@ class SinkContractSpec extends SparkSuite {
     // invisible to readers — per-document writes, collection-level
     // commit point
     DocStoreSinks.upsertDocs(
-      Seq((1L, "ALICE2"), (9L, "zoe")).toDF("id", "name"), "id", coll, 2L)
+      Seq((1L, "ALICE2"), (77L, "ghost")).toDF("id", "name"), "id", coll, 2L)
     val stillOld = DocStoreSinks.readEntity(spark, root, "elastic", "person")
     assert(stillOld.count() == 3 &&
-      stillOld.filter(col("name") === "zoe").count() == 0,
+      stillOld.filter(col("name") === "ghost").count() == 0,
       "uncommitted generation leaked into reads")
 
     // the next full load REPLACES via the generation swap: overlapping
-    // ids take their new values, absent ids drop out
+    // ids take their new values, absent ids drop out — and the crashed
+    // load's leftover documents (id 77 at the uncommitted generation)
+    // must NOT ride into the new committed read set as phantoms: the
+    // new load allocates PAST the highest on-disk generation
     sink.writeEntity("person", Seq((1L, "alice-v2"), (9L, "zoe")).toDF("id", "name"))
+    assert(DocStoreSinks.committedGen(coll) == 3L,
+      "new load must allocate past the crashed generation")
     val replaced = DocStoreSinks.readEntity(spark, root, "elastic", "person")
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted
     assert(replaced.toSeq == Seq((1L, "alice-v2"), (9L, "zoe")),
-      s"generation swap failed: ${replaced.toSeq}")
+      s"generation swap failed (phantom leak?): ${replaced.toSeq}")
 
     // ids that sanitize identically cannot collide (md5 suffix)
     val n1 = DocStoreSinks.idFileName("a/b")
