@@ -119,4 +119,48 @@ class IncrementalAggSpec extends SparkSuite {
         viewDir, Seq("brand"), "price", s"$base/other")
     }
   }
+
+  test("a pre-token manifest (owner = checkpoint path) migrates on first contact") {
+    import spark.implicits._
+    val base = tmpDir("graft-ivm-legacy")
+    val viewDir = s"$base/view"
+    val ckpt = s"$base/ckpt"
+    def df(facts: (String, Double)*) =
+      spark.createDataFrame(facts.map(f => Fact(f._1, f._2)))
+
+    // committed under the pre-token scheme: owner = checkpoint PATH
+    IncrementalAgg.applyBatch(df("alpha" -> 10.50, "beta" -> 5.00), 0L,
+      viewDir, Seq("brand"), "price", owner = ckpt)
+    val before = viewTotals(viewDir)
+
+    // a PURE REPLAY by the upgraded query must be accepted AND migrate
+    // the owner immediately — the data commit never runs on a replay,
+    // so without the immediate rewrite the path-acceptance window
+    // would stay open indefinitely
+    val token = "9a1d04c2-ivm-migration-token"
+    IncrementalAgg.applyBatch(df("alpha" -> 10.50, "beta" -> 5.00), 0L,
+      viewDir, Seq("brand"), "price", owner = token,
+      legacyOwner = Some(ckpt))
+    assert(viewTotals(viewDir) == before, "replay changed the view")
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines = graft.streaming.ViewCommit.readMetaLines(fs, viewDir).get
+    assert(lines(1).trim == token,
+      s"pure replay did not migrate the owner: '${lines(1)}'")
+    // batch id and per-bucket version lines survive the migration
+    assert(lines(0).trim.toLong == 0L)
+    assert(lines.drop(2).nonEmpty, "bucket:version lines lost in migration")
+
+    // the next real batch merges under the token; the old path no
+    // longer matches anything
+    IncrementalAgg.applyBatch(df("alpha" -> 2.00), 1L,
+      viewDir, Seq("brand"), "price", owner = token,
+      legacyOwner = Some(ckpt))
+    assert(viewTotals(viewDir) ==
+      Map("alpha" -> (12.50, 2L), "beta" -> (5.00, 1L)))
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.applyBatch(df("alpha" -> 1.0), 2L,
+        viewDir, Seq("brand"), "price", owner = ckpt)
+    }
+  }
 }
