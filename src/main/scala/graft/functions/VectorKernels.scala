@@ -277,7 +277,9 @@ case class PlaneSignBits(child: Expression, matrix: Array[Double], nPlanes: Int)
   * composable form built ~1500 interpreted HOF nodes (struct sorts
   * over the 2^probePlanes flip lattice) that the analyzer re-walked on
   * every run of the LSH query side. Poisoned (all-null) dots still
-  * emit the full degenerate probe list 0..probeSeq-1 — exactly what
+  * emit the full degenerate probe list 1..probeSeq, wrapping to 0 only
+  * when the whole lattice is kept (the NULLS-FIRST struct sort puts
+  * bucket 0 — the no-flip subset's NULL score — last) — exactly what
   * the composable struct-sort pipeline produces, so degenerate query
   * vectors keep their rows. */
 case class ProbeBuckets(child: Expression, probePlanes: Int, probeSeq: Int)

@@ -127,6 +127,13 @@ object ViewCommit {
   def migrateOwner(spark: SparkSession, viewDir: String, newOwner: String): Unit = {
     val fs = fsFor(new Path(viewDir), spark)
     readMetaLines(fs, viewDir).foreach { lines =>
+      // loud by design (r15 ADVICE): the legacy path-owner acceptance is
+      // the one unauthenticated first contact in the scheme — a
+      // recreated checkpoint at the same path could claim a pre-token
+      // view here — so every migration leaves an auditable trace of the
+      // view dir, the path-owner it replaced, and the minted token
+      System.err.println(s"[graft] WARN view $viewDir: migrating legacy " +
+        s"path-owner '${lines.lift(1).getOrElse("")}' to owner token '$newOwner'")
       val body = (lines.take(1) ++ Seq(newOwner) ++ lines.drop(2)).mkString("\n")
       commitMeta(spark, viewDir, body)
     }
