@@ -171,16 +171,23 @@ object Bench {
       name -> times
     }
     // DIRTY-QUERY REQUEUE (r14 judge #3): a query whose own window
-    // carried foreign CPU above foreignMax is re-run ONCE after the
-    // main loop, with a fresh foreign window — the committed artifact
-    // then carries a second reading for every flagged row (clean, or
-    // doubly-dirty = genuinely contended) instead of leaving
+    // carried foreign CPU above the RETRY trigger is re-run ONCE after
+    // the main loop, with a fresh foreign window — the committed
+    // artifact then carries a second reading for every flagged row
+    // (clean, or doubly-dirty = genuinely contended) instead of leaving
     // adjudication to the next round's hand-diffing. Retry runs are
     // WARM (all session caches populated), so retry values compare to
-    // warm_med, never to cold.
+    // warm_med, never to cold. The trigger sits far BELOW the dirty
+    // gate (r15 judge #3): rows with sub-gate smear (0.25–1.0 foreign
+    // cores) drifted visibly in r15 and had to be hand-discounted, so
+    // every row with more than ~0.25 foreign cores in its window now
+    // carries its own second reading; the contamination VERDICT
+    // (dirty bit, n_dirty) still keys on foreignMax.
+    val retryForeignMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_FOREIGN", "0.25").toDouble
     val retryTime = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retryForeign = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    foreignShare.collect { case (n, f) if f > foreignMax => n }.foreach { name =>
+    foreignShare.collect { case (n, f) if f > retryForeignMax => n }.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val j0 = jiffies()
         val t0 = System.nanoTime()
@@ -247,8 +254,13 @@ object Bench {
     // all numeric JSON fields go through fmt() (Locale.ROOT): the f""
     // interpolator is locale-sensitive and a comma-decimal default
     // locale would emit invalid JSON (r14 ADVICE)
+    // n_retry_clean pairs with n_dirty (self-adjudicating artifact:
+    // every DIRTY row should carry a clean retry), so it counts only
+    // retries of rows past the dirty gate — the sub-gate retries the
+    // lower trigger adds are extra evidence, not part of this pair
     val retryCleanCount = retryForeign.count { case (n, f) =>
-      f >= 0 && f <= foreignMax && retryTime.get(n).exists(_ >= 0) }
+      foreignShare.get(n).exists(_ > foreignMax) &&
+        f >= 0 && f <= foreignMax && retryTime.get(n).exists(_ >= 0) }
     val foreignField =
       s""","foreign_cpu":${if (runForeign < 0) "-1" else fmt(runForeign, 2)}""" +
         s""","cal_start":${fmt(calStart, 2)},"cal_end":${fmt(calEnd, 2)}""" +

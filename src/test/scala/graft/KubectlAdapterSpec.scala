@@ -184,4 +184,26 @@ class KubectlAdapterSpec extends SparkSuite {
     }, baseArgs)
     assert(ad2.oldJobNames(spark, "bulk").isLeft)
   }
+
+  test("a HANGING process is killed at the timeout and maps like any exec error") {
+    // the real seam against a process that never exits or closes its
+    // streams within the bound: `sleep 30` through ProcessRunner with a
+    // 1-second timeout must kill it and surface KubectlExecException
+    val runner = new Kubectl.ProcessRunner(binary = "sleep", timeoutSec = 1L)
+    val t0 = System.nanoTime()
+    val e = intercept[Kubectl.KubectlExecException] { runner.run(Seq("30")) }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 10.0, f"timeout did not bound the wait: $sec%.1f s")
+    assert(e.getMessage.contains("timed out"), e.getMessage)
+    // through the adapter the timeout is the err-callback case: the
+    // poll-shaped supplier throws (poller re-polls), the terminal jobs
+    // listing goes to the error state — same contract as a spawn
+    // failure (the wrapper hangs regardless of the kubectl args)
+    val hangs = new Kubectl.CommandRunner {
+      def run(args: Seq[String]): Kubectl.CommandResult = runner.run(Seq("30"))
+    }
+    val ad = new KubectlAdapter(hangs, Nil)
+    intercept[Kubectl.KubectlExecException] { ad.jobJsonSupplier("j1")() }
+    assert(ad.oldJobNames(spark, "bulk").isLeft)
+  }
 }
