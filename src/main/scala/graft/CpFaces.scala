@@ -360,4 +360,45 @@ object CpFaces {
        |t(ingest, neo_job_duration, elastic_job_duration,
        |  total_job_duration, complete) ORDER BY ingest""".stripMargin
   }
+
+  // --- cp_docstore_roundtrip -------------------------------------------------
+
+  /** The doc-store READ path under the oracle gate (r15 judge #6): two
+    * committed loads through [[graft.ingest.DocStoreSinks.DocLoadSink]]
+    * — the second REPLACES the first (generation swap, the S10 clause)
+    * — then a crashed third load's documents written WITHOUT the _meta
+    * flip. [[graft.ingest.DocStoreSinks.readEntity]] must surface
+    * exactly the second load: the committed generation's documents
+    * under the load's schema, the crashed generation invisible. Pass
+    * crashed rows whose ids OVERLAP the committed ones with different
+    * values, so a leak is a value-hash mismatch, not just a row-count
+    * drift. Each invocation round-trips through a fresh temp collection
+    * (small JSON files; the OS tmp reaper owns them). */
+  def docstoreRoundtrip(load1: Seq[(String, String, Long)],
+                        load2: Seq[(String, String, Long)],
+                        crashed: Seq[(String, String, Long)])(
+                        s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.ingest.DocStoreSinks
+    val root = java.nio.file.Files.createTempDirectory("graft_docstore_").toString
+    def df(rows: Seq[(String, String, Long)]): DataFrame =
+      rows.toDF("id", "status", "runs")
+    val sink = new DocStoreSinks.DocLoadSink(root, "es")
+    sink.writeEntity("load_status", df(load1))
+    sink.writeEntity("load_status", df(load2))
+    val coll = DocStoreSinks.collectionDir(root, "es", "load_status")
+    val gen = math.max(DocStoreSinks.committedGen(coll),
+      DocStoreSinks.maxDiskGen(coll)) + 1
+    DocStoreSinks.upsertDocs(df(crashed), "id", coll, gen)
+    DocStoreSinks.readEntity(s, root, "es", "load_status")
+  }
+
+  /** The roundtrip's expected content IS the second load — the oracle
+    * interpolates it as VALUES (replace semantics + commit-point
+    * visibility are what the Spark side must reproduce). */
+  def docstoreRoundtripSql(load2: Seq[(String, String, Long)]): String =
+    "SELECT * FROM (VALUES " +
+      load2.map { case (i, st, r) =>
+        s"(${sqlStr(i)}, ${sqlStr(st)}, CAST($r AS BIGINT))" }.mkString(", ") +
+      ") AS t(id, status, runs)"
 }

@@ -186,6 +186,21 @@ object FuzzCp {
     val timesAll = if (times.isEmpty)
       Seq(TimesEvent("ingest0", "neo4j", "start", 1538050000L)) else times
 
+    // --- randomized doc-store loads ------------------------------------------
+    // ids unique per load (file-per-id upsert), one quote/unicode-bearing
+    // id to exercise filename sanitization + SQL/JSON escaping; load2 is
+    // a random replace (subset re-upserted + a fresh id), the crashed
+    // load reuses load2 ids with poisoned values
+    val docIds = ((0 until 2 + rng.nextInt(4)).map(i =>
+      s"load-$i-${rng.nextInt(1000)}") :+ "o'quote héllo ingest").distinct
+    val docLoad1 = docIds.map(id => (id, "running", rng.nextInt(5).toLong))
+    val docLoad2 = (docIds.filter(_ => rng.nextBoolean())
+      :+ s"fresh-${rng.nextInt(1000)}").distinct
+      .map(id => (id, if (rng.nextBoolean()) "complete" else "running",
+        rng.nextInt(9).toLong))
+    val docCrashed = docLoad2.take(1 + rng.nextInt(docLoad2.size))
+      .map { case (i, _, _) => (i, "poisoned", 99L) }
+
     // --- run every face + dump ----------------------------------------------
     val faces: Seq[(String, SparkSession => org.apache.spark.sql.DataFrame, String)] = Seq(
       ("cp_oldest_ingest", oldestIngest(listing), oldestIngestSql(listing)),
@@ -200,7 +215,9 @@ object FuzzCp {
         manifestReconcileSql(mKeys, entriesM)),
       ("cp_hashes", hashes(hashNames), hashesSql(hashNames)),
       ("cp_readable_date", readableDate(durs), readableDateSql(durs)),
-      ("cp_times_agg", timesAgg(timesAll), timesAggSql(timesAll)))
+      ("cp_times_agg", timesAgg(timesAll), timesAggSql(timesAll)),
+      ("cp_docstore_roundtrip", docstoreRoundtrip(docLoad1, docLoad2, docCrashed),
+        docstoreRoundtripSql(docLoad2)))
 
     faces.foreach { case (name, fn, _) =>
       try fn(spark).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")

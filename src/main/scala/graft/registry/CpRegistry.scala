@@ -129,6 +129,30 @@ private[graft] object CpRegistry {
   private[graft] val cpTimesAggSql: String =
     CpFaces.timesAggSql(Fixtures.timesEvents)
 
+  /** S8–S10 doc-store read path (r15 judge #6): ingest-status rows in
+    * the reference's job-name vocabulary; the second load replaces the
+    * first (one id re-upserted with new values, one dropped, one new)
+    * and the crashed third load reuses committed ids with poisoned
+    * values — invisible unless the reader leaks an uncommitted
+    * generation. */
+  private[graft] val docLoad1: Seq[(String, String, Long)] = Seq(
+    ("neo4j-bulk-1538055555", "running", 1L),
+    ("elastic-bulk-1538055555", "running", 1L),
+    ("neo4j-delta-1538054444", "complete", 3L))
+  private[graft] val docLoad2: Seq[(String, String, Long)] = Seq(
+    ("neo4j-bulk-1538055555", "complete", 2L),
+    ("elastic-bulk-1538055555", "complete", 2L),
+    ("elastic-delta-1538056666", "running", 1L))
+  private[graft] val docCrashed: Seq[(String, String, Long)] = Seq(
+    ("neo4j-bulk-1538055555", "poisoned", 99L),
+    ("elastic-delta-1538056666", "poisoned", 99L))
+
+  private[graft] def cpDocstoreRoundtrip(s: SparkSession, dir: String): DataFrame =
+    CpFaces.docstoreRoundtrip(docLoad1, docLoad2, docCrashed)(s)
+
+  private[graft] val cpDocstoreRoundtripSql: String =
+    CpFaces.docstoreRoundtripSql(docLoad2)
+
   private[graft] def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // control plane (reference semantics)
     "cp_oldest_ingest" -> (cpOldestIngest _),
@@ -141,7 +165,8 @@ private[graft] object CpRegistry {
     "cp_manifest_reconcile" -> (cpManifestReconcile _),
     "cp_hashes" -> (cpHashes _),
     "cp_readable_date" -> (cpReadableDate _),
-    "cp_times_agg" -> (cpTimesAgg _)
+    "cp_times_agg" -> (cpTimesAgg _),
+    "cp_docstore_roundtrip" -> (cpDocstoreRoundtrip _)
   )
 
   private[graft] def oracleSql: Map[String, String] = Map(
@@ -155,6 +180,7 @@ private[graft] object CpRegistry {
     "cp_manifest_reconcile" -> cpManifestReconcileSql,
     "cp_hashes" -> cpHashesSql,
     "cp_readable_date" -> cpReadableDateSql,
-    "cp_times_agg" -> cpTimesAggSql
+    "cp_times_agg" -> cpTimesAggSql,
+    "cp_docstore_roundtrip" -> cpDocstoreRoundtripSql
   )
 }

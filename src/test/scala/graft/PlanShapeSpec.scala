@@ -394,6 +394,19 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(900))
   }
 
+  test("ev_attribution: one events scan, both models from one window pass") {
+    // r15's worst contention multiplier (0.41 s idle → 3.63 s under
+    // driver load): the first/last-touch models left the window pass as
+    // a SELF-UNION of the credited frame, and union branches do not
+    // share lineage — the events scan and the per-user window exchange
+    // ran twice. Both models now leave as one exploded stream: exactly
+    // one events scan, no Union.
+    val p = plan("ev_attribution")
+    assert("events\\.parquet".r.findAllIn(p).length == 1,
+      "events re-scanned per attribution model: " + p.take(900))
+    assert(!p.contains("Union"), "self-union reappeared: " + p.take(900))
+  }
+
   test("PLAN_SNAPSHOT covers the registry exactly (no drift either way)") {
     // the snapshot contract is machine-checked: every registered query
     // has a snapshot entry and no snapshot entry is stale. Keys appear
