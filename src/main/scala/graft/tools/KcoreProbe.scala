@@ -30,6 +30,10 @@ object KcoreProbe {
       t(s"kcore run $i") {
         graft.operators.GraphOps.kCorePeel(spark, sfDir).collect()
       }
+    for (i <- 1 to 4)
+      t(s"triangles run $i") {
+        graft.operators.GraphOps.triangleCount(spark, sfDir).collect()
+      }
     graft.ext.DedupOps.releaseShared()
     spark.stop()
   }
