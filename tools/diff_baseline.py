@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Machine-diff a certified-idle BENCH_DETAIL.json against the committed
+per-query forward baseline (BASELINE_QUERIES.json).
+
+Implements the BASELINE.md contract mechanically: flag only queries whose
+warm_med (or cold) exceeds the baseline by the 1.5x-AND-material
+threshold (material = absolute delta >= 0.3 s, so 0.04 -> 0.07 s noise
+on trivial queries never flags). Prints the certification metadata of
+both windows first — the contract only licenses certified-vs-certified
+comparisons at comparable cal values; this script reports, it does not
+adjudicate window quality.
+
+Usage: python3 tools/diff_baseline.py [BENCH_DETAIL.json] [BASELINE_QUERIES.json]
+Exit 0 always (reporting tool, not a gate).
+"""
+import json
+import sys
+
+RATIO = 1.5
+MATERIAL_SEC = 0.3
+
+
+def main():
+    detail_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAIL.json"
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_QUERIES.json"
+    detail = json.load(open(detail_path))
+    base = json.load(open(base_path))
+
+    meta = base.get("_meta", {})
+    print("baseline window:", json.dumps(meta.get("window", {})))
+    print("detail window:  ", json.dumps({
+        k: detail.get(k) for k in (
+            "runs", "n_ok", "n_err", "load_start", "foreign_cpu",
+            "cal_start", "cal_end", "cal_par_start", "cal_par_end",
+            "n_dirty", "n_retry_clean")}))
+
+    bq = base["queries"]
+    dq = detail["queries"]
+    shared = sorted(set(bq) & set(dq))
+    added = sorted(set(dq) - set(bq))
+    removed = sorted(set(bq) - set(dq))
+
+    regressions, improvements = [], []
+    for name in shared:
+        for kind in ("warm_med", "cold"):
+            old, new = bq[name].get(kind), dq[name].get(kind)
+            if old is None or new is None or new < 0:
+                continue
+            delta = new - old
+            if new > old * RATIO and delta >= MATERIAL_SEC:
+                regressions.append((delta, name, kind, old, new,
+                                    dq[name].get("foreign")))
+        dw = dq[name].get("warm_med", 0) - bq[name].get("warm_med", 0)
+        if dw <= -MATERIAL_SEC:
+            improvements.append((dw, name, bq[name]["warm_med"],
+                                 dq[name]["warm_med"]))
+
+    tot_old = sum(v.get("warm_med", 0) for k, v in bq.items() if k in shared)
+    tot_new = sum(v.get("warm_med", 0) for k, v in dq.items() if k in shared)
+    print(f"\nshared {len(shared)} queries: warm total "
+          f"{tot_old:.1f} -> {tot_new:.1f} s "
+          f"({(tot_new / tot_old - 1) * 100:+.1f}%)")
+    if added:
+        print("added (no baseline):", ", ".join(added))
+    if removed:
+        print("removed:", ", ".join(removed))
+
+    print(f"\nregressions ({RATIO}x AND >= {MATERIAL_SEC}s): "
+          f"{len(regressions)}")
+    for delta, name, kind, old, new, foreign in sorted(regressions,
+                                                       reverse=True):
+        f = f" foreign={foreign}" if foreign else ""
+        print(f"  {name} {kind}: {old:.2f} -> {new:.2f} (+{delta:.2f}s){f}")
+
+    print(f"\nimprovements (warm_med -{MATERIAL_SEC}s or more): "
+          f"{len(improvements)}")
+    for dw, name, old, new in sorted(improvements):
+        print(f"  {name}: {old:.2f} -> {new:.2f} ({dw:+.2f}s)")
+
+
+if __name__ == "__main__":
+    main()
