@@ -53,8 +53,14 @@ class GraphOpsSpec extends SparkSuite {
         col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
       .count()
     e.unpersist()
-    assert(nTri == naive, s"oriented=$nTri naive=$naive")
+    assert(nTri == naive, s"gated=$nTri naive=$naive")
     assert(row.getAs[Long]("n_edges") > 0 && nTri > 0)
+    // the distributed oriented-wedge path must agree row-for-row with
+    // the driver CSR path the gate just took (r16)
+    val dist = GraphOps.triangleCountGated(spark, sf, useDriverGate = false)
+      .collect().head
+    assert(dist.toSeq == row.toSeq,
+      s"driver ${row.toSeq} vs distributed ${dist.toSeq}")
   }
 
   test("triangle broadcast gate: hint above threshold, shuffle below, same count") {
@@ -68,9 +74,11 @@ class GraphOpsSpec extends SparkSuite {
     val saved = spark.conf.get(key)
     try {
       // generous budget: packed edges fit, the hint must be present
+      // (distributed path forced: this test pins the WEDGE join's gate,
+      // not the r16 driver gate that would bypass it at fixture scale)
       spark.conf.set(key, "10MB")
       graft.ext.DedupOps.releaseShared() // drop memoized graph/plan caches
-      val wide = GraphOps.triangleCount(spark, sf)
+      val wide = GraphOps.triangleCountGated(spark, sf, useDriverGate = false)
       val widePlan = wide.queryExecution.executedPlan.toString
       val wideSemi = semiJoinLines(widePlan)
       assert(wideSemi.nonEmpty && wideSemi.forall(_.contains("BroadcastHashJoin")),
@@ -80,7 +88,7 @@ class GraphOpsSpec extends SparkSuite {
       // starvation budget: the gate must drop the hint entirely
       spark.conf.set(key, "1024")
       graft.ext.DedupOps.releaseShared()
-      val narrow = GraphOps.triangleCount(spark, sf)
+      val narrow = GraphOps.triangleCountGated(spark, sf, useDriverGate = false)
       val narrowPlan = narrow.queryExecution.executedPlan.toString
       val narrowSemi = semiJoinLines(narrowPlan)
       assert(narrowSemi.nonEmpty && narrowSemi.forall(!_.contains("BroadcastHashJoin")),
@@ -153,13 +161,22 @@ class GraphOpsSpec extends SparkSuite {
     val edges = es.toDF("a", "b")
     val deg0 = edges.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+    // distributed path forced: the fixture is far below the driver
+    // gate, and this test pins the FUSED superstep machinery itself
     val (stats, _, barriers) = GraphOps.kCorePeelCounted(spark, edges, deg0,
-      k = 4, rounds = 6)
+      k = 4, rounds = 6, useDriverGate = false)
     // fused pacing (r15 judge #1): 7 measurement passes cost at most
     // 1 census agg + ceil(6/2) = 4 driver barriers (fewer if converged)
     assert(barriers <= 4, s"fused peel paid $barriers barriers for 6 rounds")
     val got = stats.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the size-gated DRIVER peel (r16) must walk the exact same
+    // trajectory in exactly 2 barriers (census agg + one collect job)
+    val (dStats, _, dBarriers) = GraphOps.kCorePeelCounted(spark, edges,
+      deg0, k = 4, rounds = 6)
+    assert(dBarriers == 2, s"driver peel paid $dBarriers barriers")
+    assert(dStats.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSeq == got, "driver peel diverged from distributed")
     // reference: recompute degrees from scratch over the surviving
     // edge set every round (the pre-delta formulation), on the driver
     var cur = es
@@ -188,16 +205,25 @@ class GraphOpsSpec extends SparkSuite {
     val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
     val deg0 = tri.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-    val (stats, passes, barriers) =
-      GraphOps.kCorePeelCounted(spark, tri, deg0, k = 2, rounds = 6)
-    // the first fused barrier measures passes 2 AND 3 in one plan;
-    // convergence (pass 2 == pass 1) is detected when its metrics land,
-    // so 3 passes are measured across 2 barriers and nothing more runs
+    // distributed path: the first fused barrier measures passes 2 AND
+    // 3 in one plan; convergence (pass 2 == pass 1) is detected when
+    // its metrics land, so 3 passes across 2 barriers and nothing more
+    val (stats, passes, barriers) = GraphOps.kCorePeelCounted(spark, tri,
+      deg0, k = 2, rounds = 6, useDriverGate = false)
     assert(passes == 3, s"expected early exit after 3 passes, ran $passes")
     assert(barriers == 2, s"expected 2 barriers (census agg + 1 fused), ran $barriers")
     val rows = stats.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq == (1L to 6L).map(r => (r, 3L, 3L)),
       s"filled trajectory wrong: ${rows.toSeq}")
+    // driver path: one pass computed in memory, detected equal to the
+    // census, trajectory filled — same 2 barriers, same rows
+    val (dStats, dPasses, dBarriers) =
+      GraphOps.kCorePeelCounted(spark, tri, deg0, k = 2, rounds = 6)
+    assert(dPasses == 2, s"driver peel ran $dPasses passes, expected 2")
+    assert(dBarriers == 2, s"driver peel paid $dBarriers barriers")
+    assert(dStats.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSeq == (1L to 6L).map(r => (r, 3L, 3L)),
+      "driver peel filled trajectory wrong")
 
     // LPA on one triangle: labels stabilize after round 2, detected
     // after round 3 — 3 rounds run out of 6, same output as the unroll

@@ -212,7 +212,16 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("triangle closing join broadcasts the edge set (wedges stay map-side)") {
-    val p = plan("q_triangles")
+    // the registry face takes the r16 size-gated DRIVER path at every
+    // test/bench SF — its "plan" is a pre-computed local relation
+    // (pinned below); this test pins the DISTRIBUTED wedge pipeline
+    // that runs above the driver-collect gate
+    val gated = plan("q_triangles")
+    assert(gated.contains("LocalTableScan") && !gated.contains("Join"),
+      "gated face should be driver-computed: " + gated.take(400))
+    val p = graft.operators.GraphOps
+      .triangleCountGated(spark, sf, useDriverGate = false)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       p.take(800))
     // the only nested-loop joins are the final 1-row × 1-row stat
