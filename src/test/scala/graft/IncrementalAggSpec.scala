@@ -73,7 +73,9 @@ class IncrementalAggSpec extends SparkSuite {
     val failed =
       try { q2.processAllAvailable(); false }
       catch { case _: Throwable => true }
-    q2.stop()
+    // expected-dead query: under load stop() can race the stream
+    // thread's failure and rethrow the exception asserted on above
+    try q2.stop() catch { case _: Throwable => () }
     assert(failed, "a non-owning query merged into the view")
     assert(viewTotals(viewDir) ==
       Map(brandA -> (12.75, 2L), brandB -> (6.25, 2L)))
