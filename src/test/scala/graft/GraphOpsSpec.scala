@@ -270,6 +270,12 @@ class GraphOpsSpec extends SparkSuite {
       assert(r.getAs[Long]("comm_size") ==
         byLabel(r.getAs[Long]("label")).length.toLong)
     }
+    // the r16 driver CSR path (what the gate served above) must equal
+    // the distributed exchange-free loop row-for-row
+    val dist = GraphOps.labelPropagationGated(spark, sf,
+      GraphOps.lpaRounds, useDriverGate = false).collect()
+    assert(a.map(_.toSeq).toSeq == dist.map(_.toSeq).toSeq,
+      "driver LPA diverged from the distributed loop")
   }
 
   test("BFS on a path graph: hop distances and undiscovered cutoff by hand") {
@@ -314,6 +320,12 @@ class GraphOpsSpec extends SparkSuite {
       assert(c >= hops(n), s"node $n cost $c < hops ${hops(n)}")
     }
     assert(sssp.nonEmpty)
+    // the r16 driver CSR path must equal the distributed Bellman-Ford
+    // loop row-for-row
+    val dist = GraphOps.ssspCostsGated(spark, sf, GraphOps.ssspRounds,
+      useDriverGate = false).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cost")).toMap
+    assert(sssp == dist, "driver SSSP diverged from the distributed loop")
   }
 
   test("BFS census: dist 0 equals the seed count, levels partition nodes") {
@@ -328,5 +340,11 @@ class GraphOpsSpec extends SparkSuite {
     val again = GraphOps.bfsHops(spark, sf).collect()
       .map(r => r.getAs[Long]("dist") -> r.getAs[Long]("n_nodes")).toMap
     assert(census == again)
+    // the r16 driver CSR path must equal the distributed frontier loop
+    // on the full census (counts AND id checksums)
+    val drv = GraphOps.bfsHops(spark, sf).collect().map(_.toSeq).toSeq
+    val dist = GraphOps.bfsHopsGated(spark, sf, GraphOps.bfsRounds,
+      useDriverGate = false).collect().map(_.toSeq).toSeq
+    assert(drv == dist, s"driver $drv vs distributed $dist")
   }
 }
