@@ -1677,36 +1677,82 @@ object SimilarityOps {
       .select(col("a"), col("b"),
         round(cosine(col("ea"), col("eb")), 6).as("cos"))
       .localCheckpoint()
-    val mmrOf = lit(lambda) * col("rel") - lit(mu) * col("ms")
-    // the greedy loop stops at min(k, |pool|): a pool smaller than k
-    // (tiny corpus, or a caller's large k) returns the exhausted
-    // selection instead of indexing an empty collect
-    val firstRows = pool
-      .select(col("vec_id"), col("rel"), lit(0.0).as("ms"))
-      .withColumn("mmr", mmrOf)
-      .orderBy(col("mmr").desc, col("vec_id").asc).limit(1)
-      .collect()
-    var sel = firstRows.headOption.map { first =>
-      Vector[(Long, Long, Double, Double, Double)](
-        (1L, first.getLong(0), first.getDouble(1), first.getDouble(2),
-          first.getDouble(3)))
-    }.getOrElse(Vector.empty)
-    var exhausted = sel.isEmpty
+    // Greedy selection is inherently SEQUENTIAL driver work: the pool
+    // is top-c (c = 50) and psim its c² pairwise table — both
+    // driver-sized BY CONSTRUCTION at any corpus scale (the scale-out
+    // lives above, in the relevance top-c over the corpus and the
+    // pairwise cosines). r16: the k−1 per-round Spark jobs — each a
+    // filter + groupBy + limit over these tiny checkpoints, pure
+    // scheduling — collapse to one collect of each table plus an
+    // in-memory loop replicating the engine semantics those jobs had
+    // bit-for-bit: max() ignores NULLs and is dominated by NaN, and
+    // the (mmr DESC, vec_id ASC) pick orders NaN first and NULLs last.
+    // The greedy loop stops at min(k, |pool|): a pool smaller than k
+    // returns the exhausted selection.
+    val poolRows: Array[(Long, java.lang.Double)] = pool
+      .select(col("vec_id"), col("rel")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null
+        else java.lang.Double.valueOf(r.getDouble(1))))
+    val cosOf = new java.util.HashMap[(Long, Long), java.lang.Double]()
+    psim.select(col("a"), col("b"), col("cos")).collect().foreach { r =>
+      cosOf.put((r.getLong(0), r.getLong(1)), if (r.isNullAt(2)) null
+        else java.lang.Double.valueOf(r.getDouble(2)))
+    }
+    def sparkMax(x: java.lang.Double, y: java.lang.Double): java.lang.Double =
+      if (x == null) y else if (y == null) x
+      else if (x.isNaN || y.isNaN) java.lang.Double.valueOf(Double.NaN)
+      else java.lang.Double.valueOf(math.max(x.doubleValue, y.doubleValue))
+    def mmrVal(rel: java.lang.Double,
+        ms: java.lang.Double): java.lang.Double =
+      if (rel == null || ms == null) null
+      else java.lang.Double.valueOf(
+        lambda * rel.doubleValue - mu * ms.doubleValue)
+    // is (mA, idA) ranked before (mB, idB) under mmr DESC (NaN first,
+    // NULLs last), vec_id ASC on ties?
+    def beats(mA: java.lang.Double, idA: Long,
+        mB: java.lang.Double, idB: Long): Boolean = {
+      val cA = if (mA == null) 0 else if (mA.isNaN) 2 else 1
+      val cB = if (mB == null) 0 else if (mB.isNaN) 2 else 1
+      if (cA != cB) cA > cB
+      else if (cA == 1 && mA.doubleValue != mB.doubleValue)
+        mA.doubleValue > mB.doubleValue
+      else idA < idB
+    }
+    val selected = scala.collection.mutable.Set.empty[Long]
+    // running per-candidate max-similarity to the selected set; merging
+    // per pick with sparkMax equals each round's full max() re-aggregate
+    val msNow = new java.util.HashMap[Long, java.lang.Double]()
+    var sel = Vector.empty[(Long, Long, Double, Double, Double)]
+    var exhausted = false
     while (sel.length < k && !exhausted) {
-      val ids = sel.map(_._2)
-      val ms = psim.filter(col("b").isin(ids: _*))
-        .groupBy(col("a")).agg(max(col("cos")).as("ms"))
-      val picks = pool.filter(!col("vec_id").isin(ids: _*))
-        .join(ms, col("vec_id") === col("a"))
-        .select(col("vec_id"), col("rel"), col("ms"))
-        .withColumn("mmr", mmrOf)
-        .orderBy(col("mmr").desc, col("vec_id").asc).limit(1)
-        .collect()
-      picks.headOption match {
-        case Some(pick) =>
-          sel = sel :+ ((sel.length + 1L, pick.getLong(0),
-            pick.getDouble(1), pick.getDouble(2), pick.getDouble(3)))
-        case None => exhausted = true
+      var found = false
+      var bId = 0L
+      var bRel: java.lang.Double = null
+      var bMs: java.lang.Double = null
+      var bMmr: java.lang.Double = null
+      poolRows.foreach { case (id, rel) =>
+        if (!selected.contains(id)) {
+          // the first pick scores against a literal 0.0 max-sim
+          val ms = if (sel.isEmpty) java.lang.Double.valueOf(0.0)
+            else msNow.get(id)
+          val m = mmrVal(rel, ms)
+          if (!found || beats(m, id, bMmr, bId)) {
+            found = true; bId = id; bRel = rel; bMs = ms; bMmr = m
+          }
+        }
+      }
+      if (!found) exhausted = true
+      else {
+        // .doubleValue on a null pick NPEs exactly like the previous
+        // formulation's Row.getDouble — unreachable unless the whole
+        // remaining pool is degenerate
+        sel = sel :+ ((sel.length + 1L, bId, bRel.doubleValue,
+          bMs.doubleValue, bMmr.doubleValue))
+        selected += bId
+        poolRows.foreach { case (id, _) =>
+          if (!selected.contains(id))
+            msNow.put(id, sparkMax(msNow.get(id), cosOf.get((id, bId))))
+        }
       }
     }
     sel.toDF("rank", "vec_id", "rel", "max_sim", "mmr")
