@@ -35,6 +35,7 @@ object DedupOps {
       clusterCache.synchronized(clusterCache.clear())
       shingleCaches.synchronized(shingleCaches.clear())
       spanCache.synchronized(spanCache.clear())
+      clearFastssCache()
     }
     // outside the sharedCaches monitor: clearNearDupCache takes the
     // similarity-side locks, and nearDupPairs acquires them BEFORE
@@ -824,18 +825,41 @@ object DedupOps {
     * which the verified output also has. len+1 keys per row is the
     * d=1 cost; d=2 needs the quadratic 2-deletion neighborhood —
     * documented, not built. */
+  /** Memoized FastSS deletion-neighborhood index per (session, sf
+    * dir) — the lsh_signatures discipline applied to the record-linkage
+    * index: (id, name, k) exploded keys, PRE-PARTITIONED on k so the
+    * candidate self-join reads both sides exchange-free from one
+    * cache. Built once per session (wall-timed `fastss_index`),
+    * released with the other shared caches. */
+  private val fastssCaches =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def clearFastssCache(): Unit =
+    fastssCaches.synchronized(fastssCaches.clear())
+
+  private[graft] def fastssIndex(spark: SparkSession, dir: String): DataFrame =
+    fastssCaches.synchronized {
+      fastssCaches.getOrElseUpdate((spark, dir),
+        graft.BuildTimers.timed("fastss_index") {
+          val c = Tables.customer(spark, dir)
+            .select(col("c_custkey").as("id"), col("c_name").as("name"))
+          // array_distinct: a run of j equal chars yields the same
+          // deletion string j times — without it every candidate pair
+          // is emitted up to j_a×j_b times into the join (64× on
+          // zero-padded keys) before the distinct can collapse it.
+          // Dedup per-row, pre-explode, pre-shuffle.
+          registerCache(c.select(col("id"), col("name"), explode(expr(
+            """array_distinct(transform(sequence(0, length(name)),
+              |  i -> xxhash64(CASE WHEN i = 0 THEN name
+              |    ELSE concat(substring(name, 1, i - 1),
+              |                substring(name, i + 1)) END)))""".stripMargin)).as("k"))
+            .repartition(col("k"))
+            .persist())
+        })
+    }
+
   def editDistanceNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
-      .select(col("c_custkey").as("id"), col("c_name").as("name"))
-    // array_distinct: a run of j equal chars yields the same deletion
-    // string j times — without it every candidate pair is emitted up to
-    // j_a×j_b times into the join (64× on zero-padded keys) before the
-    // distinct can collapse it. Dedup per-row, pre-explode, pre-shuffle.
-    val keyed = c.select(col("id"), col("name"), explode(expr(
-      """array_distinct(transform(sequence(0, length(name)),
-        |  i -> xxhash64(CASE WHEN i = 0 THEN name
-        |    ELSE concat(substring(name, 1, i - 1),
-        |                substring(name, i + 1)) END)))""".stripMargin)).as("k"))
+    val keyed = fastssIndex(spark, dir)
     // verify BEFORE distinct: candidate multiplicity is ≤2 keys per true
     // pair after the per-row key dedup, so verifying on the raw join
     // output is cheaper than shuffling name strings through a distinct —
