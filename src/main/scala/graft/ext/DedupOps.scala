@@ -36,6 +36,7 @@ object DedupOps {
       shingleCaches.synchronized(shingleCaches.clear())
       spanCache.synchronized(spanCache.clear())
       clearFastssCache()
+      clearSimhashCache()
     }
     // outside the sharedCaches monitor: clearNearDupCache takes the
     // similarity-side locks, and nearDupPairs acquires them BEFORE
@@ -689,6 +690,12 @@ object DedupOps {
     * more candidate collisions for guaranteed recall, which is the
     * standard cost — at 100 TB pick the smallest radius the corpus
     * needs, or add Manku's block-permutation tables for selectivity. */
+  private val simhashCaches = scala.collection.mutable
+    .Map.empty[(SparkSession, String, Boolean), (DataFrame, Long)]
+
+  private[graft] def clearSimhashCache(): Unit =
+    simhashCaches.synchronized(simhashCaches.clear())
+
   def simhashPairs(spark: SparkSession, dir: String,
                    maxHamming: Int = 8, md5Mode: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
@@ -697,9 +704,26 @@ object DedupOps {
     // extra bit, e.g. radius 8 -> one 8-bit block + eight 7-bit blocks
     val widths = Array.tabulate(nBlocks)(b => 64 / nBlocks + (if (b < 64 % nBlocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val docs = Tables.documents(spark, dir)
-      .transform(FanOut(_))
-      .select(col("doc_id"), simhash("text", md5Mode).as("sh"))
+    // session-cached fingerprint table (r16; the fastss_index /
+    // lsh_signatures discipline): the fingerprints are a static
+    // function of the documents table, yet the self-join's two subtree
+    // executions used to recompute the md5-mode simhash — ~100 digests
+    // per doc — TWICE per run. Only the (doc_id, sh) table caches: the
+    // block explode below is a cheap map over it, and deriving it per
+    // side keeps the candidate join's build side an ordinary small
+    // relation AQE broadcasts (a pre-partitioned cached explode was
+    // measured SLOWER — exact in-memory stats pushed it over the
+    // broadcast threshold and bought two sort-merge sorts per run).
+    val (docs, nDocs) = simhashCaches.synchronized {
+      simhashCaches.getOrElseUpdate((spark, dir, md5Mode),
+        graft.BuildTimers.timed("simhash_fingerprints") {
+          val t = registerCache(Tables.documents(spark, dir)
+            .transform(FanOut(_))
+            .select(col("doc_id"), simhash("text", md5Mode).as("sh"))
+            .persist())
+          (t, t.count()) // materializes the cache; count feeds the gate
+        })
+    }
     // mask via -1L >>> (64 - w): the naive (1L << w) - 1 is 0 at w=64
     // (JVM shifts are mod 64), which would collapse maxHamming=0 into
     // one all-pairs bucket
@@ -713,7 +737,18 @@ object DedupOps {
     // block width most candidates are false positives, so filtering
     // first shrinks the dropDuplicates exchange by ~50× — the narrow
     // fingerprints ride along through the join at 8 bytes each
-    val candidates = blocked.as("a").join(blocked.as("b"),
+    // explicit size-gated broadcast (the triangle-probe discipline):
+    // the blocked side is nBlocks rows/doc at ~24 B each; leaving the
+    // decision to runtime stats was measured bimodal (the cached
+    // relation's exact size hovers at the threshold), so the hint
+    // rides the materialized fingerprint count and drops cleanly on
+    // corpora past the budget
+    val bcSide =
+      if (nDocs * nBlocks * 24L <=
+            graft.operators.GraphOps.broadcastThresholdBytes(spark))
+        broadcast(blocked)
+      else blocked
+    val candidates = blocked.as("a").join(bcSide.as("b"),
         col("a.block") === col("b.block") &&
           col("a.block_val") === col("b.block_val") &&
           col("a.doc_id") < col("b.doc_id"))

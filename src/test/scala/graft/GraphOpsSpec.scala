@@ -102,6 +102,35 @@ class GraphOpsSpec extends SparkSuite {
     }
   }
 
+  test("driver-collect gate honors the budget override conf, structurally") {
+    val key = GraphOps.DriverBudgetConfKey
+    try {
+      // gate open (default budget): the triangle face is a precomputed
+      // local relation, no joins in its plan
+      val gated = GraphOps.triangleCount(spark, sf)
+      assert(gated.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"))
+      // gate force-closed: the SAME entry points must plan distributed
+      spark.conf.set(key, "-1")
+      assert(GraphOps.driverCollectBudgetBytes(spark) == -1L)
+      val closed = GraphOps.triangleCount(spark, sf)
+      val p = closed.queryExecution.executedPlan.toString
+      assert(p.contains("LeftSemi"), "closed gate still took the driver path: " +
+        p.take(400))
+      assert(closed.collect().head.toSeq == gated.collect().head.toSeq,
+        "gate modes disagree on the triangle census")
+      val lpaClosed = GraphOps.labelPropagation(spark, sf)
+      assert(!lpaClosed.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"), "closed gate still took the driver path")
+      // unparseable budget reads as never-collect (conservative)
+      spark.conf.set(key, "a-parsec")
+      assert(GraphOps.driverCollectBudgetBytes(spark) == -1L)
+      // explicit byte-string override is honored
+      spark.conf.set(key, "64m")
+      assert(GraphOps.driverCollectBudgetBytes(spark) == 64L * 1024 * 1024)
+    } finally spark.conf.unset(key)
+  }
+
   test("broadcast threshold parser: -1 and garbage read as never-broadcast") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val saved = spark.conf.get(key)
