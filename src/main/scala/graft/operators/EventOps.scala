@@ -604,7 +604,23 @@ object EventOps {
     * per-partition offsets — no one-task window) over the USER-sized
     * aggregate, with user_id breaking metric ties so the bucketing is
     * total-ordered and engine-replayable via plain ntile. */
-  def rfmScores(spark: SparkSession, dir: String): DataFrame = {
+  def rfmScores(spark: SparkSession, dir: String): DataFrame =
+    rfmScoresGated(spark, dir, useDriverGate = true)
+
+  /** [[rfmScores]] with the driver gate exposed for the spec's
+    * equality pin. The events scan + per-user aggregate is the
+    * data-sized work and always runs distributed, materialized ONCE
+    * (both paths read the checkpoint); the triple quintile ranking
+    * over the USER-sized result is scheduling-bound — three range
+    * exchanges + checkpoints for three closed-form ntiles — so under
+    * the priced driver-collect gate (r16; the graph-family
+    * discipline, honoring the same spark.graft.driverCollectBudget
+    * override) it runs in memory, replicating the exact total order
+    * (metric ASC NULLS FIRST, unique user_id tiebreak) and the exact
+    * integer bucket formula. Above the gate — billions of users — the
+    * withGlobalRank chain below is unchanged. */
+  private[graft] def rfmScoresGated(spark: SparkSession, dir: String,
+      useDriverGate: Boolean): DataFrame = {
     val k = 5
     def ntileOf(df: DataFrame, metric: Column, name: String): DataFrame =
       Relational.withGlobalRank(df, Seq(metric.asc, col("user_id").asc))
@@ -619,6 +635,60 @@ object EventOps {
       .agg(max(to_date(col("ts"))).as("last_day"),
         count(lit(1)).as("n_events"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .localCheckpoint()
+    if (useDriverGate) {
+      val n = u.count() // checkpoint stats — no second events scan
+      // 32 B/row: id + epoch-day + count + cents at Catalyst widths
+      if (n * 32L <=
+            graft.operators.GraphOps.driverCollectBudgetBytes(spark)) {
+        val rows = u.collect().map { r => (
+          if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
+          if (r.isNullAt(1)) null else r.getDate(1),
+          r.getLong(2),
+          if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)))
+        }
+        def cmpL(a: java.lang.Long, b: java.lang.Long): Int =
+          if (a == null && b == null) 0 else if (a == null) -1
+          else if (b == null) 1 else java.lang.Long.compare(a, b)
+        def cmpD(a: java.sql.Date, b: java.sql.Date): Int =
+          if (a == null && b == null) 0 else if (a == null) -1
+          else if (b == null) 1 else a.compareTo(b)
+        // the exact SQL CASE above: first (n mod k) buckets take
+        // ⌈n/k⌉ rows, the rest ⌊n/k⌋ (else-branch unreachable at q=0)
+        def bucket(rn: Long, total: Long): Long = {
+          val q = total / k; val m = total % k
+          if (rn <= m * (q + 1)) (rn - 1) / (q + 1) + 1
+          else m + (rn - m * (q + 1) - 1) / q + 1
+        }
+        // rank positions under (metric ASC NULLS FIRST, user_id ASC) —
+        // user_id is unique (one group per user, nulls one group), so
+        // the order is total and positions are deterministic
+        def bucketsBy(cmp: (Int, Int) => Int): Array[Long] = {
+          val sorted = Array.range(0, rows.length)
+            .sortWith((x, y) => cmp(x, y) < 0)
+          val out = new Array[Long](rows.length)
+          var i = 0
+          while (i < sorted.length) {
+            out(sorted(i)) = bucket(i + 1L, rows.length.toLong)
+            i += 1
+          }
+          out
+        }
+        def thenId(c: Int, x: Int, y: Int): Int =
+          if (c != 0) c else cmpL(rows(x)._1, rows(y)._1)
+        val rB = bucketsBy((x, y) => thenId(cmpD(rows(x)._2, rows(y)._2), x, y))
+        val fB = bucketsBy((x, y) =>
+          thenId(java.lang.Long.compare(rows(x)._3, rows(y)._3), x, y))
+        val mB = bucketsBy((x, y) => thenId(cmpL(rows(x)._4, rows(y)._4), x, y))
+        import spark.implicits._
+        return rows.indices.map(i => (rows(i)._1, rows(i)._2, rows(i)._3,
+            rows(i)._4, rB(i), fB(i), mB(i),
+            rB(i) * 100 + fB(i) * 10 + mB(i)))
+          .toDF("user_id", "last_day", "n_events", "cents",
+            "r", "f", "m", "rfm")
+          .orderBy(col("user_id"))
+      }
+    }
     val scored = ntileOf(ntileOf(ntileOf(u,
         col("last_day"), "r"), col("n_events"), "f"), col("cents"), "m")
     scored.select(col("user_id"), col("last_day"), col("n_events"),

@@ -239,6 +239,12 @@ class EventOpsSpec extends SparkSuite {
     val byCents = rows.sortBy(r => (r.getAs[Long]("cents"), r.getAs[Long]("user_id")))
       .map(_.getAs[Long]("m"))
     assert(byCents.zip(byCents.tail).forall { case (a, b) => a <= b })
+    // the r16 driver-ranked path (what the gate served above) must
+    // equal the distributed withGlobalRank chain row-for-row
+    val dist = EventOps.rfmScoresGated(spark, sf, useDriverGate = false)
+      .collect()
+    assert(rows.map(_.toSeq).toSeq == dist.map(_.toSeq).toSeq,
+      "driver rfm ranking diverged from the withGlobalRank chain")
   }
 
   test("concentration deciles: partition users, conserve cents, Lorenz-monotone") {

@@ -335,7 +335,15 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("rfm has no single-partition exchange over the data") {
-    val p = plan("ev_rfm")
+    // the registry face takes the r16 driver-ranked path at test/bench
+    // SFs (pinned below); the structural pins exercise the distributed
+    // withGlobalRank chain that runs above the collect gate
+    val gated = plan("ev_rfm")
+    assert(gated.contains("LocalTableScan") && !gated.contains("Window"),
+      "gated face should be driver-ranked: " + gated.take(400))
+    val p = graft.operators.EventOps
+      .rfmScoresGated(spark, sf, useDriverGate = false)
+      .queryExecution.executedPlan.toString
     // each quintile's range sort — and every stage before the last —
     // materializes at withGlobalRank's localCheckpoint (its determinism
     // contract), so the printed plan shows only the FINAL metric's
