@@ -576,6 +576,13 @@ object TextOps {
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
     val vocab = toks.select(explode(col("t")).as("w"))
       .agg(count_distinct(col("w")).as("vocab"))
+    // NOTE (r16): two rewrites were measured and REJECTED as no better
+    // — window counts over the raw bigram stream (two corpus-sized
+    // sorts replace the saved tokenize scans) and deriving c_a as
+    // Σ_b c_ab from the grouped table. The aggregate subtrees below
+    // each re-execute the tokenize+explode, but every one is a
+    // map-side-combining hash aggregate over it, which is the part
+    // that matters at scale.
     val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
     val ca = bg.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
     bg.join(cab, Seq("a", "b"))
