@@ -102,6 +102,26 @@ class GraphOpsSpec extends SparkSuite {
     }
   }
 
+  test("weighted CSR builder: degrees, alignment and symmetry by hand") {
+    // path 1-2-3 plus a heavy 1-3 edge: nodes sorted-unique, off spans
+    // sum to 2|E|, every (u, v, w) slot has its mirrored (v, u, w)
+    val w = GraphOps.buildWeightedCsr(
+      Array(1L, 2L, 1L), Array(2L, 3L, 3L), Array(10L, 20L, 30L))
+    val g = w.csr
+    assert(g.nodes.toSeq == Seq(1L, 2L, 3L))
+    assert(g.off.toSeq == Seq(0, 2, 4, 6))
+    val slots = (0 until 3).flatMap { i =>
+      (g.off(i) until g.off(i + 1)).map(e =>
+        (g.nodes(i), g.nodes(g.adj(e)), w.wgt(e)))
+    }.toSet
+    assert(slots == Set((1L, 2L, 10L), (2L, 1L, 10L), (2L, 3L, 20L),
+      (3L, 2L, 20L), (1L, 3L, 30L), (3L, 1L, 30L)))
+    // degenerate: no edges
+    val e = GraphOps.buildWeightedCsr(Array.empty, Array.empty, Array.empty)
+    assert(e.csr.nodes.isEmpty && e.csr.off.toSeq == Seq(0) &&
+      e.csr.adj.isEmpty && e.wgt.isEmpty)
+  }
+
   test("driver-collect gate honors the budget override conf, structurally") {
     val key = GraphOps.DriverBudgetConfKey
     try {
