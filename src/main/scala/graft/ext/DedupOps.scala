@@ -32,16 +32,18 @@ object DedupOps {
     sharedCaches.synchronized {
       sharedCaches.foreach(_.unpersist())
       sharedCaches.clear()
-      clusterCache.synchronized(clusterCache.clear())
-      shingleCaches.synchronized(shingleCaches.clear())
-      spanCache.synchronized(spanCache.clear())
-      clearFastssCache()
-      clearSimhashCache()
     }
-    // outside the sharedCaches monitor: clearNearDupCache takes the
-    // similarity-side locks, and nearDupPairs acquires them BEFORE
-    // calling registerCache (which takes sharedCaches) — nesting the
-    // clear inside would invert that order and allow an ABBA deadlock
+    // every sub-cache clear stays OUTSIDE the sharedCaches monitor:
+    // their builders (hashedShingles, simhashPairs, fastssIndex,
+    // spanCoverage, nearDupPairs, …) acquire their own lock FIRST and
+    // then call registerCache (which takes sharedCaches) — clearing
+    // them while holding sharedCaches would invert that lock order and
+    // allow an ABBA deadlock under concurrent use
+    clusterCache.synchronized(clusterCache.clear())
+    shingleCaches.synchronized(shingleCaches.clear())
+    spanCache.synchronized(spanCache.clear())
+    clearFastssCache()
+    clearSimhashCache()
     graft.ext.SimilarityOps.clearNearDupCache()
     graft.operators.GraphOps.clearGraphCaches()
     graft.ext.TextOps.clearSessionState()

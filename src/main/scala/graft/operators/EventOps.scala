@@ -638,14 +638,39 @@ object EventOps {
       .localCheckpoint()
     if (useDriverGate) {
       val n = u.count() // checkpoint stats — no second events scan
-      // 32 B/row: id + epoch-day + count + cents at Catalyst widths
-      if (n * 32L <=
+      // 40 B/row: null mask + id + epoch-day + count + cents — the
+      // EXACT packed width collected below (a boxed-Row collect holds
+      // ~10x that in object headers — the collectCsr lesson; r16
+      // ADVICE flagged pricing 32 B but collecting boxed Rows)
+      if (n * 40L <=
             graft.operators.GraphOps.driverCollectBudgetBytes(spark)) {
-        val rows = u.collect().map { r => (
-          if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
-          if (r.isNullAt(1)) null else r.getDate(1),
-          r.getLong(2),
-          if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)))
+        // toRdd hands over the checkpoint's InternalRows; packing
+        // primitives per partition keeps the driver buffer at what the
+        // gate priced. DateType is an Int (days since epoch) here.
+        val flat: Array[Long] = u.queryExecution.toRdd
+          .mapPartitions { it =>
+            val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+            it.foreach { r =>
+              buf += ((if (r.isNullAt(0)) 1L else 0L) |
+                      (if (r.isNullAt(1)) 2L else 0L) |
+                      (if (r.isNullAt(3)) 4L else 0L))
+              buf += (if (r.isNullAt(0)) 0L else r.getLong(0))
+              buf += (if (r.isNullAt(1)) 0L else r.getInt(1).toLong)
+              buf += r.getLong(2)
+              buf += (if (r.isNullAt(3)) 0L else r.getLong(3))
+            }
+            Iterator.single(buf.result())
+          }.collect().flatten
+        val rows = Array.tabulate(flat.length / 5) { i =>
+          val m = flat(i * 5)
+          (if ((m & 1L) != 0L) null
+             else java.lang.Long.valueOf(flat(i * 5 + 1)),
+           if ((m & 2L) != 0L) null
+             else java.sql.Date.valueOf(
+               java.time.LocalDate.ofEpochDay(flat(i * 5 + 2))),
+           flat(i * 5 + 3),
+           if ((m & 4L) != 0L) null
+             else java.lang.Long.valueOf(flat(i * 5 + 4)))
         }
         def cmpL(a: java.lang.Long, b: java.lang.Long): Int =
           if (a == null && b == null) 0 else if (a == null) -1

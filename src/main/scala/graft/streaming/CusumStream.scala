@@ -109,7 +109,7 @@ object CusumStream {
         val n = st.getPath.getName
         if (n.startsWith("data_b") && n != s"data_b$batchId")
           fs.delete(st.getPath, true)
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     // Alert page AFTER the commit point, derived from the COMMITTED
     // view: a crash between commit and this write leaves the page one

