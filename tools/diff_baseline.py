@@ -40,10 +40,35 @@ def main():
     added = sorted(set(dq) - set(bq))
     removed = sorted(set(bq) - set(dq))
 
+    def adjudicated_cold(row):
+        """The COLD value the 2x/1.5x gates should see (r16 judge #1):
+        build-discounted (a query that merely absorbed a shared
+        session-cache build this round did not get slower), and — when
+        the first-touch window was dirty — the fresh cold re-read Bench
+        records after releasing the session caches, preferring a retry
+        whose own window was clean."""
+        cold = row.get("cold")
+        if cold is None or cold < 0:
+            return None
+        val = cold - row.get("build_sec", 0.0)
+        rc = row.get("retry_cold")
+        if row.get("dirty") and rc is not None and rc >= 0 \
+                and not row.get("retry_cold_dirty"):
+            val = rc - row.get("retry_cold_build", 0.0)
+        return max(0.0, val)
+
     regressions, improvements = [], []
     for name in shared:
         for kind in ("warm_med", "cold"):
-            old, new = bq[name].get(kind), dq[name].get(kind)
+            if kind == "cold":
+                old = adjudicated_cold(bq[name])
+                new = adjudicated_cold(dq[name])
+            else:
+                old, new = bq[name].get(kind), dq[name].get(kind)
+                # a dirty row's clean warm retry supersedes its warm_med
+                if dq[name].get("dirty") and not dq[name].get("retry_dirty") \
+                        and dq[name].get("retry", -1) >= 0:
+                    new = dq[name]["retry"]
             if old is None or new is None or new < 0:
                 continue
             delta = new - old
