@@ -90,4 +90,62 @@ class IngestSourceSpec extends SparkSuite {
     val v1 = csvFace(dir).filter(col("person_id") === "7").collect().head
     assert(v1.isNullAt(1) && v1.getString(2) == "80")
   }
+
+  private def streamV2(dir: String) =
+    graft.streaming.IngestStream.entityStream(spark, dir, "x", "person")
+
+  test("streaming read shares the DSv2 reader: parity with batch, new files only") {
+    val dir = fixture()
+    val ckpt = Files.createTempDirectory("graft-dsv2-ckpt").toString
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[String]]]
+    def drainOnce(): Unit = {
+      val q = streamV2(dir).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect()
+            .map(r => (0 until r.length).map(i =>
+              if (r.isNullAt(i)) null else r.getString(i)).toSeq).toSeq
+          if (rows.nonEmpty) batches.synchronized { batches += rows }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    // poll 1: the first micro-batch consumes every existing file and
+    // matches the batch read row for row (single parse path)
+    drainOnce()
+    val batchRows = readV2(dir).collect()
+      .map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) null else r.getString(i)).toSeq).toSeq
+    assert(batches.size == 1, s"expected one non-empty micro-batch, got $batches")
+    assert(batches.head.sortBy(_.head) == batchRows.sortBy(_.head))
+    // poll 2 (restart from the checkpoint, mirroring ingestor.js:54's
+    // repeated poll): ONLY the newly-arrived file is consumed — the
+    // file-set offset gives per-file exactly-once, even though the new
+    // file sorts BEFORE the already-consumed sample
+    writeGz(s"$dir/pending/x/person/person_extra.csv.gz", "9,zoe,20\n")
+    drainOnce()
+    assert(batches.size == 2, s"expected exactly two non-empty micro-batches, got ${batches.size}")
+    assert(batches(1) == Seq(Seq("9", "zoe", "20")))
+  }
+
+  test("streaming scan keeps pruning and pushdown (one reader, both modes)") {
+    val dir = fixture()
+    val ckpt = Files.createTempDirectory("graft-dsv2-ckpt2").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = streamV2(dir)
+      .filter(col("name") === "bob").select(col("person_id"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen ++= df.collect().map(_.getString(0)).toSeq }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(seen.toSeq == Seq("2"))
+  }
 }
