@@ -34,6 +34,82 @@ object TextHashUtil {
     * DP costs ~7µs/pair at this length; this runs at memcmp speed —
     * the per-candidate verify of the d=1 FastSS join is the hot loop
     * of the fuzzy self-join at scale. */
+  /** Exact `levenshtein(a, b) <= 2`: strip the common prefix and
+    * suffix (distance-preserving), then a width-5 banded DP (Ukkonen
+    * band k=2) over the residual code points with per-row early exit.
+    * The verify of the d=2 FastSS join runs at candidate-pair
+    * cardinality, and near-pairs trim to a residual of ≤ ~4 code
+    * points, so the DP is a handful of cells — far pairs die on the
+    * length gate or the first band-exceeded row. */
+  def editWithin2(a: UTF8String, b: UTF8String): Boolean = {
+    val nb = a.numBytes(); val mb = b.numBytes()
+    if (math.abs(nb - mb) > 8) return false // 2 chars ≤ 8B
+    if (nb == a.numChars() && mb == b.numChars()) {
+      // ASCII fast path: bytes ARE code points — trim and run the DP
+      // straight off getByte, zero allocation beyond the two ≤len+1
+      // int rows (the hot loop verifies tens of millions of candidate
+      // pairs; the codepoint decode dominated it before this path)
+      if (math.abs(nb - mb) > 2) return false
+      var n = nb; var m = mb
+      var p = 0
+      val minNm = math.min(n, m)
+      while (p < minNm && a.getByte(p) == b.getByte(p)) p += 1
+      var s = 0
+      while (s < minNm - p && a.getByte(n - 1 - s) == b.getByte(m - 1 - s)) s += 1
+      n -= p + s; m -= p + s
+      if (n == 0 || m == 0) return math.max(n, m) <= 2
+      bandedWithin2(n, m,
+        (i, j) => a.getByte(p + i) == b.getByte(p + j))
+    } else {
+      val ac = a.toString.codePoints().toArray
+      val bc = b.toString.codePoints().toArray
+      var n = ac.length; var m = bc.length
+      if (math.abs(n - m) > 2) return false
+      var p = 0
+      val minNm = math.min(n, m)
+      while (p < minNm && ac(p) == bc(p)) p += 1
+      var s = 0
+      while (s < minNm - p && ac(n - 1 - s) == bc(m - 1 - s)) s += 1
+      n -= p + s; m -= p + s
+      if (n == 0 || m == 0) return math.max(n, m) <= 2
+      bandedWithin2(n, m, (i, j) => ac(p + i) == bc(p + j))
+    }
+  }
+
+  /** Width-5 banded Levenshtein (k=2) over residual lengths n×m with
+    * an equality accessor on 0-based residual indices; early-exits the
+    * moment a whole row exceeds the band. */
+  private def bandedWithin2(n: Int, m: Int,
+      eq: (Int, Int) => Boolean): Boolean = {
+    val K = 2; val INF = K + 1
+    val prev = new Array[Int](m + 1)
+    val cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= K) j else INF; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, INF)
+      cur(0) = if (i <= K) i else INF
+      var rowMin = cur(0)
+      val from = math.max(1, i - K); val to = math.min(m, i + K)
+      j = from
+      while (j <= to) {
+        val cost = if (eq(i - 1, j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1
+        if (v > INF) v = INF
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin >= INF) return false
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    prev(m) <= K
+  }
+
   def editWithin1(a: UTF8String, b: UTF8String): Boolean = {
     val n = a.numBytes(); val m = b.numBytes()
     if (math.abs(n - m) > 4) return false // one UTF-8 char is ≤ 4 bytes
@@ -385,6 +461,27 @@ case class TokenHits(child: Expression, markerSets: Seq[Seq[String]])
 
   override protected def withNewChildInternal(newChild: Expression): TokenHits =
     copy(child = newChild)
+}
+
+/** `edit_within2(a, b)`: exact `levenshtein(a, b) <= 2` — trimmed
+  * banded DP ([[TextHashUtil.editWithin2]]), the codegen'd candidate
+  * verify of the FastSS d=2 fuzzy join. */
+case class EditWithin2(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "edit_within2"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextHashUtil.editWithin2(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (l, r) => s"graft.functions.TextHashUtil.editWithin2($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EditWithin2 =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `edit_within1(a, b)`: exact `levenshtein(a, b) <= 1` as one fused

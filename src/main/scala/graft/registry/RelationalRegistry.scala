@@ -688,6 +688,33 @@ private[graft] object RelationalRegistry {
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
 
+  private[graft] val qFuzzyJoin2Sql: String =
+    """WITH c AS MATERIALIZED (SELECT c_custkey AS id, c_name AS name
+      |                        FROM customer),
+      |k AS MATERIALIZED (
+      |  SELECT DISTINCT id, key FROM (
+      |    SELECT id, name AS key FROM c
+      |    UNION ALL
+      |    SELECT id, substr(name, 1, i - 1) || substr(name, i + 1)
+      |    FROM c, LATERAL (SELECT unnest(generate_series(1, length(name)))
+      |                     AS i) t
+      |    UNION ALL
+      |    SELECT id, substr(name, 1, i - 1) || substr(name, i + 1, j - i - 1)
+      |               || substr(name, j + 1)
+      |    FROM c,
+      |      LATERAL (SELECT unnest(generate_series(1, length(name))) AS i) ti,
+      |      LATERAL (SELECT unnest(generate_series(1, length(name))) AS j) tj
+      |    WHERE j > i)),
+      |cand AS (SELECT DISTINCT a.id AS a, b.id AS b
+      |         FROM k a JOIN k b ON a.key = b.key AND a.id < b.id),
+      |p AS MATERIALIZED (
+      |  SELECT cand.a, cand.b FROM cand
+      |  JOIN c ca ON ca.id = cand.a JOIN c cb ON cb.id = cand.b
+      |  WHERE levenshtein(ca.name, cb.name) <= 2),
+      |s AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p)
+      |SELECT a AS c_custkey, count(*) AS n_neighbors, min(b) AS nearest_key
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[graft] val qAsofForwardSql: String =
     """WITH e AS (SELECT event_id, user_id, event_type,
       |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
@@ -1074,6 +1101,7 @@ private[graft] object RelationalRegistry {
     "q_dq_report" -> ((s, d) => graft.operators.StatsOps.dqReport(s, d)),
     "q_asof_forward" -> ((s, d) => EventOps.nextViewAfterPurchase(s, d)),
     "q_fuzzy_join" -> ((s, d) => graft.ext.DedupOps.editDistanceNeighbors(s, d)),
+    "q_fuzzy_join2" -> ((s, d) => graft.ext.DedupOps.editDistanceNeighbors2(s, d)),
     "q_compaction_plan" -> ((s, d) => graft.sources.LayoutOps.compactionPlan(s, d)),
     "q_outliers_mad" -> ((s, d) => graft.operators.StatsOps.madOutliers(s, d)),
     "q_bfs" -> ((s, d) => graft.operators.GraphOps.bfsHops(s, d)),
@@ -1486,6 +1514,9 @@ private[graft] object RelationalRegistry {
     // provably cannot change the verified output) and the levenshtein
     // verify that defines the relation.
     "q_fuzzy_join" -> qFuzzyJoinSql,
+    // q_fuzzy_join2: same FastSS replay at k=2 — string-keyed
+    // 2-deletion neighborhood blocking, exact levenshtein <= 2 verify.
+    "q_fuzzy_join2" -> qFuzzyJoin2Sql,
     // q_compaction_plan: next-fit bin packing on the file listing —
     // pure integer running-sum arithmetic, exact in any engine.
     "q_compaction_plan" -> qCompactionPlanSql,

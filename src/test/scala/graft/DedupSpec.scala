@@ -305,6 +305,73 @@ class DedupSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("edit_within2 kernel equals the full DP on adversarial pairs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val cases = Seq(
+      ("", ""), ("", "ab"), ("", "abc"), ("a", "a"), ("ab", "ba"),
+      ("abcdef", "abcdef"), ("abcdef", "abdcef"),     // transposition = 2
+      ("abcdef", "xbcdey"),                            // subs at both ends
+      ("abcdef", "bcdefa"), ("abcdef", "abcf"),        // rotate / 2 dels
+      ("abcdef", "aXbcdeYf"), ("abcdef", "abXdYf"),
+      ("aaaaaa", "aaabaa"), ("aaaaaa", "bbaaaa"), ("aaaaaa", "aaa"),
+      ("Customer#000000017", "Customer#000000071"),
+      ("Customer#000000017", "Customer#000000999"),
+      ("café crème", "cafe creme"),          // multi-byte subs
+      ("ab😀cd", "abcd"),                    // astral deletion
+      ("abcdefgh", "hgfedcba"))
+    for ((a, b) <- cases; (x, y) <- Seq((a, b), (b, a))) {
+      val got = graft.functions.TextHashUtil.editWithin2(
+        UTF8String.fromString(x), UTF8String.fromString(y))
+      // lev over chars differs from codepoints only for astral pairs —
+      // recompute over codepoints for the reference
+      val cp = lev(new String(x.codePoints.toArray.map(_.toChar)),
+        new String(y.codePoints.toArray.map(_.toChar)))
+      assert(got == (cp <= 2), s"editWithin2('$x','$y') = $got, lev = $cp")
+    }
+  }
+
+  test("fastss d=2 blocking is complete: face equals brute force at distance <= 2") {
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val names = graft.model.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val want = names.map { case (id, n) =>
+      val nbrs = names.filter { case (oid, on) => oid != id && lev(n, on) <= 2 }
+      id -> nbrs
+    }.filter(_._2.nonEmpty)
+      .map { case (id, nbrs) => id -> ((nbrs.length.toLong, nbrs.map(_._1).min)) }
+      .toMap
+    val got = DedupOps.editDistanceNeighbors2(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
+
   test("connected components: 1024-edge path converges in logarithmic rounds") {
     import spark.implicits._
     // the worst case for plain min-label propagation (O(diameter)
