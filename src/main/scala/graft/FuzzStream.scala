@@ -26,6 +26,9 @@ object FuzzStream {
 
   final case class FzDoc(doc_id: Long, text: String)
   final case class FzEv(ts: java.sql.Timestamp, event_type: String)
+  final case class FzSess(event_id: Long, ts: java.sql.Timestamp,
+                          user_id: Option[Long], event_type: String,
+                          value: Option[Double])
 
   private var failed = false
   private def check(name: String)(cond: Boolean, msg: => String): Unit =
@@ -235,6 +238,47 @@ object FuzzStream {
     servedEqualsBatch("dsir",
       art => DsirStream.writeModel(spark, dir, art),
       (df, art) => DsirStream.scoreStream(df, art))
+
+    // ---- SessionStream: the REAL streaming engine (native
+    // session_window + watermark) over time-ordered random chunks,
+    // committed through the append protocol, ≡ the batch aggregate.
+    // Chunks must be time-ordered (a later chunk below the advanced
+    // watermark would be DROPPED by design); the randomness is in the
+    // cut points, which decide how sessions straddle micro-batch state.
+    {
+      import graft.streaming.SessionStream
+      val rows = EventOps.events(spark, dir)
+        .filter($"ts".isNotNull)
+        .select($"event_id".cast("long"), $"ts".cast("timestamp"),
+          $"user_id".cast("long"), $"event_type".cast("string"),
+          $"value".cast("double"))
+        .as[FzSess].collect().toSeq
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      if (rows.nonEmpty) {
+        val n = nChunksOf(rng.nextInt(nChunksOf.size))
+        val chunks = chunk(rng, rows, n)
+        val sentinel = FzSess(-1L,
+          new java.sql.Timestamp(rows.map(_.ts.getTime).max + 3600L * 1000),
+          Some(-1L), "sentinel", Some(0.0))
+        val viewDir = s"$base/sessions/view"
+        val input = MemoryStream[FzSess]
+        val q = SessionStream.maintain(input.toDF(), viewDir,
+          s"$base/sessions/ckpt", trigger = Trigger.ProcessingTime(0))
+        try {
+          (chunks :+ Seq(sentinel)).foreach { c =>
+            input.addData(c); q.processAllAvailable()
+          }
+        } finally q.stop()
+        val served = canon(SessionStream.currentSessions(spark, viewDir)
+          .filter(!($"user_id" <=> lit(-1L)))
+          .orderBy($"user_id", $"session_start"))
+        val batch = canon(SessionStream.sessionCents(
+            spark.createDataFrame(rows).toDF())
+          .orderBy($"user_id", $"session_start"))
+        check(s"session_served(n=$n)")(served == batch,
+          s"served(${served.size}) != batch(${batch.size})")
+      } else println("[fuzzstream] session_served skipped (no events)")
+    }
 
     graft.ext.DedupOps.releaseShared()
     spark.stop()
