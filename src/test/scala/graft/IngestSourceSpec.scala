@@ -131,6 +131,20 @@ class IngestSourceSpec extends SparkSuite {
     assert(batches(1) == Seq(Seq("9", "zoe", "20")))
   }
 
+  test("Trigger.AvailableNow drains the source and stops (engine wrapper path)") {
+    val dir = fixture()
+    val ckpt = Files.createTempDirectory("graft-dsv2-ckpt3").toString
+    val out = Files.createTempDirectory("graft-dsv2-out").toString
+    val q = streamV2(dir).writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow did not terminate")
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("streaming scan keeps pruning and pushdown (one reader, both modes)") {
     val dir = fixture()
     val ckpt = Files.createTempDirectory("graft-dsv2-ckpt2").toString
