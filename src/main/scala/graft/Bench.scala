@@ -211,10 +211,59 @@ object Bench {
     // the fresh cold with its own foreign window and its own build
     // delta — BENCH_rN's dirty cold rows then carry a clean reading of
     // their own instead of needing a hand-certified side window.
+    // LOAD-POLLUTION suspects (r17): a polluted launch (load_start
+    // above the idle gate — cold OS page cache / governor residue)
+    // inflates FIRST-TOUCHES with little or no per-query foreign CPU
+    // (r16's q_assoc_rules read 19.3 s at foreign 0.17 — below the
+    // retry trigger), so the foreign trigger alone can't adjudicate
+    // those rows. When the launch was polluted, every query whose
+    // build-discounted cold exceeds 2× its committed baseline (the
+    // gate's own threshold) gets a cold retry too — bounded to the 25
+    // worst offenders so a thrashing box can't double the run.
+    val startPolluted = (try loadStart.toDouble catch {
+      case _: Throwable => Double.MaxValue
+    }) > sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_MAX", "1.5").toDouble
+    val baselineSuspects: Seq[String] =
+      if (!startPolluted) Nil
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BASELINE_QUERIES.json")), "UTF-8")
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        val root = org.json4s.jackson.JsonMethods.parse(txt)
+        val bq = (root \ "queries").asInstanceOf[org.json4s.JObject].obj.map {
+          case (name, v) =>
+            def d(f: String): Double =
+              (v \ f) match {
+                case org.json4s.JDouble(x) => x
+                case org.json4s.JInt(x) => x.toDouble
+                case _ => 0.0
+              }
+            name -> (d("cold") - d("build_sec"))
+        }.toMap
+        timings.toSeq.collect { case (name, times) if !times.exists(_ < 0) =>
+          val cmb = times.head - buildShare.getOrElse(name, 0.0)
+          bq.get(name).collect {
+            case bcmb if bcmb > 0 && cmb > 2 * bcmb && cmb - bcmb >= 0.3 =>
+              (cmb - bcmb, name)
+          }
+        }.flatten.sortBy(-_._1).take(25).map(_._2)
+          .filterNot(flaggedNames.contains)
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    if (baselineSuspects.nonEmpty)
+      System.err.println(s"[bench] load-polluted launch: cold-retrying " +
+        s"${baselineSuspects.size} baseline suspects: " +
+        baselineSuspects.mkString(", "))
     val retryCold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retryColdForeign = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retryColdBuild = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    flaggedNames.foreach { name =>
+    // cold retries release ALL session caches, so each one can re-pay
+    // shared builds — cap the pass at the 25 worst cold offenders (a
+    // fully-contended run would otherwise re-run most of the suite)
+    val coldRetryNames = (flaggedNames ++ baselineSuspects).distinct
+      .sortBy(n => -(timings.get(n).map(_.head).getOrElse(0.0) -
+        buildShare.getOrElse(n, 0.0)))
+      .take(25)
+    coldRetryNames.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         graft.ext.DedupOps.releaseShared()
         val b0 = BuildTimers.snapshot()

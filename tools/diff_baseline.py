@@ -52,8 +52,10 @@ def main():
             return None
         val = cold - row.get("build_sec", 0.0)
         rc = row.get("retry_cold")
-        if row.get("dirty") and rc is not None and rc >= 0 \
-                and not row.get("retry_cold_dirty"):
+        # Bench cold-retries only flagged rows (foreign-dirty, or
+        # baseline suspects on a load-polluted launch), so a clean
+        # retry reading always supersedes the suspect first-touch
+        if rc is not None and rc >= 0 and not row.get("retry_cold_dirty"):
             val = rc - row.get("retry_cold_build", 0.0)
         return max(0.0, val)
 
