@@ -194,8 +194,23 @@ object SessionStream {
         .schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(inDir.toString)
-      val q = maintain(stream, s"$d/view", s"$d/ckpt")
-      q.awaitTermination()
+      // state-store cost scales with shuffle partitions × micro-batches
+      // (one checkpoint file per state partition per batch): at the
+      // session's 32 partitions the ~6-batch replay spends most of its
+      // wall on state files. 8 partitions is plenty for this bounded
+      // replay; the streaming engine fixes the state partition count at
+      // the query's FIRST run, so the conf only needs to cover .start()
+      // — restored right after. The committed view content is
+      // partition-count independent.
+      // restored only after the query terminates: the engine reads the
+      // conf when it plans the FIRST batch, which happens on the query
+      // thread after .start() returns
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = maintain(stream, s"$d/view", s"$d/ckpt")
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
     currentSessions(spark, s"$base/view")
       // the sentinel's own session never finalizes (the watermark stops

@@ -52,11 +52,14 @@ def main():
             return None
         val = cold - row.get("build_sec", 0.0)
         rc = row.get("retry_cold")
-        # Bench cold-retries only flagged rows (foreign-dirty, or
-        # baseline suspects on a load-polluted launch), so a clean
-        # retry reading always supersedes the suspect first-touch
+        # Contention only ever INFLATES a reading, so the adjudicated
+        # cold is the MIN of the available clean readings: a dirty
+        # first-touch is rescued by its clean retry, while a fine
+        # first-touch is never condemned by an expensive retry (the
+        # retry releases ALL session caches, so it pays family
+        # materializations the in-sequence cold legitimately shared)
         if rc is not None and rc >= 0 and not row.get("retry_cold_dirty"):
-            val = rc - row.get("retry_cold_build", 0.0)
+            val = min(val, rc - row.get("retry_cold_build", 0.0))
         return max(0.0, val)
 
     regressions, improvements = [], []
