@@ -78,9 +78,10 @@ object ViewCommit {
       s"malformed view manifest ${metaPath(viewDir)}: $detail. The manifest " +
         "commit is an atomic rename, so this indicates a torn write from a " +
         "pre-atomic version or a store without atomic rename. The committed " +
-        "data_b<id> directories are intact — recover by rewriting _meta to " +
-        "point at the newest COMPLETE version (line 1 = batch id, line 2 = " +
-        "owner token, then bucket:version lines for partitioned views).")
+        "data_b<id>/seg_* directories are intact — recover by rewriting " +
+        "_meta to point at the newest COMPLETE version (line 1 = batch id, " +
+        "line 2 = owner token, then bucket:version lines for partitioned " +
+        "views or segment-dir lines for the segment-committed views).")
 
   /** Parse wrapper: any exception inside `parse` becomes the
     * diagnosable manifest error instead of a bare index/format crash. */

@@ -162,6 +162,70 @@ class CusumStreamSpec extends SparkSuite {
       "the rejected query still changed the view")
   }
 
+  test("segment commits: batches append delta segments without rewriting, compaction merges counts exactly") {
+    import spark.implicits._
+    val rows = EventOps.events(spark, sf)
+      .select($"ts".cast("timestamp"), $"event_type")
+      .as[CusumEv].collect().toSeq
+    val chunks = Seq(rows.take(rows.size / 3),
+      rows.slice(rows.size / 3, rows.size / 2), rows.drop(rows.size / 2))
+    val base = tmpDir("graft-cusum-seg")
+    val batch = canon(EventOps.cusumShift(spark, sf))
+
+    def segFiles(viewDir: String): Map[String, Seq[(String, Long)]] = {
+      val root = java.nio.file.Paths.get(viewDir)
+      if (!java.nio.file.Files.exists(root)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val it = java.nio.file.Files.list(root)
+        try it.iterator().asScala.toSeq
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("seg_"))
+          .map { d =>
+            val fl = java.nio.file.Files.list(d)
+            val files =
+              try fl.iterator().asScala.toSeq
+                .map(f => (f.getFileName.toString, java.nio.file.Files.size(f)))
+                .sortBy(_._1)
+              finally fl.close()
+            d.getFileName.toString -> files
+          }.toMap
+        finally it.close()
+      }
+    }
+
+    // below the threshold: each batch appends exactly its own delta
+    // segment and never touches a committed one (O(delta) writes)
+    val viewA = s"$base/viewA"
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val before = segFiles(viewA)
+      CusumStream.applyBatch(spark.createDataFrame(c), i.toLong, viewA,
+        s"$base/alertsA", "spec", compactAfter = 10)
+      val after = segFiles(viewA)
+      before.foreach { case (d, files) =>
+        assert(after.get(d).contains(files),
+          s"committed segment $d changed at batch $i")
+      }
+      assert((after.keySet -- before.keySet) == Set(s"seg_b$i"))
+    }
+    assert(canon(CusumStream.readStatistic(spark, viewA)) == batch,
+      "merge-on-read over delta segments lost or doubled counts")
+
+    // past the threshold: the commit folds everything into ONE grouped
+    // segment and the statistic is unchanged
+    val viewB = s"$base/viewB"
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      CusumStream.applyBatch(spark.createDataFrame(c), i.toLong, viewB,
+        s"$base/alertsB", "spec", compactAfter = 2)
+    }
+    val fs = new org.apache.hadoop.fs.Path(viewB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines = graft.streaming.ViewCommit.readMetaLines(fs, viewB).get
+    assert(lines.drop(2).map(_.trim).filter(_.nonEmpty) == Seq("seg_c2"))
+    assert(canon(CusumStream.readStatistic(spark, viewB)) == batch,
+      "compaction changed the statistic")
+  }
+
   test("a torn (malformed) manifest is a hard, diagnosable error") {
     import spark.implicits._
     val rows = EventOps.events(spark, sf)

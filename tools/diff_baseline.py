@@ -62,6 +62,21 @@ def main():
             val = min(val, rc - row.get("retry_cold_build", 0.0))
         return max(0.0, val)
 
+    def adjudicated_warm(row):
+        """The WARM value the gates should see (r17 judge #1): the MIN
+        of the clean readings. Contention only ever INFLATES a reading,
+        so whenever the row carries a warm retry whose own foreign
+        window was clean — recorded for dirty rows AND for
+        baseline-suspect rows on a load-polluted launch — the lower of
+        (warm_med, retry) is the real figure."""
+        w = row.get("warm_med")
+        if w is None:
+            return None
+        r = row.get("retry")
+        if r is not None and r >= 0 and not row.get("retry_dirty"):
+            w = min(w, r)
+        return w
+
     regressions, improvements = [], []
     for name in shared:
         for kind in ("warm_med", "cold"):
@@ -69,21 +84,19 @@ def main():
                 old = adjudicated_cold(bq[name])
                 new = adjudicated_cold(dq[name])
             else:
-                old, new = bq[name].get(kind), dq[name].get(kind)
-                # a dirty row's clean warm retry supersedes its warm_med
-                if dq[name].get("dirty") and not dq[name].get("retry_dirty") \
-                        and dq[name].get("retry", -1) >= 0:
-                    new = dq[name]["retry"]
+                old = adjudicated_warm(bq[name])
+                new = adjudicated_warm(dq[name])
             if old is None or new is None or new < 0:
                 continue
             delta = new - old
             if new > old * RATIO and delta >= MATERIAL_SEC:
                 regressions.append((delta, name, kind, old, new,
                                     dq[name].get("foreign")))
-        dw = dq[name].get("warm_med", 0) - bq[name].get("warm_med", 0)
+        aw_old = adjudicated_warm(bq[name]) or 0
+        aw_new = adjudicated_warm(dq[name]) or 0
+        dw = aw_new - aw_old
         if dw <= -MATERIAL_SEC:
-            improvements.append((dw, name, bq[name]["warm_med"],
-                                 dq[name]["warm_med"]))
+            improvements.append((dw, name, aw_old, aw_new))
 
     tot_old = sum(v.get("warm_med", 0) for k, v in bq.items() if k in shared)
     tot_new = sum(v.get("warm_med", 0) for k, v in dq.items() if k in shared)

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Machine-diff a regenerated PLAN_SNAPSHOT.json against the committed
+one (r17 judge #6): PLAN_SNAPSHOT has been machine-diffable since r10,
+but nothing in the cadence RAN the diff — a lost broadcast or a new
+exchange would only surface as bench drift. This tool makes plan-shape
+regressions first-class round evidence, next to diff_baseline.py.
+
+Reports:
+  - queries added / removed vs the committed snapshot
+  - every per-query counter delta (shuffle_exchanges,
+    broadcast_exchanges, broadcast_hash_joins, sort_merge_joins,
+    nested_loop_joins, scans, sorts, pushed_filters, partition_filters)
+  - a severity tag: deltas that usually mean a real plan regression
+    (broadcast lost, extra shuffle/scan/NLJ, pushdown lost) are marked
+    SUSPECT; the rest INFO (a deliberate change should be cited in
+    STATUS.md either way)
+
+Usage: python3 tools/diff_plans.py [NEW_SNAPSHOT] [OLD_SNAPSHOT]
+  NEW defaults to PLAN_SNAPSHOT.json (the regenerated working copy).
+  OLD defaults to `git show HEAD:PLAN_SNAPSHOT.json` (the committed
+  snapshot); pass a path to diff against an arbitrary one.
+Exit 0 always (reporting tool, not a gate) — the round cadence cites
+its output; a non-empty SUSPECT list needs a STATUS.md explanation.
+"""
+import json
+import subprocess
+import sys
+
+# a delta in the BAD direction on these counters usually means a real
+# plan regression; the sign is the direction that is suspect
+SUSPECT_UP = ("shuffle_exchanges", "scans", "nested_loop_joins", "sorts")
+SUSPECT_DOWN = ("broadcast_exchanges", "broadcast_hash_joins",
+                "pushed_filters", "partition_filters")
+
+
+def load_old(path):
+    if path is not None:
+        return json.load(open(path))
+    out = subprocess.run(["git", "show", "HEAD:PLAN_SNAPSHOT.json"],
+                         capture_output=True, text=True, check=True)
+    return json.loads(out.stdout)
+
+
+def main():
+    new_path = sys.argv[1] if len(sys.argv) > 1 else "PLAN_SNAPSHOT.json"
+    old_path = sys.argv[2] if len(sys.argv) > 2 else None
+    new = json.load(open(new_path))
+    old = load_old(old_path)
+
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    print(f"old: {len(old)} queries "
+          f"({old_path or 'git HEAD:PLAN_SNAPSHOT.json'})")
+    print(f"new: {len(new)} queries ({new_path})")
+    if added:
+        print("added:", ", ".join(added))
+    if removed:
+        print("removed:", ", ".join(removed))
+
+    suspect, info = [], []
+    for name in sorted(set(new) & set(old)):
+        for field in sorted(set(new[name]) | set(old[name])):
+            o = old[name].get(field, 0)
+            n = new[name].get(field, 0)
+            if o == n:
+                continue
+            bad = (field in SUSPECT_UP and n > o) or \
+                  (field in SUSPECT_DOWN and n < o)
+            (suspect if bad else info).append((name, field, o, n))
+
+    print(f"\nSUSPECT deltas (plan likely got worse): {len(suspect)}")
+    for name, field, o, n in suspect:
+        print(f"  {name}.{field}: {o} -> {n}")
+    print(f"\nINFO deltas: {len(info)}")
+    for name, field, o, n in info:
+        print(f"  {name}.{field}: {o} -> {n}")
+    if not suspect and not info and not added and not removed:
+        print("\nplan shapes identical to the committed snapshot")
+
+
+if __name__ == "__main__":
+    main()
