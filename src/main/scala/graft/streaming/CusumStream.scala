@@ -149,7 +149,7 @@ object CusumStream {
     // view: a crash between commit and this write leaves the page one
     // batch stale — never reflecting an uncommitted merge — and the
     // replayed (no-op) batch heals the staleness by re-serving here.
-    EventOps.cusumFromDaily(currentData(spark, viewDir))
+    EventOps.cusumFromDaily(currentData(spark, viewDir).localCheckpoint())
       .filter(col("shift_flag"))
       .write.mode("overwrite").parquet(alertDir)
   }
@@ -191,9 +191,13 @@ object CusumStream {
 
   /** The full streamed statistic (not just flagged rows) from the
     * maintained view — what CusumStreamSpec compares against the batch
-    * face. */
+    * face. The merged counts are localCheckpoint'd first, exactly like
+    * the batch face (EventOps.cusumShift): cusumFromDaily references
+    * the daily table from more than one branch, and without the
+    * checkpoint the segment merge-on-read would replan (and re-shuffle)
+    * per branch. */
   def readStatistic(spark: SparkSession, viewDir: String): DataFrame =
-    EventOps.cusumFromDaily(currentData(spark, viewDir))
+    EventOps.cusumFromDaily(currentData(spark, viewDir).localCheckpoint())
 
   /** `ev_cusum_served`: the maintained view's statistic under a
     * replayed chunked ingest — built once per (session, dir) by pushing
