@@ -243,26 +243,28 @@ object Bench {
     // the fresh cold with its own foreign window and its own build
     // delta — BENCH_rN's dirty cold rows then carry a clean reading of
     // their own instead of needing a hand-certified side window.
-    // LOAD-POLLUTION suspects (r17): a polluted launch (load_start
-    // above the idle gate — cold OS page cache / governor residue)
-    // inflates FIRST-TOUCHES with little or no per-query foreign CPU
-    // (r16's q_assoc_rules read 19.3 s at foreign 0.17 — below the
-    // retry trigger), so the foreign trigger alone can't adjudicate
-    // those rows. When the launch was polluted, every query whose
-    // build-discounted cold exceeds 2× its committed baseline (the
-    // gate's own threshold) gets a cold retry too — bounded to the 25
-    // worst offenders so a thrashing box can't double the run.
-    val startPolluted = (try loadStart.toDouble catch {
-      case NonFatal(_) => Double.MaxValue
-    }) > sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_MAX", "1.5").toDouble
+    // BASELINE suspects (r17, widened r18): load pollution (cold OS
+    // page cache / governor residue of a just-busy box) inflates
+    // FIRST-TOUCHES with little or no per-query foreign CPU (r16's
+    // q_assoc_rules read 19.3 s at foreign 0.17 — below the retry
+    // trigger), so the foreign trigger alone can't adjudicate those
+    // rows. Every query whose build-discounted cold exceeds 2× its
+    // committed baseline (the gate's own threshold) gets a cold retry
+    // too — bounded to the 25 worst offenders so a thrashing box can't
+    // double the run.
     // committed per-query baseline, parsed ONCE: name ->
     // (build-discounted cold, warm_med). Guarded on the baseline
     // window's sf matching this run's (r17 ADVICE): a baseline recorded
     // at a different scale factor would flag nearly everything at a
     // larger run sf (25 wasted cold retries) and nothing at a smaller.
+    // Parsed on EVERY launch, not just polluted ones (r18): transient
+    // mid-run smear on a clean-launch window (measured: a warm median
+    // reading 2.4× its anchor at load_start 1.0 / foreign 0.1, gone on
+    // the immediate re-run) is invisible to both the launch gate and
+    // the per-query foreign trigger — the baseline-suspect retries are
+    // the only machinery that gives such rows a second reading.
     val baseline: Map[String, (Double, Double)] =
-      if (!startPolluted) Map.empty
-      else try {
+      try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BASELINE_QUERIES.json")), "UTF-8")
         val root = org.json4s.jackson.JsonMethods.parse(txt)
@@ -287,11 +289,14 @@ object Bench {
           }.toMap
       } catch { case NonFatal(_) => Map.empty }
     // WARM baseline suspects (r17 judge #1 / top_next): load pollution
-    // inflates warm medians with foreign ≈ 0, so the foreign trigger
-    // alone cannot adjudicate them. On a polluted launch, every query
-    // whose warm median exceeds 2× its committed baseline gets a CHEAP
-    // warm retry (session caches intact — no release), recorded through
-    // the same retry fields whose clean MIN diff_baseline prefers.
+    // and transient mid-run smear inflate warm medians with foreign
+    // ≈ 0, so the foreign trigger alone cannot adjudicate them. Every
+    // query whose warm median exceeds 2× its committed baseline gets a
+    // CHEAP warm retry (session caches intact — no release), recorded
+    // through the same retry fields whose clean MIN diff_baseline
+    // prefers. On a clean idle window this fires for at most a
+    // handful of transients; on a polluted launch it adjudicates the
+    // smear the launch gate flagged.
     val warmSuspects: Seq[String] =
       timings.toSeq.collect { case (name, times)
         if !times.exists(_ < 0) && times.size > 1 =>
@@ -303,7 +308,7 @@ object Bench {
       }.flatten.sortBy(-_._1).map(_._2)
         .filterNot(retryTime.contains).take(40)
     if (warmSuspects.nonEmpty)
-      System.err.println(s"[bench] load-polluted launch: warm-retrying " +
+      System.err.println(s"[bench] warm-retrying " +
         s"${warmSuspects.size} baseline suspects: " +
         warmSuspects.mkString(", "))
     warmSuspects.foreach(warmRetry(_, "baseline"))
@@ -317,7 +322,7 @@ object Bench {
       }.flatten.sortBy(-_._1).take(25).map(_._2)
         .filterNot(flaggedNames.contains)
     if (baselineSuspects.nonEmpty)
-      System.err.println(s"[bench] load-polluted launch: cold-retrying " +
+      System.err.println(s"[bench] cold-retrying " +
         s"${baselineSuspects.size} baseline suspects: " +
         baselineSuspects.mkString(", "))
     val retryCold = scala.collection.mutable.LinkedHashMap.empty[String, Double]

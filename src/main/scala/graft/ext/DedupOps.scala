@@ -49,6 +49,7 @@ object DedupOps {
     graft.operators.GraphOps.clearGraphCaches()
     graft.ext.TextOps.clearSessionState()
     graft.streaming.ServedArtifacts.clear()
+    graft.streaming.CusumStream.clearDailyCache()
   }
 
   /** Memoized per-(dir, n) shingle tables shared by the whole dedup

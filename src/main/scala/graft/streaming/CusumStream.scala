@@ -149,7 +149,7 @@ object CusumStream {
     // view: a crash between commit and this write leaves the page one
     // batch stale — never reflecting an uncommitted merge — and the
     // replayed (no-op) batch heals the staleness by re-serving here.
-    EventOps.cusumFromDaily(currentData(spark, viewDir).localCheckpoint())
+    EventOps.cusumFromDaily(currentData(spark, viewDir))
       .filter(col("shift_flag"))
       .write.mode("overwrite").parquet(alertDir)
   }
@@ -172,32 +172,56 @@ object CusumStream {
       .start()
   }
 
+  /** Memo of the MATERIALIZED merged counts, keyed by (viewDir,
+    * committed batch id): the merge-on-read is tiny but its eager
+    * localCheckpoint is a scheduled job, and the served faces read an
+    * UNCHANGED view on every warm run — without the memo each read
+    * re-paid the materialization (measured: ev_cusum_served warm
+    * 0.22 → ~0.5 s). A new commit carries a new batch id, so it misses
+    * naturally and the stale version is dropped; cleared with the
+    * session caches (DedupOps.releaseShared → [[clearDailyCache]]). */
+  private val dailyCache =
+    scala.collection.mutable.Map.empty[(String, Long), DataFrame]
+
+  private[graft] def clearDailyCache(): Unit =
+    dailyCache.synchronized(dailyCache.clear())
+
   /** The committed counts: merge-on-read over the segments `_meta`
     * lists (readers must go through the meta so an uncommitted segment
     * is never visible). Counts are a monoid, so the groupBy-sum over
     * segments equals the eager merge — and over a single compacted (or
-    * legacy merged) segment it is an identity grouping on unique
-    * keys. */
+    * legacy merged) segment it is an identity grouping on unique keys.
+    * Returned MATERIALIZED (localCheckpoint, memoized per committed
+    * version): every consumer (cusumFromDaily's two branches, the
+    * seasonality regroup, the alert page) replans from a
+    * checkpoint-severed table instead of re-running the merge. */
   def currentData(spark: SparkSession, viewDir: String): DataFrame = {
     val vp = new Path(viewDir)
     val fs = fsFor(vp, spark)
     val (_, batchId, segs) = readMeta(fs, viewDir).getOrElse(
       throw new IllegalStateException(s"view $viewDir has no committed batch"))
     val dirs = liveSegments(fs, vp, batchId, segs)
-    spark.read.parquet(dirs.map(s => new Path(viewDir, s).toString): _*)
-      .groupBy(col("event_type"), col("day_num"))
-      .agg(sum(col("n_events")).as("n_events"))
+    dailyCache.synchronized {
+      // at most one live version per viewDir — a re-commit drops the
+      // superseded entry instead of accreting checkpoints
+      dailyCache.filterInPlace { case ((d, b), _) => d != viewDir || b == batchId }
+      dailyCache.getOrElseUpdate((viewDir, batchId),
+        spark.read.parquet(dirs.map(s => new Path(viewDir, s).toString): _*)
+          .groupBy(col("event_type"), col("day_num"))
+          .agg(sum(col("n_events")).as("n_events"))
+          .localCheckpoint())
+    }
   }
 
   /** The full streamed statistic (not just flagged rows) from the
     * maintained view — what CusumStreamSpec compares against the batch
-    * face. The merged counts are localCheckpoint'd first, exactly like
-    * the batch face (EventOps.cusumShift): cusumFromDaily references
-    * the daily table from more than one branch, and without the
-    * checkpoint the segment merge-on-read would replan (and re-shuffle)
-    * per branch. */
+    * face. currentData is already checkpointed (exactly like the batch
+    * face, EventOps.cusumShift — cusumFromDaily references the daily
+    * table from more than one branch) and memoized per committed
+    * version, so repeated reads of an unchanged view replan from the
+    * same materialization. */
   def readStatistic(spark: SparkSession, viewDir: String): DataFrame =
-    EventOps.cusumFromDaily(currentData(spark, viewDir).localCheckpoint())
+    EventOps.cusumFromDaily(currentData(spark, viewDir))
 
   /** `ev_cusum_served`: the maintained view's statistic under a
     * replayed chunked ingest — built once per (session, dir) by pushing
