@@ -143,6 +143,48 @@ object Bench {
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
+    // MEMORY-BANDWIDTH calibration (r18): an evening of interleaved
+    // same-box controls (r17 binary vs HEAD, seven certified-protocol
+    // windows) measured warm totals drifting 74 → 92 s (+24%) while
+    // EVERY existing gauge stayed clean — load_start ≤ 1.2, foreign
+    // ≤ 0.11, steal ≤ 0.23, cal and cal_par within a few percent. The
+    // CPU spins can't see it because the drift dimension is memory
+    // bandwidth (a co-tenant streaming memory smears shuffle/scan-heavy
+    // queries but not register-resident spins). Fixed work: every core
+    // streams strided sums over a shared 256 MB long array — timed at
+    // run start and end like the other calibrations. Same-code runs
+    // are comparable only at comparable cal_mem too.
+    val memArr = new Array[Long](32 << 20) // 256 MB, shared read-only
+    java.util.Arrays.fill(memArr, 0x9E3779B97F4A7C15L)
+    def calibrateMem(): Double = {
+      calibrateMemPass() // untimed warm-up: the first sweep after JVM
+      // churn (JIT of this very lambda, fresh page tables) measured a
+      // systematic 2.2× inflation vs steady state in back-to-back
+      // runs — warm up, then time
+      calibrateMemPass()
+    }
+    def calibrateMemPass(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val t0 = System.nanoTime()
+      val ts = (0 until n).map { tid =>
+        val t = new Thread(() => {
+          var acc = 0L
+          var rep = 0
+          while (rep < 2) {
+            // stride by thread count so the cores collectively sweep
+            // the whole array each repetition — bandwidth-bound, not
+            // cache-resident
+            var i = tid
+            while (i < memArr.length) { acc += memArr(i); i += n }
+            rep += 1
+          }
+          if (acc == 42L) System.err.println("")
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     // loadavg is sampled BEFORE the calibration spins (r14 ADVICE): the
     // calibrations burn ~2 s of all-core CPU immediately before the
     // sample, inflating the 1-minute loadavg by ~nCores*(1-e^(-t/60))
@@ -155,6 +197,7 @@ object Bench {
     val loadStart = loadavg()
     val calStart = calibrate()
     val calParStart = calibratePar()
+    val calMemStart = calibrateMem()
     val runJ0 = jiffies()
     val runT0 = System.nanoTime()
     // A crashed query must never masquerade as a fast one: record -1 and
@@ -408,6 +451,7 @@ object Bench {
     val contaminated = startBad || foreignBad
     val calEnd = calibrate()
     val calParEnd = calibratePar()
+    val calMemEnd = calibrateMem()
     // all numeric JSON fields go through fmt() (Locale.ROOT): the f""
     // interpolator is locale-sensitive and a comma-decimal default
     // locale would emit invalid JSON (r14 ADVICE)
@@ -431,6 +475,7 @@ object Bench {
         s""","steal_cpu":${if (runSteal < 0) "-1" else fmt(runSteal, 2)}""" +
         s""","cal_start":${fmt(calStart, 2)},"cal_end":${fmt(calEnd, 2)}""" +
         s""","cal_par_start":${fmt(calParStart, 2)},"cal_par_end":${fmt(calParEnd, 2)}""" +
+        s""","cal_mem_start":${fmt(calMemStart, 2)},"cal_mem_end":${fmt(calMemEnd, 2)}""" +
         s""","build_total":${fmt(buildTotal, 2)}""" +
         (if (dirtyNames.nonEmpty)
           s""","n_dirty":${dirtyNames.size},"n_retry_clean":$retryCleanCount,"n_retry_cold_clean":$retryColdCleanCount"""

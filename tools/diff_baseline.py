@@ -31,7 +31,8 @@ def main():
     print("detail window:  ", json.dumps({
         k: detail.get(k) for k in (
             "runs", "n_ok", "n_err", "load_start", "foreign_cpu",
-            "cal_start", "cal_end", "cal_par_start", "cal_par_end",
+            "steal_cpu", "cal_start", "cal_end", "cal_par_start",
+            "cal_par_end", "cal_mem_start", "cal_mem_end",
             "n_dirty", "n_retry_clean")}))
 
     bq = base["queries"]
