@@ -115,8 +115,11 @@ object SessionStream {
     }
     val lastApplied = meta.map(_._2).getOrElse(-1L)
     if (batchId > lastApplied) {
+      // materialize once (the batch feeds both the isEmpty probe and
+      // the segment write); released below — a dropped localCheckpoint
+      // otherwise lingers until GC + ContextCleaner (r18 ADVICE)
       val delta = batch.localCheckpoint()
-      if (!delta.isEmpty) {
+      try if (!delta.isEmpty) {
         val prevSegs = meta.map { case (_, b, segs) =>
           liveSegments(fs, vp, b, segs) }.getOrElse(Nil)
         val segName = s"seg_b$batchId"
@@ -145,7 +148,8 @@ object SessionStream {
             !live.contains(n))
             fs.delete(st.getPath, true)
         } catch { case scala.util.control.NonFatal(_) => () }
-      }
+      } finally org.apache.spark.sql.graftbridge.ColumnBridge
+        .unpersistCheckpointed(delta)
     }
   }
 
@@ -172,16 +176,22 @@ object SessionStream {
   def currentSessions(spark: SparkSession, viewDir: String): DataFrame = {
     val vp = new Path(viewDir)
     val fs = fsFor(vp, spark)
+    def empty: DataFrame = {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("user_id", "session_start", "session_end_excl",
+          "n_events", "sum_cents")
+    }
     readMeta(fs, viewDir) match {
       case Some((_, batchId, segs)) =>
         val dirs = liveSegments(fs, vp, batchId, segs)
-        spark.read.parquet(
+        // a legacy manifest whose data_b dir vanished out-of-band reads
+        // as the empty view rather than parquet's opaque zero-path
+        // schema error (r18 ADVICE)
+        if (dirs.isEmpty) empty
+        else spark.read.parquet(
           dirs.map(s => new Path(viewDir, s).toString): _*)
-      case None =>
-        import spark.implicits._
-        Seq.empty[(Long, Long, Long, Long, Long)]
-          .toDF("user_id", "session_start", "session_end_excl",
-            "n_events", "sum_cents")
+      case None => empty
     }
   }
 

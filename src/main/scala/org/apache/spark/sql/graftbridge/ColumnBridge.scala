@@ -27,4 +27,19 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Release the persisted blocks behind a `localCheckpoint()`'d
+    * DataFrame: Dataset.checkpoint persists its internal RDD
+    * (MEMORY_AND_DISK) and wraps it in a `LogicalRDD`, so merely
+    * dropping the DataFrame reference strands the blocks until GC +
+    * ContextCleaner gets around to them — an eviction-time leak for
+    * any cache of checkpointed frames. The `rdd` field is
+    * `private[sql]`, hence this bridge. Non-checkpointed plans are a
+    * no-op. */
+  def unpersistCheckpointed(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -68,6 +68,22 @@ class SessionStreamSpec extends SparkSuite {
     assert(empty.isEmpty &&
       empty.columns.toSeq == Seq("user_id", "session_start",
         "session_end_excl", "n_events", "sum_cents"))
+    // a committed manifest whose data dir was removed out-of-band
+    // (legacy two-line manifest, data_b dir manually cleaned) falls
+    // back to the empty view instead of parquet's opaque zero-path
+    // schema error (r18 ADVICE)
+    graft.streaming.ViewCommit.commitMeta(spark, viewDir, "2\nspec")
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(viewDir)).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("seg_") || n.startsWith("data_b"))
+        fs.delete(s.getPath, true)
+    }
+    val orphaned = SessionStream.currentSessions(spark, viewDir)
+    assert(orphaned.isEmpty &&
+      orphaned.columns.toSeq == Seq("user_id", "session_start",
+        "session_end_excl", "n_events", "sum_cents"))
   }
 
   // (relative file name, length) per seg_* dir — the byte-identity

@@ -15,12 +15,19 @@ Reports:
     SUSPECT; the rest INFO (a deliberate change should be cited in
     STATUS.md either way)
 
-Usage: python3 tools/diff_plans.py [NEW_SNAPSHOT] [OLD_SNAPSHOT]
+Usage: python3 tools/diff_plans.py [--advisory] [NEW_SNAPSHOT] [OLD_SNAPSHOT]
   NEW defaults to PLAN_SNAPSHOT.json (the regenerated working copy).
   OLD defaults to `git show HEAD:PLAN_SNAPSHOT.json` (the committed
   snapshot); pass a path to diff against an arbitrary one.
-Exit 0 always (reporting tool, not a gate) — the round cadence cites
-its output; a non-empty SUSPECT list needs a STATUS.md explanation.
+Exit codes (r18 judge #6 — the diff is now a GATE, not just a report):
+  0  plan shapes acceptable (identical, or INFO-only deltas)
+  2  SUSPECT deltas present — a lost broadcast / new shuffle / new scan
+     / lost pushdown must not ship silently; a deliberate plan change
+     is shipped by regenerating + committing the snapshot WITH a
+     STATUS.md note, which makes the next diff clean again.
+  --advisory restores the old exit-0-always reporting behavior.
+tools/cadence.sh runs this as a failing step after every snapshot
+regeneration.
 """
 import json
 import subprocess
@@ -42,8 +49,10 @@ def load_old(path):
 
 
 def main():
-    new_path = sys.argv[1] if len(sys.argv) > 1 else "PLAN_SNAPSHOT.json"
-    old_path = sys.argv[2] if len(sys.argv) > 2 else None
+    argv = [a for a in sys.argv[1:] if a != "--advisory"]
+    advisory = "--advisory" in sys.argv[1:]
+    new_path = argv[0] if len(argv) > 0 else "PLAN_SNAPSHOT.json"
+    old_path = argv[1] if len(argv) > 1 else None
     new = json.load(open(new_path))
     old = load_old(old_path)
 
@@ -76,6 +85,12 @@ def main():
         print(f"  {name}.{field}: {o} -> {n}")
     if not suspect and not info and not added and not removed:
         print("\nplan shapes identical to the committed snapshot")
+
+    if suspect and not advisory:
+        print("\nGATE FAILED: SUSPECT plan deltas — fix the plan, or "
+              "commit the regenerated snapshot with a STATUS.md note "
+              "if the change is deliberate.")
+        sys.exit(2)
 
 
 if __name__ == "__main__":
