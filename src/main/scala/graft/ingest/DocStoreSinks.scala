@@ -116,7 +116,7 @@ object DocStoreSinks {
     val dir = coll.toString
     val key = keyCol
     df.select(col(keyCol).cast("string").as("_k"),
-        to_json(struct(df.columns.map(col): _*)).as("_doc"))
+        to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("_doc"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val base = java.nio.file.Paths.get(dir)
         rows.foreach { r =>
@@ -186,7 +186,7 @@ object DocStoreSinks {
       val coll = java.nio.file.Paths.get(root, "es_load_dates")
       java.nio.file.Files.createDirectories(coll)
       val df = spark.createDataset(Seq(m)).toDF()
-      val doc = df.select(to_json(struct(df.columns.map(col): _*)))
+      val doc = df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)))
         .collect().head.getString(0)
       if (!java.nio.file.Files.exists(coll.resolve("_schema.ddl")))
         writeAtomic(coll.resolve("_schema.ddl"), df.schema.toDDL)
