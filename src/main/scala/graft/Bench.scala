@@ -208,6 +208,55 @@ object Bench {
       val xs = (1 to timedPasses).map(_ => pass()).sorted
       (xs.head, xs(xs.size / 2), xs.last)
     }
+    // SCHEDULER-LATENCY calibration (r19): the re-anchor control proved
+    // the residual warm drift (+32% at comparable cal/cal_par and a
+    // FAST cal_mem) is a box property, but none of the existing gauges
+    // names its dimension — the window that drifted read 13 GB/s on
+    // the bandwidth sweep. The remaining axis a hypervisor can degrade
+    // invisibly to spins is SCHEDULING latency: Spark execution is
+    // thousands of short tasks with futex wakeups between them, while
+    // every cal spin runs uninterrupted on its own core. Fixed work:
+    // two threads ping-pong a monitor 20k round trips — pure wakeup
+    // latency, zero compute, zero bandwidth. Median of 5 passes at
+    // window start/end, like cal_mem. Windows that disagree HERE while
+    // agreeing on cal/cal_par/cal_mem localize future drift to the
+    // scheduler instead of leaving it unexplained.
+    def calibrateSched(): (Double, Double, Double) = {
+      def pass(): Double = {
+        val lock = new Object
+        var turn = 0 // 0 = main's turn to hand off, 1 = peer's
+        // 10k round trips ≈ 0.3-0.6 s at this box's observed ~30 µs
+        // wakeup latency (bare-metal futex is 2-5 µs — the elevation
+        // IS the signal) — precise enough, and 6 passes × 2 call
+        // sites stay under ~8 s
+        val rounds = 10000
+        val t0 = System.nanoTime()
+        val peer = new Thread(() => lock.synchronized {
+          var i = 0
+          while (i < rounds) {
+            while (turn == 0) lock.wait()
+            turn = 0
+            lock.notifyAll()
+            i += 1
+          }
+        })
+        peer.start()
+        lock.synchronized {
+          var i = 0
+          while (i < rounds) {
+            turn = 1
+            lock.notifyAll()
+            while (turn == 1) lock.wait()
+            i += 1
+          }
+        }
+        peer.join()
+        (System.nanoTime() - t0) / 1e9
+      }
+      pass() // untimed warm-up
+      val xs = (1 to 5).map(_ => pass()).sorted
+      (xs.head, xs(xs.size / 2), xs.last)
+    }
     // loadavg is sampled BEFORE the calibration spins (r14 ADVICE): the
     // calibrations burn ~2 s of all-core CPU immediately before the
     // sample, inflating the 1-minute loadavg by ~nCores*(1-e^(-t/60))
@@ -221,6 +270,7 @@ object Bench {
     val calStart = calibrate()
     val calParStart = calibratePar()
     val (calMemStartMin, calMemStart, calMemStartMax) = calibrateMem()
+    val (calSchedStartMin, calSchedStart, calSchedStartMax) = calibrateSched()
     val runJ0 = jiffies()
     val runT0 = System.nanoTime()
     // A crashed query must never masquerade as a fast one: record -1 and
@@ -501,6 +551,7 @@ object Bench {
     val calEnd = calibrate()
     val calParEnd = calibratePar()
     val (calMemEndMin, calMemEnd, calMemEndMax) = calibrateMem()
+    val (calSchedEndMin, calSchedEnd, calSchedEndMax) = calibrateSched()
     // the window-average bandwidth gauge: median over every sample the
     // window carried (start + mid-run + end medians) — the value
     // diff_baseline compares across windows
@@ -532,6 +583,9 @@ object Bench {
         s""","cal_mem_start_min":${fmt(calMemStartMin, 2)},"cal_mem_start_max":${fmt(calMemStartMax, 2)}""" +
         s""","cal_mem_end_min":${fmt(calMemEndMin, 2)},"cal_mem_end_max":${fmt(calMemEndMax, 2)}""" +
         s""","cal_mem_med":${fmt(calMemMed, 2)}""" +
+        s""","cal_sched_start":${fmt(calSchedStart, 2)},"cal_sched_end":${fmt(calSchedEnd, 2)}""" +
+        s""","cal_sched_start_min":${fmt(calSchedStartMin, 2)},"cal_sched_start_max":${fmt(calSchedStartMax, 2)}""" +
+        s""","cal_sched_end_min":${fmt(calSchedEndMin, 2)},"cal_sched_end_max":${fmt(calSchedEndMax, 2)}""" +
         (if (calMemMid.nonEmpty)
           s""","cal_mem_mid":${calMemMid.map(fmt(_, 2)).mkString("[", ",", "]")}"""
         else "") +

@@ -71,6 +71,7 @@ def main():
             "cal_par_end", "cal_mem_start", "cal_mem_end",
             "cal_mem_start_min", "cal_mem_start_max", "cal_mem_end_min",
             "cal_mem_end_max", "cal_mem_med", "cal_mem_mid",
+            "cal_sched_start", "cal_sched_end",
             "n_dirty", "n_retry_clean")}))
 
     # ---- cal_mem bandwidth annotation (r18 judge #1) ----------------

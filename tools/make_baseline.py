@@ -15,7 +15,9 @@ WINDOW_KEYS = (
     "foreign_cpu", "steal_cpu", "cal_start", "cal_end", "cal_par_start",
     "cal_par_end", "cal_mem_start", "cal_mem_end", "cal_mem_start_min",
     "cal_mem_start_max", "cal_mem_end_min", "cal_mem_end_max",
-    "cal_mem_med", "cal_mem_mid", "n_dirty", "build_total")
+    "cal_mem_med", "cal_mem_mid", "cal_sched_start", "cal_sched_end",
+    "cal_sched_start_min", "cal_sched_start_max", "cal_sched_end_min",
+    "cal_sched_end_max", "n_dirty", "build_total")
 
 
 def main():
