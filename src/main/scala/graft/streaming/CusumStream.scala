@@ -253,7 +253,13 @@ object CusumStream {
     * re-paid the materialization (measured: ev_cusum_served warm
     * 0.22 → ~0.5 s). A new commit carries a new batch id, so it misses
     * naturally and the stale version is dropped; cleared with the
-    * session caches (DedupOps.releaseShared → [[clearDailyCache]]). */
+    * session caches (DedupOps.releaseShared → [[clearDailyCache]]).
+    * Eviction UNPERSISTS the superseded version's checkpoint (r18
+    * ADVICE), which assumes the view's single-writer protocol: the
+    * owning query is the only committer, so by the time a new version
+    * is read the previous version's readers have completed — a reader
+    * racing a commit across versions would need the old blocks the
+    * eviction just released. */
   private val dailyCache =
     scala.collection.mutable.Map.empty[(String, Long), DataFrame]
 

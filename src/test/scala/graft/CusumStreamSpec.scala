@@ -326,6 +326,38 @@ class CusumStreamSpec extends SparkSuite {
     assert(names == Set("_meta", "alert_b1"), s"alert dir not GC'd: $names")
   }
 
+  test("currentData races: concurrent readers share one checkpoint; a re-commit evicts the old version") {
+    import spark.implicits._
+    val rows = EventOps.events(spark, sf)
+      .select($"ts".cast("timestamp"), $"event_type")
+      .as[CusumEv].collect().toSeq
+    val (b0, b1) = rows.splitAt(rows.size / 2)
+    val base = tmpDir("graft-cusum-race")
+    val (viewDir, alertDir) = (s"$base/view", s"$base/alerts")
+    CusumStream.applyBatch(spark.createDataFrame(b0), 0L, viewDir,
+      alertDir, "spec")
+    CusumStream.clearDailyCache()
+    // the double-checked insert runs its localCheckpoint OUTSIDE the
+    // lock (r18 ADVICE): N concurrent first readers must converge on
+    // ONE cached DataFrame (losers unpersist their duplicate builds)
+    val readers = (0 until 4).map { _ =>
+      val t = new java.util.concurrent.FutureTask(() =>
+        CusumStream.currentData(spark, viewDir))
+      new Thread(t).start(); t
+    }
+    val frames = readers.map(_.get())
+    assert(frames.forall(_ eq frames.head),
+      "concurrent readers built divergent cache entries")
+    // a later commit supersedes the version; the next read returns the
+    // NEW merged counts (old entry evicted, not served stale)
+    val before = frames.head.count()
+    CusumStream.applyBatch(spark.createDataFrame(b1), 1L, viewDir,
+      alertDir, "spec")
+    val after = CusumStream.currentData(spark, viewDir)
+    assert(!(after eq frames.head), "superseded cache entry still served")
+    assert(after.count() >= before)
+  }
+
   test("a committed manifest whose data dir was removed out-of-band fails diagnosably") {
     import spark.implicits._
     val rows = EventOps.events(spark, sf)
