@@ -982,6 +982,18 @@ object DedupOps {
             .distinct()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           p.count()
+          // the d=2 index exists only to build this pair set: release
+          // its storage NOW (the pair cache is output-sized; the index
+          // is corpus × ~len²/2-keys sized and would otherwise occupy
+          // storage memory for the rest of the session, evicting
+          // caches that are still read — measured as 3-7× slower
+          // late-session rebuilds under an 8g heap). A later rebuild
+          // after releaseShared() re-creates it from scratch either
+          // way; the double-unpersist releaseShared() then performs is
+          // a no-op.
+          fastss2Caches.synchronized {
+            fastss2Caches.remove((spark, dir)).foreach(_.unpersist(false))
+          }
           p
         })
     }

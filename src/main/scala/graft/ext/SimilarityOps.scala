@@ -485,6 +485,16 @@ object SimilarityOps {
     emb.select(
         element_at(topCentroids(col("embedding"), cents, 1), 1).as("cid"),
         col("vec_id"), col("embedding"))
+      // Cluster by the partition key BEFORE the partitioned write
+      // (guide §6: file sizing/clustering on write): without it every
+      // scan task writes one file per cid it happens to hold — up to
+      // tasks × k tiny posting files whose per-file open/footer cost
+      // then taxes every probe scan. One exchange of (cid, id, vec)
+      // rows buys one right-sized file per posting list. At 100 TB
+      // this is the write.distribution-mode=hash recipe; posting
+      // lists past a file's worth get a pmod(xxhash64(vec_id), n)
+      // subkey added to the repartition, not removed from it.
+      .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$indexDir/postings.parquet")
   }

@@ -83,13 +83,24 @@ object IncrementalAgg {
       }
     }
 
-  /** Per-bucket view slice at its committed version, with the bucket
-    * column re-attached (per-version dirs don't carry the partition
-    * column when read directly). */
-  private def bucketSlice(spark: SparkSession, viewDir: String,
-                          b: Long, v: Long): DataFrame =
-    spark.read.parquet(s"$viewDir/data_b$v/bucket=$b")
-      .withColumn("bucket", lit(b))
+  /** Committed view slices for a (bucket → version) assignment as ONE
+    * DataFrame: one pruned parquet scan PER VERSION DIR — the bucket
+    * dirs of a version go into a single multi-path scan whose
+    * `basePath` recovers the bucket partition column — instead of the
+    * old one-scan-PER-BUCKET shape (a 32-way union of single-dir
+    * scans, whose per-scan listing/footer/planning overhead dominated
+    * both the serve path and every batch's old-slice read; guide §6
+    * small-files). Live versions are bounded by the touched-bucket
+    * history, typically ≪ nBuckets. The partition column is inferred
+    * as int — cast back to the long the merge schema carries. */
+  private def bucketSlices(spark: SparkSession, viewDir: String,
+                           bv: Seq[(Long, Long)]): DataFrame =
+    bv.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, bs) =>
+      val base = s"$viewDir/data_b$v"
+      spark.read.option("basePath", base)
+        .parquet(bs.map { case (b, _) => s"$base/bucket=$b" }.sorted: _*)
+        .withColumn("bucket", col("bucket").cast("long"))
+    }.reduce(_.unionByName(_))
 
   /** Apply one micro-batch: merge its partials into version
     * `data_b<batchId>` for the touched buckets, then commit manifest +
@@ -126,12 +137,18 @@ object IncrementalAgg {
           .unpersistCheckpointed(delta)
         return
       }
-      val old = touched.toSeq.flatMap(b => versions.get(b).map(v =>
-        bucketSlice(spark, viewDir, b, v)))
+      val oldBv = touched.toSeq.flatMap(b => versions.get(b).map(b -> _))
       val merged =
-        if (old.isEmpty) delta
-        else merge(old.reduce(_.unionByName(_)), delta, keys).localCheckpoint()
-      merged.write.mode("overwrite").partitionBy("bucket")
+        if (oldBv.isEmpty) delta
+        else merge(bucketSlices(spark, viewDir, oldBv), delta, keys)
+          .localCheckpoint()
+      // cluster by the partition key before the partitioned write:
+      // otherwise every task of the merged plan writes one file per
+      // bucket it holds (up to tasks × touched-buckets tiny files per
+      // batch); one bucket-keyed exchange of the batch-sized partials
+      // buys exactly one file per touched bucket (guide §6)
+      merged.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
         .parquet(new Path(vp, s"data_b$batchId").toString)
       // the commit point: guard + per-bucket versions in ONE atomic
       // rename (tmp + rename-overwrite — a crash mid-write can never
@@ -186,9 +203,7 @@ object IncrementalAgg {
     val fs = fsFor(new Path(viewDir), spark)
     val (_, _, versions) = readMeta(fs, viewDir).getOrElse(
       throw new IllegalStateException(s"view $viewDir has no committed batch"))
-    versions.toSeq.sorted
-      .map { case (b, v) => bucketSlice(spark, viewDir, b, v) }
-      .reduce(_.unionByName(_))
+    bucketSlices(spark, viewDir, versions.toSeq.sorted)
   }
 
   /** Read the maintained view back as presentation rows (keys, total,
