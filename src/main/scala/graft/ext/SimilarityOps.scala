@@ -1594,26 +1594,6 @@ object SimilarityOps {
   /** Dimension prefixes evaluated by [[dimCurve]]. */
   val dimCurveDims: Seq[Int] = Seq(8, 16, 32, 64)
 
-  /** Per-dim-prefix exact top-k — the brute-force ranking computed on
-    * only the first `d` embedding components. */
-  private def topKAtDim(spark: SparkSession, dir: String, d: Int,
-                        numQueries: Int, k: Int): DataFrame = {
-    val emb = FanOut(Tables.embeddings(spark, dir))
-    val queries = emb.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"),
-        slice(col("embedding"), 1, d).as("qvec"))
-    val sims = emb.filter(col("vec_id") >= numQueries)
-      .crossJoin(broadcast(queries))
-      .select(col("qid"), col("vec_id"),
-        round(cosine(col("qvec"), slice(col("embedding"), 1, d)), 6)
-          .as("cos"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"))
-  }
-
   /** Embedding dimension-budget curve (`sim_dim_curve`): recall@k of
     * exact cosine search restricted to the first d components, versus
     * full-dimension search — the matryoshka-truncation analysis that
@@ -1628,18 +1608,42 @@ object SimilarityOps {
     * sized joins. All counts exact; recall is one IEEE division. */
   def dimCurve(spark: SparkSession, dir: String,
                numQueries: Int = 5, k: Int = 5): DataFrame = {
-    val full = topKAtDim(spark, dir, 64, numQueries, k).localCheckpoint()
-    dimCurveDims.map { d =>
-      // d = 64 IS the truth — reuse the checkpoint instead of paying a
-      // second full-width corpus scan for an identity join
-      val at = if (d == 64) full else topKAtDim(spark, dir, d, numQueries, k)
-      val hits = at
-        .join(full, Seq("qid", "vec_id"))
-        .agg(count(lit(1)).as("n_hits"))
-      hits.select(lit(d.toLong).as("dim"), col("n_hits"),
+    // ONE corpus pass for the whole curve (r19 optimization round,
+    // guide §2.4 — share the exchange): each (candidate, query) row
+    // emits its cosine at EVERY evaluated prefix width via a 4-struct
+    // explode, and one window ranked per (dim, qid) replaces the old
+    // per-dim corpus scan + window (4 scans + 4 exchanges → 1 + 1; the
+    // exploded table is |dims|× the pair count, still
+    // queries-broadcast-sized). Per-dim cosines are the identical
+    // slice-then-cosine expressions, so rankings — and the oracle hash
+    // — are unchanged; slice(·,1,64) of a 64-wide embedding is the
+    // full-width truth row the d=64 identity anchor needs.
+    val emb = FanOut(Tables.embeddings(spark, dir))
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val sims = emb.filter(col("vec_id") >= numQueries)
+      .crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"), explode(array(dimCurveDims.map(d =>
+        struct(lit(d.toLong).as("dim"),
+          round(cosine(slice(col("qvec"), 1, d),
+            slice(col("embedding"), 1, d)), 6).as("cos"))): _*)).as("x"))
+      .select(col("x.dim").as("dim"), col("qid"), col("vec_id"),
+        col("x.cos").as("cos"))
+    val w = Window.partitionBy(col("dim"), col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    // |dims|·queries·k rows; checkpointed so the d=64 truth branch
+    // re-reads the materialized top-k, not the corpus pass
+    val tk = sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("dim"), col("qid"), col("vec_id"))
+      .localCheckpoint()
+    val full = tk.filter(col("dim") === 64L).select(col("qid"), col("vec_id"))
+    tk.join(full, Seq("qid", "vec_id"))
+      .groupBy(col("dim")).agg(count(lit(1)).as("n_hits"))
+      .select(col("dim"), col("n_hits"),
         (col("n_hits").cast("double") /
           lit((numQueries * k).toDouble)).as("recall"))
-    }.reduce(_.unionByName(_)).orderBy(col("dim"))
+      .orderBy(col("dim"))
   }
 
   /** MMR knobs: relevance weight λ, diversity weight μ (kept as its own

@@ -1249,8 +1249,25 @@ object Relational {
     val pv = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg((sum(units) * 10000).cast("long").as("value_units"))
-    pv.withColumn("avg_units",
-        expr("sum(value_units) OVER () DIV count(1) OVER ()"))
+    // corpus mean as a 1-row broadcast scalar (r19 optimization round,
+    // guide §2.4/§2.5): the former `sum(...) OVER ()` was an
+    // un-partitioned window — a SinglePartition exchange funneling the
+    // whole |parts|-sized table through ONE task at scale (the
+    // WindowExec "no partition defined" hazard). The 1-row aggregate +
+    // crossJoin(broadcast) computes the identical exact-integer
+    // sum/count pair with partial aggregation and no single-task
+    // stage; avg_units = sum DIV count is unchanged bit-for-bit.
+    // localCheckpoint pins ONE fact scan: the part join null-rejects
+    // l_partkey on the main branch only, so the two pv consumers stop
+    // being canonically identical and AQE stage reuse cannot collapse
+    // them (the topSupplier double-scan measurement) — while the avg
+    // must keep averaging over ALL groups, exactly as the oracle's
+    // `FROM pv` subqueries do.
+    val pvM = pv.localCheckpoint()
+    val avg = pvM.agg((sum(col("value_units")))
+      .as("sum_units"), count(lit(1)).as("n_parts"))
+    pvM.crossJoin(broadcast(avg))
+      .withColumn("avg_units", expr("sum_units DIV n_parts"))
       .filter(col("value_units") * 2 > col("avg_units") * 3)
       .join(broadcast(Tables.part(spark, dir)
         .select(col("p_partkey"), col("p_name"), col("p_brand"))),

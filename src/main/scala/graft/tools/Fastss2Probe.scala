@@ -79,6 +79,30 @@ object Fastss2Probe {
     t("packed_distinct")(packed.count())
     t("packed_distinct2")(packed.count())
     t("distinct_count2")(verified.distinct().count())
+    parted.unpersist(true)
+    // end-to-end A/B of the whole build: persisted pre-partitioned
+    // index vs un-persisted self-join (identical exchange subtrees →
+    // ReusedExchange materializes the shuffle once, no storage cost)
+    def fullBuild(persist: Boolean): Long = {
+      val idx = if (persist) {
+        val p = keyed.repartition(col("k")).persist(); p.count(); p
+      } else keyed.repartition(col("k"))
+      val pairs = idx.as("a").join(idx.as("b"),
+          col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+        .filter(ColumnBridge.column(
+          graft.functions.EditWithin2(
+            ColumnBridge.expression(col("a.name")),
+            ColumnBridge.expression(col("b.name")))))
+        .select(col("a.id").as("a"), col("b.id").as("b"))
+        .distinct()
+      val n = pairs.count()
+      if (persist) idx.unpersist(true)
+      n
+    }
+    t("full_build_persisted")(fullBuild(true))
+    t("full_build_reused")(fullBuild(false))
+    t("full_build_persisted2")(fullBuild(true))
+    t("full_build_reused2")(fullBuild(false))
     spark.stop()
   }
 }
